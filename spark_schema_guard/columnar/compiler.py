@@ -1,0 +1,1024 @@
+"""Columnar plan compiler: JSON-Schema definition → ordered list of
+vectorized rule predicates (Spark Column expressions).
+
+The Spark analog of the reference's code generator (``generator.py``): one
+driver-side compile turns the schema into declarative Column expressions that
+Catalyst optimizes and whole-stage codegen evaluates JVM-side — no per-row
+Python in the hot path.  Evaluation-order parity: rules are emitted in the
+reference's keyword-registration order (``draft04.py:42-68`` + draft-06/07
+extensions), properties in schema order, so the first element of the
+``violations`` array equals the reference's fast-fail error.
+
+Static-type constant folding (the optimization the reference cannot do, and
+Catalyst cannot either because it doesn't know rule semantics):
+
+* ``type: string`` on a StringType column emits *no rule* (always true);
+* ``type: integer`` on a LongType column likewise; on a DoubleType column it
+  emits the draft-06 integral-float runtime check only;
+* a rule whose guard type can never occur for the column (``minLength`` on a
+  numeric column) is dropped — the reference would no-op it per row.
+
+NULL convention: a NULL cell means the property is *absent* (JSON has
+missing-vs-null; flat columns do not).  Per-value rules are therefore gated
+on ``IS NOT NULL`` and only ``required`` fires on NULL — matching the
+reference, where subschemas of absent keys are never evaluated.
+
+Python-regex parity: ``pattern``/``format`` default to JVM ``rlike`` with the
+``$``→``\\Z``→``\\z`` end-anchor translation (fast path); ``regex_engine=
+"python"`` switches to an Arrow-batched pandas UDF running the same
+precompiled Python regex bank as the reference for byte-exact semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from decimal import Decimal
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exceptions import SchemaDefinitionError
+from ..formats import jvm_pattern
+from ..ref_resolver import SchemaStore
+from ..rowcheck.compiler import _UNESCAPED_DOLLAR, _Compiler as _RowCompiler, _pick_dialect
+from . import typemap
+from .plan import Rule, ValidationPlan
+
+_ISO_TS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+_ISO_DATE = "yyyy-MM-dd"
+
+
+@dataclass
+class _Site:
+    """One value location: a column, struct field, map value, or array
+    element reached via HOF lambda."""
+
+    expr: Column | None  # None only for the root row object
+    dtype: T.DataType
+    sname: str  # static dotted name for plan display
+    name_col: Column  # runtime name expression (handles dynamic indices)
+    base_uri: str = ""
+    # Columns and struct fields follow NULL-means-absent; array elements and
+    # map values are always "present" — their NULL is a JSON null value.
+    null_is_value: bool = False
+
+    def present(self) -> Column:
+        if self.expr is None or self.null_is_value:
+            return F.lit(True)
+        return self.expr.isNotNull()
+
+    def child(self, expr, dtype, suffix_static, name_col=None) -> "_Site":
+        return _Site(
+            expr=expr,
+            dtype=dtype,
+            sname=self.sname + suffix_static,
+            name_col=name_col if name_col is not None
+            else F.concat(self.name_col, F.lit(suffix_static)),
+            base_uri=self.base_uri,
+        )
+
+
+class PlanUnsupported(SchemaDefinitionError):
+    """A keyword/type combination the columnar compiler cannot express;
+    callers may fall back to the row-validator pandas-UDF path."""
+
+
+class _PlanCompiler:
+    def __init__(self, store: SchemaStore, dialect: str, options: dict):
+        self.store = store
+        self.dialect = dialect
+        order, formats = _RowCompiler._DIALECTS[dialect]
+        self.keyword_order = order
+        self.format_table = formats
+        self.integral_float_is_int = dialect != "draft04"
+        self.regex_engine = options.get("regex_engine", "jvm")
+        self.use_formats = options.get("use_formats", True)
+        self.use_default = options.get("use_default", True)
+        self.custom_formats = options.get("formats") or {}
+        self.defaults: list[tuple[str, object]] = []  # top-level column defaults
+        self._ref_stack: list[tuple[str, str]] = []
+
+    # ------------------------------------------------------------------
+    def compile_root(self, definition, df_schema: T.StructType) -> list[Rule]:
+        site = _Site(
+            expr=None,
+            dtype=df_schema,
+            sname="data",
+            name_col=F.lit("data"),
+            base_uri=self.store.root_uri(),
+        )
+        return self.compile_value(definition, site)
+
+    def compile_value(self, definition, site: _Site) -> list[Rule]:
+        if definition is True or definition == {}:
+            return []
+        if definition is False:
+            return [Rule(None, site.sname, site.name_col,
+                         F.concat(site.name_col, F.lit(" must not be there")),
+                         site.present())]
+        if not isinstance(definition, dict):
+            raise SchemaDefinitionError("definition must be an object")
+
+        if "$ref" in definition:
+            target, doc_uri, canonical = self.store.resolve(definition["$ref"], site.base_uri)
+            key = (canonical, site.sname)
+            if key in self._ref_stack:
+                # same schema at the same static site: recursion that does
+                # not descend the (finite) Spark type — terminate as pass
+                return []
+            self._ref_stack.append(key)
+            try:
+                sub_site = _Site(site.expr, site.dtype, site.sname, site.name_col, doc_uri)
+                return self.compile_value(target, sub_site)
+            finally:
+                self._ref_stack.pop()
+
+        rules: list[Rule] = []
+        for keyword in self.keyword_order:
+            if keyword in definition:
+                handler = getattr(self, "_kw_" + _snake(keyword), None)
+                if handler is None:
+                    continue
+                rules.extend(handler(definition, site) or [])
+        return rules
+
+    def _pass_expr(self, definition, site: _Site) -> Column:
+        """Whole-subschema success as one boolean Column (combinator probe)."""
+        rules = self.compile_value(definition, site)
+        ok = F.lit(True)
+        for rule in rules:
+            ok = ok & ~_null_false(rule.fail)
+        return ok
+
+    # -- helpers -----------------------------------------------------------
+
+    def _rule(self, site, rule_id, message, fail) -> Rule:
+        if isinstance(message, str):
+            message = F.concat(site.name_col, F.lit(" " + message))
+        return Rule(rule_id, site.sname, site.name_col, message, site.present() & _null_false(fail))
+
+    def _string_expr(self, site: _Site) -> Column | None:
+        """The value as its JSON string form, or None if never a string."""
+        if typemap.is_temporal(site.dtype):
+            pattern = _ISO_DATE if isinstance(site.dtype, T.DateType) else _ISO_TS
+            return F.date_format(site.expr, pattern)
+        if isinstance(site.dtype, (T.StringType, T.CharType, T.VarcharType)):
+            return site.expr
+        return None
+
+    def _regex_match(self, expr: Column, pattern: str, *, anchored: bool) -> Column:
+        """True where the string matches.  anchored=True uses ``.match``
+        semantics (formats), else ``.search`` (pattern keyword)."""
+        if self.regex_engine == "python":
+            compiled = re.compile(pattern)
+            import pandas as pd
+
+            if anchored:
+                @F.pandas_udf(T.BooleanType())
+                def matcher(s: pd.Series) -> pd.Series:
+                    return s.map(lambda v: v is not None and bool(compiled.match(v)))
+            else:
+                @F.pandas_udf(T.BooleanType())
+                def matcher(s: pd.Series) -> pd.Series:
+                    return s.map(lambda v: v is not None and bool(compiled.search(v)))
+
+            return matcher(expr)
+        java = jvm_pattern(pattern)
+        if anchored and not java.startswith("^"):
+            java = "^(?:" + java + ")"
+        return expr.rlike(java)
+
+    # -- type --------------------------------------------------------------
+
+    def _kw_type(self, definition, site):
+        declared = definition["type"]
+        types = declared if isinstance(declared, list) else [declared]
+        for t in types:
+            if t not in ("null", "boolean", "number", "integer", "string", "array", "object"):
+                raise SchemaDefinitionError("Unknown type")
+        static = typemap.json_types_of(site.dtype)
+        if any(t in types for t in static):
+            # statically satisfied for non-null values; a JSON null value
+            # (array element / map value) still fails unless null allowed
+            if site.null_is_value and "null" not in types:
+                return [self._rule(site, "type", "must be " + " or ".join(types),
+                                   site.expr.isNull())]
+            return []  # constant-fold away
+        if site.null_is_value and "null" in types:
+            return [self._rule(site, "type", "must be " + " or ".join(types),
+                               site.expr.isNotNull())]
+        if "integer" in types and typemap.is_fractional(site.dtype) and self.integral_float_is_int:
+            expr = site.expr
+            is_integral = expr == F.floor(expr)
+            if isinstance(site.dtype, (T.FloatType, T.DoubleType)):
+                inf = float("inf")
+                is_integral = (
+                    ~F.isnan(expr) & (F.abs(expr) != F.lit(inf)) & is_integral
+                )
+            fail = ~is_integral
+            if site.null_is_value and "null" not in types:
+                fail = fail | expr.isNull()
+            return [self._rule(site, "type",
+                               "must be " + " or ".join(types), fail)]
+        # statically impossible: every present value violates
+        return [self._rule(site, "type", "must be " + " or ".join(types), F.lit(True))]
+
+    # -- enum / const ------------------------------------------------------
+
+    def _kw_enum(self, definition, site):
+        enum = definition["enum"]
+        if not isinstance(enum, (list, tuple)):
+            raise SchemaDefinitionError("enum must be an array")
+        message = f"must be one of {enum}"
+        compatible = [v for v in enum if _value_fits(v, site.dtype)]
+        if not compatible:
+            return [self._rule(site, "enum", message, F.lit(True))]
+        expr = site.expr
+        string_expr = self._string_expr(site)
+        if string_expr is not None:
+            expr = string_expr
+            compatible = [v for v in compatible if isinstance(v, str)]
+        ok = F.lit(False)
+        for v in compatible:
+            ok = ok | expr.eqNullSafe(_literal(v, site.dtype))
+        if site.null_is_value and any(v is None for v in enum):
+            ok = ok | site.expr.isNull()
+        return [self._rule(site, "enum", message, ~ok)]
+
+    def _kw_const(self, definition, site):
+        const = definition["const"]
+        message = f"must be same as const definition: {const}"
+        if const is None and site.null_is_value:
+            return [self._rule(site, "const", message, site.expr.isNotNull())]
+        if not _value_fits(const, site.dtype):
+            return [self._rule(site, "const", message, F.lit(True))]
+        expr = self._string_expr(site)
+        expr = expr if expr is not None else site.expr
+        return [self._rule(site, "const", message, ~expr.eqNullSafe(_literal(const, site.dtype)))]
+
+    # -- numbers -----------------------------------------------------------
+
+    def _numeric_bound(self, definition, site, keyword, op, message_tpl):
+        bound = definition[keyword]
+        if not isinstance(bound, (int, float, Decimal)):
+            if keyword in ("exclusiveMinimum", "exclusiveMaximum"):
+                raise SchemaDefinitionError(
+                    f"{keyword} must be an integer, a float or a decimal")
+            raise SchemaDefinitionError(f"{keyword} must be a number")
+        if not typemap.is_numeric(site.dtype):
+            return []
+        lit_bound = F.lit(int(bound) if isinstance(bound, bool) else bound)
+        fail = op(site.expr, lit_bound)
+        return [self._rule(site, keyword, message_tpl.format(bound), fail)]
+
+    def _kw_minimum(self, definition, site):
+        # exclusiveMinimum here is the draft-04 boolean modifier, but the
+        # reference treats any truthy value as "exclusive" (draft04.py:339)
+        if bool(definition.get("exclusiveMinimum", False)):
+            return self._numeric_bound(
+                definition, site, "minimum", lambda c, b: c <= b,
+                "must be bigger than {}")
+        return self._numeric_bound(
+            definition, site, "minimum", lambda c, b: c < b,
+            "must be bigger than or equal to {}")
+
+    def _kw_maximum(self, definition, site):
+        if bool(definition.get("exclusiveMaximum", False)):
+            return self._numeric_bound(
+                definition, site, "maximum", lambda c, b: c >= b,
+                "must be smaller than {}")
+        return self._numeric_bound(
+            definition, site, "maximum", lambda c, b: c > b,
+            "must be smaller than or equal to {}")
+
+    def _kw_exclusive_minimum(self, definition, site):
+        return self._numeric_bound(
+            definition, site, "exclusiveMinimum", lambda c, b: c <= b,
+            "must be bigger than {}")
+
+    def _kw_exclusive_maximum(self, definition, site):
+        return self._numeric_bound(
+            definition, site, "exclusiveMaximum", lambda c, b: c >= b,
+            "must be smaller than {}")
+
+    def _kw_multiple_of(self, definition, site):
+        divisor = definition["multipleOf"]
+        if not isinstance(divisor, (int, float, Decimal)):
+            raise SchemaDefinitionError("multipleOf must be a number")
+        if not typemap.is_numeric(site.dtype):
+            return []
+        expr = site.expr
+        if typemap.is_integral(site.dtype) and isinstance(divisor, int):
+            fail = (expr % F.lit(divisor)) != F.lit(0)
+        else:
+            # Exact check: double→decimal cast goes through the shortest
+            # decimal repr (BigDecimal.valueOf), the JVM analog of the
+            # reference's Decimal(repr(x)) trick (draft04.py:361-366).
+            dec = T.DecimalType(38, 18)
+            fail = (expr.cast(dec) % F.lit(divisor).cast(dec)) != F.lit(0).cast(dec)
+        rules = [self._rule(site, "multipleOf", f"must be multiple of {divisor}", fail)]
+        if typemap.is_fractional(site.dtype) and not isinstance(site.dtype, T.DecimalType):
+            inf = float("inf")
+            rules.append(Rule(
+                "multipleOf", site.sname, site.name_col, F.lit("inifinity reached"),
+                site.present() & _null_false((expr / F.lit(divisor)) == F.lit(inf)),
+            ))
+        return rules
+
+    # -- strings -----------------------------------------------------------
+
+    def _kw_min_length(self, definition, site):
+        bound = definition["minLength"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("minLength must be a number")
+        expr = self._string_expr(site)
+        if expr is None:
+            return []
+        return [self._rule(
+            site, "minLength",
+            f"must be longer than or equal to {bound} characters",
+            F.length(expr) < F.lit(bound))]
+
+    def _kw_max_length(self, definition, site):
+        bound = definition["maxLength"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("maxLength must be a number")
+        expr = self._string_expr(site)
+        if expr is None:
+            return []
+        return [self._rule(
+            site, "maxLength",
+            f"must be shorter than or equal to {bound} characters",
+            F.length(expr) > F.lit(bound))]
+
+    def _kw_pattern(self, definition, site):
+        pattern = definition["pattern"]
+        expr = self._string_expr(site)
+        if expr is None:
+            return []
+        fixed = _UNESCAPED_DOLLAR.sub(r"\\Z", pattern)
+        match = self._regex_match(expr, fixed, anchored=False)
+        return [self._rule(site, "pattern", f"must match pattern {pattern}", ~match)]
+
+    def _kw_format(self, definition, site):
+        if not self.use_formats:
+            return []
+        format_name = definition["format"]
+        expr = self._string_expr(site)
+        if expr is None:
+            return []
+        if format_name in self.custom_formats:
+            custom = self.custom_formats[format_name]
+            if isinstance(custom, str):
+                match = self._regex_match(expr, custom, anchored=True)
+            else:
+                import pandas as pd
+
+                @F.pandas_udf(T.BooleanType())
+                def matcher(s: pd.Series) -> pd.Series:
+                    return s.map(lambda v: v is not None and bool(custom(v)))
+
+                match = matcher(expr)
+            return [self._rule(site, "format", f"must be {format_name}", ~match)]
+        if format_name in self.format_table:
+            if typemap.is_temporal(site.dtype) and format_name in ("date-time", "date"):
+                return []  # a real timestamp/date always renders validly
+            match = self._regex_match(expr, self.format_table[format_name], anchored=True)
+            return [self._rule(site, "format", f"must be {format_name}", ~match)]
+        if format_name == "regex":
+            import pandas as pd
+
+            @F.pandas_udf(T.BooleanType())
+            def compiles(s: pd.Series) -> pd.Series:
+                def try_compile(v):
+                    if v is None:
+                        return True
+                    try:
+                        re.compile(v)
+                        return True
+                    except Exception:
+                        return False
+                return s.map(try_compile)
+
+            return [self._rule(site, "format", "must be a valid regex", ~compiles(expr))]
+        return []
+
+    # -- combinators -------------------------------------------------------
+
+    def _kw_all_of(self, definition, site):
+        rules = []
+        for sub in definition["allOf"]:
+            rules.extend(self.compile_value(sub, site))
+        return rules
+
+    def _kw_any_of(self, definition, site):
+        passes = [self._pass_expr(sub, site) for sub in definition["anyOf"]]
+        ok = F.lit(False)
+        for p in passes:
+            ok = ok | p
+        return [self._rule(site, "anyOf", "cannot be validated by any definition", ~ok)]
+
+    def _kw_one_of(self, definition, site):
+        passes = [self._pass_expr(sub, site) for sub in definition["oneOf"]]
+        count = F.lit(0)
+        for p in passes:
+            count = count + p.cast("int")
+        message = F.concat(
+            site.name_col,
+            F.lit(" must be valid exactly by one definition ("),
+            count.cast("string"),
+            F.lit(" matches found)"),
+        )
+        return [Rule("oneOf", site.sname, site.name_col, message,
+                     site.present() & (count != F.lit(1)))]
+
+    def _kw_not(self, definition, site):
+        sub = definition["not"]
+        if sub is True:
+            return [self._rule(site, "not", "must not be there", F.lit(True))]
+        if sub is False:
+            return []
+        return [self._rule(site, "not", "must NOT match a disallowed definition",
+                           self._pass_expr(sub, site))]
+
+    def _kw_if(self, definition, site):
+        condition = self._pass_expr(definition["if"], site)
+        rules = []
+        if "then" in definition:
+            for rule in self.compile_value(definition["then"], site):
+                rules.append(rule.gated(condition))
+        if "else" in definition:
+            for rule in self.compile_value(definition["else"], site):
+                rules.append(rule.gated(~condition))
+        return rules
+
+    # -- arrays ------------------------------------------------------------
+
+    def _array_guard(self, site):
+        return isinstance(site.dtype, T.ArrayType)
+
+    def _kw_min_items(self, definition, site):
+        bound = definition["minItems"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("minItems must be a number")
+        if not self._array_guard(site):
+            return []
+        return [self._rule(site, "minItems", f"must contain at least {bound} items",
+                           F.size(site.expr) < F.lit(bound))]
+
+    def _kw_max_items(self, definition, site):
+        bound = definition["maxItems"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("maxItems must be a number")
+        if not self._array_guard(site):
+            return []
+        return [self._rule(site, "maxItems",
+                           f"must contain less than or equal to {bound} items",
+                           F.size(site.expr) > F.lit(bound))]
+
+    def _kw_unique_items(self, definition, site):
+        if not definition["uniqueItems"] or not self._array_guard(site):
+            return []
+        # Typed arrays are homogeneous, so the reference's freeze
+        # canonicalization (bool→str etc., draft04.py:412-419) is a no-op
+        # and array_distinct is exact.
+        return [self._rule(site, "uniqueItems", "must contain unique items",
+                           F.size(F.array_distinct(site.expr)) < F.size(site.expr))]
+
+    def _kw_items(self, definition, site):
+        items_definition = definition["items"]
+        if not self._array_guard(site) or items_definition is True:
+            return []
+        element_type = site.dtype.elementType
+        rules = []
+
+        if items_definition is False:
+            return [self._rule(site, "items", "must not be there",
+                               F.size(site.expr) > F.lit(0))]
+
+        if isinstance(items_definition, list):
+            for idx, item_definition in enumerate(items_definition):
+                element_site = _Site(
+                    F.element_at(site.expr, idx + 1), element_type,
+                    site.sname + f"[{idx}]",
+                    F.concat(site.name_col, F.lit(f"[{idx}]")),
+                    site.base_uri, null_is_value=True)
+                for rule in self.compile_value(item_definition, element_site):
+                    rules.append(rule.gated(
+                        site.present() & (F.size(site.expr) > F.lit(idx))))
+            n_fixed = len(items_definition)
+            extra = definition.get("additionalItems")
+            if extra is False:
+                rules.append(self._rule(
+                    site, "items", "must contain only specified items",
+                    F.size(site.expr) > F.lit(n_fixed)))
+            elif isinstance(extra, (dict, bool)) and extra is not True:
+                fail_idx = self._first_failing_index(
+                    site, extra, element_type, start=n_fixed)
+                if fail_idx is not None:
+                    rules.append(fail_idx)
+            return rules
+
+        fail_rule = self._first_failing_index(site, items_definition, element_type, start=0)
+        return [fail_rule] if fail_rule is not None else []
+
+    def _violation_struct(self, rules) -> Column | None:
+        """First-failing-rule violation struct for a compiled rule list
+        (null when all pass) — carries the exact inner rule id, name and
+        message, so nested violations match the reference byte-for-byte."""
+        if not rules:
+            return None
+        branches = [
+            F.when(rule.fail, F.struct(
+                rule.name_col.alias("name"),
+                F.lit(rule.rule).alias("rule"),
+                rule.message.alias("message"),
+            ))
+            for rule in rules
+        ]
+        return F.coalesce(*branches) if len(branches) > 1 else branches[0]
+
+    def _first_failing_index(self, site, element_definition, element_type, start):
+        """One rule firing when any element from ``start`` violates the
+        element schema; name/rule/message come from the first failing
+        element's first failing inner rule (``data.col[i] must be ...``)."""
+
+        def element_violation(x, i):
+            idx = (i + F.lit(start)).cast("string")
+            name_col = F.concat(site.name_col, F.lit("["), idx, F.lit("]"))
+            s = _Site(x, element_type, site.sname + "[*]", name_col,
+                      site.base_uri, null_is_value=True)
+            return self._violation_struct(self.compile_value(element_definition, s))
+
+        if element_violation(F.lit(None).cast(element_type), F.lit(0)) is None:
+            return None
+        tail = F.slice(site.expr, start + 1,
+                       F.greatest(F.size(site.expr) - F.lit(start), F.lit(0)))
+        failing = F.filter(F.transform(tail, element_violation),
+                           lambda y: y.isNotNull())
+        first = F.element_at(failing, 1)
+        return Rule("items", site.sname + "[*]",
+                    first.getField("name"), first.getField("message"),
+                    site.present() & _null_false(F.size(failing) > F.lit(0)),
+                    dynamic=first)
+
+    def _pass_expr_for_expr(self, definition, site: _Site) -> Column:
+        rules = self.compile_value(definition, site)
+        ok = F.lit(True)
+        for rule in rules:
+            ok = ok & ~_null_false(rule.fail)
+        return ok
+
+    def _kw_contains(self, definition, site):
+        contains_definition = definition["contains"]
+        if not self._array_guard(site):
+            return []
+        if contains_definition is False:
+            return [self._rule(site, "contains", "is always invalid", F.lit(True))]
+        if contains_definition is True:
+            return [self._rule(site, "contains", "must not be empty",
+                               F.size(site.expr) == F.lit(0))]
+        element_type = site.dtype.elementType
+
+        def element_pass(x):
+            s = _Site(x, element_type, site.sname + "[x]", F.lit(""),
+                      site.base_uri, null_is_value=True)
+            return self._pass_expr_for_expr(contains_definition, s)
+
+        return [self._rule(site, "contains", "must contain one of contains definition",
+                           ~F.exists(site.expr, element_pass))]
+
+    # -- objects -----------------------------------------------------------
+
+    def _field_sites(self, site: _Site) -> dict[str, _Site]:
+        """Child site per statically-known field (root columns or struct)."""
+        if site.expr is None:
+            return {
+                f.name: site.child(F.col(f.name), f.dataType, "." + f.name)
+                for f in site.dtype.fields
+            }
+        if isinstance(site.dtype, T.StructType):
+            return {
+                f.name: site.child(site.expr.getField(f.name), f.dataType, "." + f.name)
+                for f in site.dtype.fields
+            }
+        return {}
+
+    def _is_object_site(self, site) -> bool:
+        return site.expr is None or isinstance(site.dtype, (T.StructType, T.MapType))
+
+    def _object_len(self, site) -> Column | None:
+        if isinstance(site.dtype, T.MapType):
+            return F.size(site.expr)
+        fields = self._field_sites(site)
+        if not fields:
+            return None
+        count = F.lit(0)
+        for child in fields.values():
+            count = count + child.present().cast("int")
+        return count
+
+    def _kw_min_properties(self, definition, site):
+        bound = definition["minProperties"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("minProperties must be a number")
+        if not self._is_object_site(site):
+            return []
+        length = self._object_len(site)
+        if length is None:
+            return []
+        return [self._rule(site, "minProperties",
+                           f"must contain at least {bound} properties",
+                           length < F.lit(bound))]
+
+    def _kw_max_properties(self, definition, site):
+        bound = definition["maxProperties"]
+        if not isinstance(bound, (int, float)):
+            raise SchemaDefinitionError("maxProperties must be a number")
+        if not self._is_object_site(site):
+            return []
+        length = self._object_len(site)
+        if length is None:
+            return []
+        return [self._rule(site, "maxProperties",
+                           f"must contain less than or equal to {bound} properties",
+                           length > F.lit(bound))]
+
+    def _kw_required(self, definition, site):
+        required = definition["required"]
+        if not isinstance(required, (list, tuple)):
+            raise SchemaDefinitionError("required must be an array")
+        if len(required) != len(set(required)):
+            raise SchemaDefinitionError("required must contain unique elements")
+        if not definition.get("additionalProperties", True):
+            patterns = list(definition.get("patternProperties", {}))
+            impossible = [
+                key for key in required
+                if key not in definition.get("properties", {})
+                and not any(re.search(p, key) for p in patterns)
+            ]
+            if impossible:
+                raise SchemaDefinitionError(
+                    "data: items {} are required but not allowed".format(impossible))
+        if not self._is_object_site(site):
+            return []
+        if isinstance(site.dtype, T.MapType):
+            missing_flags = [
+                (key, ~F.map_contains_key(site.expr, F.lit(key))) for key in required
+            ]
+        else:
+            fields = self._field_sites(site)
+            missing_flags = []
+            for key in required:
+                if key in fields:
+                    missing_flags.append((key, ~fields[key].present()))
+                else:
+                    missing_flags.append((key, F.lit(True)))
+        any_missing = F.lit(False)
+        for _, flag in missing_flags:
+            any_missing = any_missing | flag
+        # message lists ONLY the missing keys, sorted (draft04.py:525-528)
+        quoted = F.array_sort(F.filter(
+            F.array(*[F.when(flag, F.lit(f"'{key}'")) for key, flag in missing_flags]),
+            lambda x: x.isNotNull(),
+        ))
+        message = F.concat(
+            site.name_col, F.lit(" must contain ["),
+            F.concat_ws(", ", quoted), F.lit("] properties"),
+        )
+        return [Rule("required", site.sname, site.name_col, message,
+                     site.present() & _null_false(any_missing))]
+
+    def _kw_dependencies(self, definition, site):
+        if not self._is_object_site(site):
+            return []
+        rules = []
+        for key, requirement in definition["dependencies"].items():
+            if requirement == [] or requirement is True:
+                continue
+            key_present = self._presence_of(site, key)
+            if key_present is None:
+                continue
+            if requirement is False:
+                rules.append(Rule(
+                    "dependencies", site.sname, site.name_col,
+                    F.concat(F.lit(f"{key} in "), site.name_col, F.lit(" must not be there")),
+                    site.present() & _null_false(key_present)))
+            elif isinstance(requirement, list):
+                for needed in requirement:
+                    needed_present = self._presence_of(site, needed)
+                    absent = F.lit(True) if needed_present is None else ~needed_present
+                    rules.append(Rule(
+                        "dependencies", site.sname, site.name_col,
+                        F.concat(site.name_col,
+                                 F.lit(f" missing dependency {needed} for {key}")),
+                        site.present() & _null_false(key_present & absent)))
+            else:
+                for rule in self.compile_value(requirement, site):
+                    rules.append(rule.gated(key_present))
+        return rules
+
+    def _presence_of(self, site, key) -> Column | None:
+        if isinstance(site.dtype, T.MapType):
+            return F.map_contains_key(site.expr, F.lit(key))
+        fields = self._field_sites(site)
+        if key in fields:
+            return fields[key].present()
+        return F.lit(False)
+
+    def _kw_properties(self, definition, site):
+        rules = []
+        fields = self._field_sites(site)
+        is_map = isinstance(site.dtype, T.MapType)
+        for key, prop_definition in definition["properties"].items():
+            if not isinstance(prop_definition, (dict, bool)):
+                clean = re.sub(r"[^a-zA-Z0-9]", "", key)
+                raise SchemaDefinitionError("data[{}] must be object".format(clean))
+            if is_map:
+                child = _Site(F.element_at(site.expr, F.lit(key)),
+                              site.dtype.valueType, site.sname + "." + key,
+                              F.concat(site.name_col, F.lit("." + key)),
+                              site.base_uri, null_is_value=True)
+                for rule in self.compile_value(prop_definition, child):
+                    # only applies when the key is present in the map
+                    rules.append(rule.gated(
+                        site.present()
+                        & F.map_contains_key(site.expr, F.lit(key))))
+            elif key in fields:
+                rules.extend(self.compile_value(prop_definition, fields[key]))
+            # key can never exist in this static type -> no rules
+            if (
+                self.use_default
+                and isinstance(prop_definition, dict)
+                and "default" in prop_definition
+                and site.expr is None
+            ):
+                self.defaults.append((key, prop_definition["default"]))
+        return rules
+
+    def _map_entry_rule(self, site, key_filter, value_definition, rule_label):
+        """First violating (key, value) entry of a map column, with the
+        inner rule id/name/message surfaced verbatim."""
+        value_type = site.dtype.valueType
+
+        dummy = _Site(F.lit(None).cast(value_type), value_type,
+                      site.sname + ".<k>", F.lit(""), site.base_uri,
+                      null_is_value=True)
+        if not self.compile_value(value_definition, dummy):
+            return None
+
+        def entry_violation(e):
+            k = e.getField("key")
+            name_col = F.concat(site.name_col, F.lit("."), k)
+            s = _Site(e.getField("value"), value_type, site.sname + ".<k>",
+                      name_col, site.base_uri, null_is_value=True)
+            inner = self._violation_struct(self.compile_value(value_definition, s))
+            return F.when(key_filter(k), inner)
+
+        failing = F.filter(F.transform(F.map_entries(site.expr), entry_violation),
+                           lambda y: y.isNotNull())
+        first = F.element_at(failing, 1)
+        return Rule(rule_label, site.sname + ".<" + rule_label + ">",
+                    first.getField("name"), first.getField("message"),
+                    site.present() & _null_false(F.size(failing) > F.lit(0)),
+                    dynamic=first)
+
+    def _kw_pattern_properties(self, definition, site):
+        table = definition["patternProperties"]
+        rules = []
+        if isinstance(site.dtype, T.MapType):
+            for pattern, sub in table.items():
+                java = jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", pattern))
+                rule = self._map_entry_rule(
+                    site, lambda k, _j=java: k.rlike(_j), sub, "patternProperties")
+                if rule is not None:
+                    rules.append(rule)
+            return rules
+        # struct/root: keys are static -> match at plan time
+        fields = self._field_sites(site)
+        for pattern, sub in table.items():
+            matcher = re.compile(pattern)
+            for key, child in fields.items():
+                if matcher.search(key):
+                    for rule in self.compile_value(sub, child):
+                        rules.append(rule)
+        return rules
+
+    def _matched_static_keys(self, definition) -> set:
+        keys = set(definition.get("properties", {}).keys())
+        return keys
+
+    def _kw_additional_properties(self, definition, site):
+        add_definition = definition["additionalProperties"]
+        if add_definition is True or add_definition == {}:
+            return []
+        declared = set(definition.get("properties", {}).keys())
+        patterns = [re.compile(p) for p in definition.get("patternProperties", {})]
+
+        if isinstance(site.dtype, T.MapType):
+            java_patterns = [
+                jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", p))
+                for p in definition.get("patternProperties", {})
+            ]
+
+            def is_extra(k):
+                cond = F.lit(True)
+                for key in declared:
+                    cond = cond & (k != F.lit(key))
+                for j in java_patterns:
+                    cond = cond & ~k.rlike(j)
+                return cond
+
+            extras = F.filter(F.map_keys(site.expr), is_extra)
+            if add_definition is False:
+                shown = F.concat(
+                    F.lit("{"),
+                    F.concat_ws(", ", F.transform(
+                        F.array_sort(extras),
+                        lambda k: F.concat(F.lit("'"), k, F.lit("'")))),
+                    F.lit("}"))
+                message = F.concat(site.name_col, F.lit(" must not contain "),
+                                   shown, F.lit(" properties"))
+                return [Rule("additionalProperties", site.sname, site.name_col, message,
+                             site.present() & _null_false(F.size(extras) > F.lit(0)))]
+            rule = self._map_entry_rule(site, is_extra, add_definition,
+                                        "additionalProperties")
+            return [rule] if rule is not None else []
+
+        fields = self._field_sites(site)
+        extra_sites = {
+            key: child for key, child in fields.items()
+            if key not in declared and not any(p.search(key) for p in patterns)
+        }
+        if add_definition is False:
+            if not extra_sites:
+                return []
+            present_names = F.array_sort(F.filter(
+                F.array(*[F.when(child.present(), F.lit(f"'{key}'"))
+                          for key, child in extra_sites.items()]),
+                lambda x: x.isNotNull()))
+            shown = F.concat(F.lit("{"), F.concat_ws(", ", present_names), F.lit("}"))
+            message = F.concat(site.name_col, F.lit(" must not contain "),
+                               shown, F.lit(" properties"))
+            any_extra = F.lit(False)
+            for child in extra_sites.values():
+                any_extra = any_extra | child.present()
+            return [Rule("additionalProperties", site.sname, site.name_col, message,
+                         site.present() & _null_false(any_extra))]
+        rules = []
+        for child in extra_sites.values():
+            rules.extend(self.compile_value(add_definition, child))
+        return rules
+
+    def _kw_property_names(self, definition, site):
+        names_definition = definition.get("propertyNames", {})
+        if names_definition is True:
+            return []
+        if isinstance(site.dtype, T.MapType):
+            if names_definition is False:
+                return [self._rule(site, "propertyNames", "must not be there",
+                                   F.size(site.expr) > F.lit(0))]
+
+            def name_pass(k):
+                s = _Site(k, T.StringType(), site.sname + ".<name>", F.lit(""),
+                          site.base_uri)
+                return self._pass_expr_for_expr(names_definition, s)
+
+            return [self._rule(site, "propertyNames",
+                               "must be named by propertyName definition",
+                               ~F.forall(F.map_keys(site.expr), name_pass))]
+        fields = self._field_sites(site)
+        if not fields:
+            return []
+        if names_definition is False:
+            any_present = F.lit(False)
+            for child in fields.values():
+                any_present = any_present | child.present()
+            return [self._rule(site, "propertyNames", "must not be there", any_present)]
+        # static keys: validate names at plan time with the row validator
+        from ..rowcheck import compile_row_validator
+
+        name_validator = compile_row_validator(names_definition)
+        bad = [key for key in fields if name_validator.collect(key)]
+        if not bad:
+            return []
+        any_bad_present = F.lit(False)
+        for key in bad:
+            any_bad_present = any_bad_present | fields[key].present()
+        return [self._rule(site, "propertyNames",
+                           "must be named by propertyName definition", any_bad_present)]
+
+    # -- content -----------------------------------------------------------
+
+    def _kw_content_encoding(self, definition, site):
+        if definition["contentEncoding"] != "base64":
+            return []
+        expr = self._string_expr(site)
+        if expr is None:
+            return []
+        decoded = F.try_to_binary(expr, F.lit("base64"))
+        return [Rule(None, site.sname, site.name_col,
+                     F.concat(site.name_col, F.lit(" must be encoded by base64")),
+                     site.present() & _null_false(decoded.isNull()))]
+
+    def _kw_content_media_type(self, definition, site):
+        if definition["contentMediaType"] != "application/json":
+            return []
+        if isinstance(site.dtype, T.BinaryType):
+            expr = site.expr.cast("string")
+        else:
+            expr = self._string_expr(site)
+        if expr is None:
+            return []
+        parsed = F.get_json_object(expr, "$")
+        literal_ok = expr.rlike(r"^\s*(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|\".*\")\s*$")
+        return [Rule(None, site.sname, site.name_col,
+                     F.concat(site.name_col, F.lit(" must be valid JSON")),
+                     site.present() & _null_false(parsed.isNull() & ~literal_ok))]
+
+
+def _null_false(col: Column) -> Column:
+    return F.coalesce(col, F.lit(False))
+
+
+def _snake(keyword: str) -> str:
+    out = []
+    for ch in keyword:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _value_fits(value, dtype: T.DataType) -> bool:
+    """Can this enum/const value ever equal a value of the static type,
+    under the reference's type-strict matcher?"""
+    if isinstance(value, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return typemap.is_numeric(dtype)
+    if isinstance(value, str):
+        return typemap.is_stringlike(dtype)
+    if value is None:
+        return False  # NULL means absent; an absent key is never validated
+    if isinstance(value, (list, tuple)):
+        return isinstance(dtype, T.ArrayType) and all(
+            _value_fits(v, dtype.elementType) for v in value)
+    if isinstance(value, dict):
+        return isinstance(dtype, (T.StructType, T.MapType))
+    return False
+
+
+def _literal(value, dtype: T.DataType):
+    if isinstance(value, (list, tuple)):
+        elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+        return F.array(*[_literal(v, elem) for v in value])
+    return F.lit(value)
+
+
+def compile_plan(
+    definition,
+    df_schema: T.StructType,
+    *,
+    regex_engine: str = "jvm",
+    use_formats: bool = True,
+    use_default: bool = True,
+    formats: dict | None = None,
+    handlers: dict | None = None,
+) -> ValidationPlan:
+    """Compile a JSON-Schema definition against a DataFrame schema into a
+    :class:`ValidationPlan` of vectorized rules.
+
+    The definition is first compiled by the row-level compiler, which
+    raises every ``SchemaDefinitionError`` the reference would raise at
+    compile time, and supplies the row validator used for dynamic (JSON
+    string) columns.
+    """
+    from ..rowcheck import compile_row_validator
+
+    row_validator = compile_row_validator(
+        definition, handlers=handlers, formats=formats,
+        use_default=use_default, use_formats=use_formats, fast_fail=False,
+    )
+    dialect = _pick_dialect(definition)
+    store = SchemaStore(definition, handlers=handlers)
+    compiler = _PlanCompiler(store, dialect, {
+        "regex_engine": regex_engine,
+        "use_formats": use_formats,
+        "use_default": use_default,
+        "formats": formats,
+    })
+    rules = compiler.compile_root(definition, df_schema)
+    return ValidationPlan(
+        rules=rules,
+        defaults=compiler.defaults,
+        schema_definition=definition,
+        df_schema=df_schema,
+        row_validator=row_validator,
+        regex_engine=regex_engine,
+    )

@@ -1,0 +1,131 @@
+"""ValidationPlan: the compiled, reusable artifact of the columnar compiler.
+
+``plan.apply(df)`` appends two columns:
+
+* ``violations: array<struct<name,rule,message>>`` — every failed rule in
+  plan order (the reference's ``fast_fail=False`` error list,
+  generator.py:148-152); empty array = valid row;
+* ``verdict: boolean`` — ``size(violations) == 0``.
+
+The first array element equals the reference's fast-fail error (rule
+registration order is preserved by the compiler).  All expressions are
+standard Column operations: Catalyst folds the constant parts, prunes
+unused columns, and whole-stage codegen evaluates the rest JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Rule:
+    """One vectorized validation rule.
+
+    ``fail`` is a boolean Column that is True exactly where the rule is
+    violated (never null — compiler wraps in coalesce).
+    """
+
+    rule: str | None  # keyword id ('type', 'minimum', ...) or None
+    site: str  # static dotted path for plan display
+    name_col: Column  # runtime name (may embed dynamic indices/keys)
+    message: Column
+    fail: Column
+    # pre-built violation struct whose rule id varies per row (nested
+    # element/map-entry violations surface their inner rule verbatim)
+    dynamic: Column | None = None
+
+    def gated(self, condition: Column) -> "Rule":
+        """The same rule, active only where ``condition`` holds (if/then,
+        positional items length guards...)."""
+        return Rule(self.rule, self.site, self.name_col, self.message,
+                    F.coalesce(condition, F.lit(False)) & self.fail, self.dynamic)
+
+    def as_struct(self) -> Column:
+        if self.dynamic is not None:
+            return F.when(self.fail, self.dynamic)
+        return F.when(
+            self.fail,
+            F.struct(
+                self.name_col.alias("name"),
+                F.lit(self.rule).alias("rule"),
+                self.message.alias("message"),
+            ),
+        )
+
+
+class ValidationPlan:
+    def __init__(self, rules, defaults, schema_definition, df_schema,
+                 row_validator, regex_engine="jvm"):
+        self.rules = rules
+        self.defaults = defaults
+        self.schema_definition = schema_definition
+        self.df_schema = df_schema
+        self.row_validator = row_validator
+        self.regex_engine = regex_engine
+
+    # -- evaluation --------------------------------------------------------
+
+    def violations_column(self) -> Column:
+        if not self.rules:
+            return F.array().cast("array<struct<name:string,rule:string,message:string>>")
+        candidates = F.array(*[rule.as_struct() for rule in self.rules])
+        return F.filter(candidates, lambda x: x.isNotNull())
+
+    def apply(self, df: DataFrame, violations_col: str = "violations",
+              verdict_col: str = "verdict") -> DataFrame:
+        out = df.withColumn(violations_col, self.violations_column())
+        return out.withColumn(verdict_col, F.size(F.col(violations_col)) == F.lit(0))
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        """Lean projection: every input row -> verdict + first violation
+        (the fast-fail view derived from the full evaluation)."""
+        applied = self.apply(df)
+        return applied.select(
+            *[F.col(f.name) for f in df.schema.fields],
+            F.col("verdict"),
+            F.element_at(F.col("violations"), 1).alias("first_violation"),
+        )
+
+    def violation_rows(self, df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+        """Exploded violations: one output row per (input row, failed rule)."""
+        key_cols = [F.col(k) for k in (keys or [f.name for f in df.schema.fields])]
+        applied = self.apply(df)
+        exploded = applied.where(~F.col("verdict")).select(
+            *key_cols, F.explode(F.col("violations")).alias("violation"))
+        return exploded.select(
+            *key_cols,
+            F.col("violation.name").alias("name"),
+            F.col("violation.rule").alias("rule"),
+            F.col("violation.message").alias("message"),
+        )
+
+    def with_defaults(self, df: DataFrame) -> DataFrame:
+        """Output projection with schema defaults applied to absent
+        (NULL / missing) top-level columns.  Never mutates validated input
+        columns in place — the reference's use_default data transformation
+        (draft04.py:560-561) re-expressed as a projection."""
+        out = df
+        existing = {f.name for f in df.schema.fields}
+        for column, default in self.defaults:
+            if column in existing:
+                out = out.withColumn(column, F.coalesce(F.col(column), F.lit(default)))
+            else:
+                out = out.withColumn(column, F.lit(default))
+        return out
+
+    # -- introspection -----------------------------------------------------
+
+    def describe(self) -> list[dict]:
+        return [{"rule": r.rule, "site": r.site} for r in self.rules]
+
+    def explain(self) -> str:
+        lines = [f"ValidationPlan ({len(self.rules)} rules, regex_engine={self.regex_engine})"]
+        for i, r in enumerate(self.rules):
+            lines.append(f"  [{i}] {r.site}: {r.rule}")
+        if self.defaults:
+            lines.append(f"  defaults: {self.defaults}")
+        return "\n".join(lines)
