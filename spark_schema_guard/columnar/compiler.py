@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import json
 import re
+
+import pandas as pd
 from dataclasses import dataclass, field
 from decimal import Decimal
 
@@ -174,8 +176,6 @@ class _PlanCompiler:
         semantics (formats), else ``.search`` (pattern keyword)."""
         if self.regex_engine == "python":
             compiled = re.compile(pattern)
-            import pandas as pd
-
             if anchored:
                 @F.pandas_udf(T.BooleanType())
                 def matcher(s: pd.Series) -> pd.Series:
@@ -375,8 +375,6 @@ class _PlanCompiler:
             if isinstance(custom, str):
                 match = self._regex_match(expr, custom, anchored=True)
             else:
-                import pandas as pd
-
                 @F.pandas_udf(T.BooleanType())
                 def matcher(s: pd.Series) -> pd.Series:
                     return s.map(lambda v: v is not None and bool(custom(v)))
@@ -389,8 +387,6 @@ class _PlanCompiler:
             match = self._regex_match(expr, self.format_table[format_name], anchored=True)
             return [self._rule(site, "format", f"must be {format_name}", ~match)]
         if format_name == "regex":
-            import pandas as pd
-
             @F.pandas_udf(T.BooleanType())
             def compiles(s: pd.Series) -> pd.Series:
                 def try_compile(v):
@@ -979,6 +975,42 @@ def _literal(value, dtype: T.DataType):
         elem = dtype.elementType if isinstance(dtype, T.ArrayType) else None
         return F.array(*[_literal(v, elem) for v in value])
     return F.lit(value)
+
+
+def compile_plan_for_column(
+    definition,
+    column: str,
+    dtype: T.DataType,
+    *,
+    regex_engine: str = "jvm",
+    use_formats: bool = True,
+    use_default: bool = True,
+    formats: dict | None = None,
+    handlers: dict | None = None,
+) -> ValidationPlan:
+    """Compile a schema whose root is one (struct/map-typed) column rather
+    than the whole row — used for ``from_json``-parsed JSON columns."""
+    from ..rowcheck import compile_row_validator
+
+    row_validator = compile_row_validator(
+        definition, handlers=handlers, formats=formats,
+        use_default=use_default, use_formats=use_formats, fast_fail=False,
+    )
+    dialect = _pick_dialect(definition)
+    store = SchemaStore(definition, handlers=handlers)
+    compiler = _PlanCompiler(store, dialect, {
+        "regex_engine": regex_engine,
+        "use_formats": use_formats,
+        "use_default": use_default,
+        "formats": formats,
+    })
+    site = _Site(F.col(column), dtype, "data", F.lit("data"),
+                 compiler.store.root_uri())
+    rules = compiler.compile_value(definition, site)
+    return ValidationPlan(
+        rules=rules, defaults=[], schema_definition=definition,
+        df_schema=None, row_validator=row_validator, regex_engine=regex_engine,
+    )
 
 
 def compile_plan(
