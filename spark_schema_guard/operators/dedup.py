@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hot paths are native Column expressions (shingling via
+``sequence``+``substring`` explosion, hashing via ``md5``/``xxhash64``) —
+no Python in the row path.  Hash choice:
+
+* ``xxhash64`` — 64-bit native hash, the 10^12-row default;
+* ``md5``      — hex-string hash whose lexicographic MIN is portable to any
+  SQL engine (used by the DuckDB oracle queries).
+
+Scale notes: shingle explosion multiplies rows by ~|text|; the minhash
+aggregation is a groupBy(doc) with map-side partial MIN so the shuffle
+carries one signature per doc, not the shingles.  Candidate-pair joins are
+banded (LSH): docs join only within equal (band, band-signature) buckets,
+turning the O(n²) all-pairs into bucket-local joins; a hot bucket (e.g. the
+empty-text signature) is bounded by ``max_bucket`` to keep the join skew-
+safe, and AQE skew-join splits the residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: ``fingerprint, dup_count, doc_ids``."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.groupBy(fp.alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("dup_count"),
+             F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def _shingle_array(text: Column, k: int) -> Column:
+    """All k-character shingles of a string as an array (JVM-side);
+    strings shorter than k shingle to themselves."""
+    n = F.length(text) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: text.substr(i, F.lit(k))),
+    ).otherwise(F.array(text))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature per document: ``id, sig_0..sig_{n-1}``.
+
+    signature_i = MIN over shingles of hash(salt_i || shingle).
+    """
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(_shingle_array(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    if hash_fn == "md5":
+        hashes = [
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashes = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    return shingles.groupBy(id_col).agg(*hashes)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """LSH candidate near-duplicate pairs: ``id_a < id_b`` sharing at least
+    one band signature, with the count of agreeing bands."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes,
+                              shingle_k=shingle_k, hash_fn=hash_fn)
+    band_structs = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("bucket")))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.bucket")
+
+    # cap pathological buckets (constant signatures) before the self-join
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    banded = banded.join(
+        bucket_sizes.where(F.col("bn") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"])
+
+    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared_bands"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 8,
+    threshold: float = 0.6,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-shingle sets for every pair
+    of docs sharing at least one shingle: ``id_a, id_b, jaccard``.
+
+    |A∩B| from a shingle-level self-join (common shingles only), |A∪B| =
+    |A|+|B|-|A∩B|.  ``max_shingle_freq`` drops stop-shingles that would
+    quadratically blow up the join (a standard df-cut).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingle_array(F.col(text_col), shingle_k))
+                  ).alias("shingle"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    filtered = shingled.join(
+        freq.where(F.col("df_count") <= max_shingle_freq).select("shingle"), "shingle")
+
+    a = filtered.select(F.col("shingle"), F.col("id").alias("id_a"))
+    b = filtered.select(F.col("shingle"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc from whitespace tokens: ``id, simhash``.
+
+    bit_j(doc) = sign of Σ_tokens (bit_j(hash(token)) ? +1 : -1).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(((F.shiftright(h, j).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"b_{j}")
+        for j in range(bits)
+    ]
+    summed = tokens.groupBy(id_col).agg(*aggs)
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        fingerprint = fingerprint + F.when(F.col(f"b_{j}") > 0,
+                                           F.lit(2 ** j).cast("long")).otherwise(0)
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
+                      bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on half-band
+    equality (a pair within distance d must agree on at least one of d+1
+    disjoint bit blocks)."""
+    hashed = simhash(df, id_col, text_col, bits=bits)
+    blocks = max_hamming + 1
+    width = bits // blocks
+    structs = [
+        F.struct(F.lit(b).alias("blk"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for b in range(blocks)
+    ]
+    banded = hashed.select(id_col, "simhash",
+                           F.explode(F.array(*structs)).alias("b")) \
+                   .select(id_col, "simhash", "b.blk", "b.key")
+    left = banded.select("blk", "key", F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = banded.select("blk", "key", F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    block_bits: int = 0,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    ``block_bits=0`` is the exact all-pairs path (test scale); with b>0,
+    docs are blocked by the sign pattern of their first b components (a
+    1-permutation hyperplane LSH) so only same-block pairs join.
+    """
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm.alias("nrm"))
+    if block_bits > 0:
+        key = F.lit(0)
+        for j in range(block_bits):
+            key = key * 2 + (F.element_at(F.col("v"), j + 1) > 0).cast("int")
+        base = base.withColumn("blk", key)
+        join_keys = ["blk"]
+        a = base.select("blk", F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na"))
+        b = base.select("blk", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb"))
+        pairs = a.join(b, join_keys)
+    else:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb"))
+        pairs = a.crossJoin(b)
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Distribution-drift detection across partitions/buckets (SURVEY.md §2.7):
+chi-square homogeneity for categorical columns (``lang``) and two-sample
+Kolmogorov-Smirnov for continuous ones (``warc_ts`` epochs).
+
+Everything is expressed as DataFrame aggregations — the contingency table
+and CDF grids are tiny (|categories| × |buckets| or |grid| rows) after one
+distributed shuffle, so the statistics compose at any scale.
+
+KS has two modes:
+
+* ``exact``  — windowed cumulative CDF over the pooled sample; globally
+  ordered window = single-partition sort, fine at test scale and exactly
+  reproducible in the DuckDB oracle;
+* ``grid``   — CDFs evaluated at B ``percentile_approx`` grid points;
+  one pass + a B-row comparison, the 10^12-row path (error ≤ 1/B + sketch
+  error, B defaults to 256).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def contingency(df: DataFrame, value_col: str, bucket_col: Column | str) -> DataFrame:
+    """bucket × value counts — the shared input of both tests."""
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return df.groupBy(bucket.alias("bucket"), F.col(value_col).alias("value")) \
+             .agg(F.count(F.lit(1)).alias("n"))
+
+
+def chi_square_drift(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: Column | str,
+) -> DataFrame:
+    """Pearson chi-square test of homogeneity: does the distribution of
+    ``value_col`` differ across buckets?
+
+    Returns one row: ``statistic``, ``dof``, ``n_buckets``, ``n_values``.
+    (No p-value — the judge of drift is a threshold on the statistic given
+    dof; scipy is not assumed present.)
+    """
+    cells = contingency(df, value_col, bucket_col)
+    totals = cells.agg(F.sum("n").alias("grand")).collect()[0]["grand"]
+    row_tot = cells.groupBy("bucket").agg(F.sum("n").alias("row_n"))
+    col_tot = cells.groupBy("value").agg(F.sum("n").alias("col_n"))
+    joined = (
+        cells.join(row_tot, "bucket").join(col_tot, "value")
+        .withColumn("expected", F.col("row_n") * F.col("col_n") / F.lit(totals))
+        .withColumn("contrib", F.pow(F.col("n") - F.col("expected"), 2) / F.col("expected"))
+    )
+    return joined.agg(
+        F.sum("contrib").alias("statistic"),
+        ((F.count_distinct("bucket") - 1) * (F.count_distinct("value") - 1)).alias("dof"),
+        F.count_distinct("bucket").alias("n_buckets"),
+        F.count_distinct("value").alias("n_values"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: Column | str,
+    *,
+    mode: str = "grid",
+    grid_size: int = 256,
+) -> DataFrame:
+    """Two-sample KS statistic between the two groups defined by the
+    boolean ``group_col``.  Returns one row: ``statistic``, ``n_left``,
+    ``n_right``.
+    """
+    group = F.col(group_col) if isinstance(group_col, str) else group_col
+    value = F.col(value_col).cast("double")
+    tagged = df.select(value.alias("v"), group.cast("boolean").alias("g")).where(
+        F.col("v").isNotNull() & F.col("g").isNotNull())
+
+    if mode == "exact":
+        counts = tagged.groupBy("v", "g").agg(F.count(F.lit(1)).alias("n"))
+        totals = tagged.groupBy("g").agg(F.count(F.lit(1)).alias("tot"))
+        pivoted = (
+            counts.groupBy("v")
+            .agg(F.sum(F.when(F.col("g"), F.col("n")).otherwise(0)).alias("n_l"),
+                 F.sum(F.when(~F.col("g"), F.col("n")).otherwise(0)).alias("n_r"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        tl = totals.where(F.col("g")).select("tot")
+        tr = totals.where(~F.col("g")).select("tot")
+        cum = (
+            pivoted
+            .withColumn("cum_l", F.sum("n_l").over(w))
+            .withColumn("cum_r", F.sum("n_r").over(w))
+            .crossJoin(F.broadcast(tl.withColumnRenamed("tot", "tot_l")))
+            .crossJoin(F.broadcast(tr.withColumnRenamed("tot", "tot_r")))
+            .withColumn("diff", F.abs(F.col("cum_l") / F.col("tot_l")
+                                      - F.col("cum_r") / F.col("tot_r")))
+        )
+        return cum.agg(F.max("diff").alias("statistic"),
+                       F.max("tot_l").alias("n_left"),
+                       F.max("tot_r").alias("n_right"))
+
+    if mode == "grid":
+        probs = [i / grid_size for i in range(1, grid_size)]
+        grid_row = tagged.agg(
+            F.percentile_approx("v", probs, 10000).alias("grid")).collect()[0]
+        grid = sorted(set(grid_row["grid"] or []))
+        if not grid:
+            return tagged.agg(F.lit(0.0).alias("statistic"),
+                              F.sum(F.col("g").cast("long")).alias("n_left"),
+                              F.sum((~F.col("g")).cast("long")).alias("n_right"))
+        aggs = [
+            F.sum(F.col("g").cast("long")).alias("tot_l"),
+            F.sum((~F.col("g")).cast("long")).alias("tot_r"),
+        ]
+        for i, q in enumerate(grid):
+            le = F.col("v") <= F.lit(q)
+            aggs.append(F.sum((F.col("g") & le).cast("long")).alias(f"l_{i}"))
+            aggs.append(F.sum((~F.col("g") & le).cast("long")).alias(f"r_{i}"))
+        wide = tagged.agg(*aggs)
+        diffs = F.array(*[
+            F.abs(F.col(f"l_{i}") / F.col("tot_l") - F.col(f"r_{i}") / F.col("tot_r"))
+            for i in range(len(grid))
+        ])
+        return wide.select(
+            F.array_max(diffs).alias("statistic"),
+            F.col("tot_l").alias("n_left"),
+            F.col("tot_r").alias("n_right"),
+        )
+
+    raise ValueError(f"unknown mode {mode!r}")

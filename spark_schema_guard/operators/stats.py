@@ -1,0 +1,96 @@
+"""Per-column statistics — the table-scale view of the reference's
+type/required/bounds keywords (SURVEY.md §2.7).
+
+One single-pass aggregation computes every requested stat for every column:
+count, null fraction, min/max, distinct counts (exact or HyperLogLog++ via
+``approx_count_distinct``), and quantile sketches (``percentile_approx``,
+a KLL-style mergeable sketch).  At 10^12 rows this is one scan + one
+partial-agg shuffle of a few hundred bytes per partition — no per-column
+passes, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_numeric(dtype) -> bool:
+    return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                              T.FloatType, T.DoubleType, T.DecimalType))
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+    distinct_rsd: float = 0.05,
+    quantiles: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """One row per profiled column: count, nulls, null_frac, distinct,
+    min/max (as strings for heterogenous columns), numeric mean and
+    quantiles.
+
+    ``exact_distinct=True`` uses ``count_distinct`` (an extra shuffle per
+    column — use for oracle comparisons at small SF); the default HLL++
+    sketch merges map-side and scales to 10^12 rows.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+    total = F.count(F.lit(1))
+
+    aggs = [total.alias("__total")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col, distinct_rsd).alias(f"{c}__distinct"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if _is_numeric(fields[c]):
+            aggs.append(F.avg(col).alias(f"{c}__mean"))
+            aggs.append(F.percentile_approx(col, list(quantiles)).alias(f"{c}__quantiles"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+
+    wide = df.agg(*aggs)
+
+    # pivot the single wide row into one row per column, still lazily
+    per_column = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__total").alias("count"),
+            F.col(f"{c}__nulls").alias("nulls"),
+            (F.col(f"{c}__nulls") / F.col("__total")).alias("null_frac"),
+            F.col(f"{c}__distinct").alias("distinct"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__quantiles").alias("quantiles"),
+        )
+        for c in columns
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_column)).alias("s"))
+        .select("s.*")
+    )
+
+
+def null_fractions(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    columns = columns or [f.name for f in df.schema.fields]
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in columns
+    ]
+    wide = df.agg(*aggs)
+    per_column = [
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).alias("nulls"),
+                 (F.col(c) / F.col("__total")).alias("null_frac"))
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*per_column)).alias("s")).select("s.*")

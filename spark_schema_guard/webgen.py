@@ -1,0 +1,102 @@
+"""Deterministic synthetic Common-Crawl-style web-page table.
+
+Shape per BASELINE.json ``input_hint``: ``(url:string, warc_ts:timestamp,
+html:binary, text:string, lang:string)``.  Derived 1:1 from the driver's
+``documents.parquet`` (seed-fixed, TESTDATA.md) by pure Column expressions,
+so it is reproducible at any SF with zero external data and no RNG.
+
+Planted violation seeds (FIXTURES.md T1), all keyed off ``doc_id`` so the
+oracle can reproduce them:
+
+* hot-domain skew: ~20% of rows share one domain (salting exercise);
+* ~1% duplicate urls (uniqueness violations);
+* ~2% empty text (minLength violations);
+* ~1% lang outside the enum;
+* one source-partition's warc_ts shifted by +45 days (KS drift) and with a
+  skewed lang distribution (chi-square drift);
+* some html NULL; a few html values non-utf8 bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def web_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> web page table."""
+    doc_id = F.col("doc_id")
+
+    domain = (
+        F.when(doc_id % 5 == 0, F.lit("hot.example.com"))  # 20% hot domain
+        .otherwise(F.concat(F.lit("d"), (doc_id % 97).cast("string"),
+                            F.lit(".example.org")))
+    )
+    # ~1% duplicates: rows with doc_id % 100 == 7 reuse the previous id's url
+    url_id = F.when(doc_id % 100 == 7, doc_id - 1).otherwise(doc_id)
+    url_domain = (
+        F.when(url_id % 5 == 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("d"), (url_id % 97).cast("string"),
+                            F.lit(".example.org")))
+    )
+    url = F.concat(F.lit("https://"), url_domain, F.lit("/page/"),
+                   url_id.cast("string"))
+
+    base = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    seconds = (doc_id * 467) % (30 * 24 * 3600)  # uniform over 30 days
+    drifted = F.col("source") == "src3"  # one partition shifted for KS drift
+    warc_ts = F.when(
+        drifted,
+        F.timestamp_seconds(F.unix_timestamp(base) + seconds + 45 * 24 * 3600),
+    ).otherwise(F.timestamp_seconds(F.unix_timestamp(base) + seconds))
+
+    text = F.when(doc_id % 53 == 0, F.lit("")).otherwise(F.col("text"))
+
+    # drifted partition skews lang toward 'zh' (chi-square drift seed)
+    lang = (
+        F.when(doc_id % 101 == 0, F.lit("xx"))  # outside the enum
+        .when(drifted & (doc_id % 3 == 0), F.lit("zh"))
+        .otherwise(F.col("lang"))
+    )
+
+    html = (
+        F.when(doc_id % 41 == 0, F.lit(None).cast("binary"))
+        .when(doc_id % 43 == 0,
+              F.concat(F.lit(b"\xff\xfe\xfd"), F.encode(text, "utf-8")))
+        .otherwise(F.encode(
+            F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")),
+            "utf-8"))
+    )
+
+    return documents.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        doc_id.alias("doc_id"),       # lineage column, not part of input_hint
+        F.col("source").alias("source"),
+    )
+
+
+WEB_PAGE_SCHEMA = {
+    "type": "object",
+    "required": ["url", "text", "lang", "warc_ts"],
+    "properties": {
+        "url": {"type": "string", "format": "uri", "pattern": "^https?://",
+                "minLength": 10, "maxLength": 2048},
+        "warc_ts": {"type": "string", "format": "date-time"},
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": ["en", "de", "fr", "es", "cs", "zh", "ru", "ja", "pt", "it"]},
+    },
+}
+
+LANGUAGES_DIM = [
+    ("en", "English"), ("de", "German"), ("fr", "French"), ("es", "Spanish"),
+    ("cs", "Czech"), ("zh", "Chinese"), ("ru", "Russian"), ("ja", "Japanese"),
+    ("pt", "Portuguese"), ("it", "Italian"),
+]
+
+
+def languages(spark) -> DataFrame:
+    return spark.createDataFrame(LANGUAGES_DIM, "lang_code string, lang_name string")

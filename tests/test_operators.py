@@ -1,0 +1,214 @@
+"""Table-level operators: stats, uniqueness, referential, drift, dedup,
+similarity, text analysis — correctness at test scale (oracle-style checks
+computed in plain Python on collected data)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_schema_guard.operators import (
+    chi_square_drift, column_profile, duplicate_keys, ks_drift, null_fractions,
+    orphan_rows, referential_report, uniqueness_report,
+)
+from spark_schema_guard.operators.dedup import (
+    embedding_near_dups, exact_duplicates, minhash_candidates,
+    ngram_jaccard_pairs, simhash_near_dups,
+)
+from spark_schema_guard.operators.similarity import cosine_topk, cosine_topk_lsh
+from spark_schema_guard.operators.textstats import (
+    fingerprint, language_guess, quality_features,
+)
+
+
+def test_column_profile(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r["column"]: r for r in
+            column_profile(df, ["doc_id", "lang", "n_chars"],
+                           exact_distinct=True).collect()}
+    n = df.count()
+    assert prof["doc_id"]["count"] == n
+    assert prof["doc_id"]["distinct"] == n
+    assert prof["doc_id"]["nulls"] == 0
+    langs = {r["lang"] for r in df.select("lang").distinct().collect()}
+    assert prof["lang"]["distinct"] == len(langs)
+    assert prof["n_chars"]["mean"] == pytest.approx(
+        df.agg(F.avg("n_chars")).collect()[0][0])
+
+
+def test_null_fractions(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None), (None, None)], "x int, y string")
+    out = {r["column"]: r["null_frac"] for r in null_fractions(df).collect()}
+    assert out["x"] == pytest.approx(1 / 3)
+    assert out["y"] == pytest.approx(2 / 3)
+
+
+def test_duplicate_keys_salted_equals_plain(spark):
+    rows = [(i % 7,) for i in range(100)] + [(99,)]
+    df = spark.createDataFrame(rows, "k int").repartition(8)
+    salted = {(r["k"], r["dup_count"]) for r in duplicate_keys(df, "k").collect()}
+    plain = {(r["k"], r["dup_count"])
+             for r in duplicate_keys(df, "k", salted=False).collect()}
+    assert salted == plain
+    assert all(c > 1 for _, c in salted)
+    report = uniqueness_report(df, "k").collect()[0]
+    assert report["total_rows"] == 101
+    assert report["distinct_keys"] == 8
+    assert report["surplus_rows"] == 101 - 8
+
+
+def test_orphan_rows(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orphans = orphan_rows(orders, customer, "o_custkey", "c_custkey")
+    custkeys = {r["c_custkey"] for r in customer.collect()}
+    expected = orders.where(~F.col("o_custkey").isin(list(custkeys))
+                            & F.col("o_custkey").isNotNull()).count()
+    assert orphans.count() == expected
+    report = referential_report(orders, customer, "o_custkey", "c_custkey").collect()[0]
+    assert report["orphan_rows"] == expected
+    assert report["fact_rows"] == orders.count()
+
+
+def test_chi_square_manual(spark):
+    # 2x2 contingency: buckets A/B over values x/y with known counts
+    rows = ([("A", "x")] * 30 + [("A", "y")] * 10
+            + [("B", "x")] * 20 + [("B", "y")] * 40)
+    df = spark.createDataFrame(rows, "bucket string, v string")
+    out = chi_square_drift(df, "v", "bucket").collect()[0]
+    # manual Pearson: totals row A=40,B=60; col x=50,y=50; N=100
+    expected = 0.0
+    for (b, v), o in {("A", "x"): 30, ("A", "y"): 10,
+                      ("B", "x"): 20, ("B", "y"): 40}.items():
+        e = (40 if b == "A" else 60) * 50 / 100
+        expected += (o - e) ** 2 / e
+    assert out["statistic"] == pytest.approx(expected)
+    assert out["dof"] == 1
+
+
+def test_ks_exact_and_grid(spark):
+    left = [(float(i), True) for i in range(1000)]
+    right = [(float(i) + 300.0, False) for i in range(1000)]
+    df = spark.createDataFrame(left + right, "v double, g boolean")
+    exact = ks_drift(df, "v", "g", mode="exact").collect()[0]
+    grid = ks_drift(df, "v", "g", mode="grid", grid_size=128).collect()[0]
+    assert exact["statistic"] == pytest.approx(0.3, abs=0.01)
+    assert grid["statistic"] == pytest.approx(0.3, abs=0.05)
+    # nearly-identical distributions (even vs odd values interleave, CDF
+    # step gap is exactly 1/50 per group)
+    same = spark.createDataFrame(
+        [(float(i % 100), i % 2 == 0) for i in range(2000)], "v double, g boolean")
+    assert ks_drift(same, "v", "g", mode="exact").collect()[0]["statistic"] <= 0.02 + 1e-9
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "aaa")],
+        "doc_id int, text string")
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 3, 5]
+
+
+NEAR_DUP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3, "completely different text about spark schema validation engines"),
+    (4, "another unrelated document mentioning parquet shuffle partitions"),
+    (5, "the quick brown fox jumps over the lazy dog again and again today"),
+]
+
+
+def test_minhash_candidates(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_candidates(df, "doc_id", "text",
+                                         num_hashes=16, bands=8).collect()}
+    assert (1, 5) in pairs  # identical
+    assert (1, 2) in pairs or (2, 5) in pairs  # near-dup
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                          threshold=0.5).collect()}
+    assert pairs[(1, 5)] == pytest.approx(1.0)
+    assert (1, 2) in pairs
+    assert all(j <= 1.0 for j in pairs.values())
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(df, "doc_id", "text",
+                                        bits=32, max_hamming=4).collect()}
+    assert pairs[(1, 5)] == 0
+    assert (3, 4) not in pairs
+
+
+def test_embedding_near_dups_and_topk(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = df.limit(50)
+    local = {r["vec_id"]: r["embedding"] for r in sample.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    queries = [(qid, local[qid]) for qid in sorted(local)[:3]]
+    got = cosine_topk(sample, "vec_id", "embedding", queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for qid, vec in queries:
+        sims = sorted(((cos(vec, v), -i) for i, v in local.items() if i != qid),
+                      reverse=True)
+        expected_top = [-x[1] for x in sims[:3]]
+        mine = [nid for _, nid, _ in sorted(by_query[qid])]
+        assert mine == expected_top
+
+    # LSH path: candidates are a pruned subset scored identically — each
+    # returned cosine must match the exact computation, ranks contiguous.
+    # (Recall guarantees need closer-than-random data; structural checks
+    # only here.)
+    lsh = cosine_topk_lsh(sample, "vec_id", "embedding", queries, k=3,
+                          n_planes=4, multiprobe=2).collect()
+    assert lsh, "LSH returned no candidates at all"
+    for r in lsh:
+        expected_cos = cos(dict(queries)[r["query_id"]], local[r["neighbor_id"]])
+        assert r["cosine"] == pytest.approx(expected_cos, abs=1e-6)
+        assert 1 <= r["rank"] <= 3
+
+
+def test_embedding_near_dups_blocked(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(df, "vec_id", "embedding", threshold=0.8).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_near_dups(df, "vec_id", "embedding", threshold=0.8,
+                                   block_bits=2).collect()}
+    assert blocked <= exact  # blocking only prunes
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here to see the end of it"),
+         (2, "der hund ist nicht der beste und die katze"),
+         (3, ""),
+         (4, "12345 67890 !!!")],
+        "doc_id int, text string")
+    q = {r["doc_id"]: r for r in quality_features(df, "doc_id", "text").collect()}
+    assert q[1]["n_tokens"] == 13
+    assert q[3]["n_tokens"] == 0
+    assert q[1]["quality_score"] > q[4]["quality_score"]
+    langs = {r["doc_id"]: r["lang_guess"]
+             for r in language_guess(df, "doc_id", "text").collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprint(df, "doc_id", "text").collect()}
+    assert len(set(fps.values())) == 4
