@@ -1,38 +1,789 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for spark-schema-guard.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: validate the synthetic Common-Crawl-style web
+                     table (derived deterministically from documents.parquet)
+                     against the web-page schema; returns per-rule verdict
+                     aggregates.
+``queries()``      — one entry per operator family from SURVEY.md §2
+                     (validation rules, column stats, uniqueness,
+                     referential, drift, dedup, similarity, text analysis,
+                     JSON-column validation, multimodal metadata).
+``oracle_sql()``   — DuckDB-equivalent SQL per query (omitted only for the
+                     hash-function-specific ops: simhash and BPE-ish token
+                     split, which rely on xxhash64 / Java regex lookaround).
+
+Column names are aliased identically on both sides; floats are rounded;
+timestamps are surfaced as epoch BIGINTs to dodge tz-representation
+differences between engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import spark_schema_guard as ssg  # noqa: E402
+from spark_schema_guard.jsoncol import validate_json_column  # noqa: E402
+from spark_schema_guard.operators import (  # noqa: E402
+    chi_square_drift, column_profile, duplicate_keys, ks_drift,
+    null_fractions, orphan_rows, uniqueness_report,
+)
+from spark_schema_guard.operators.dedup import (  # noqa: E402
+    exact_duplicates, minhash_candidates, minhash_signatures,
+    ngram_jaccard_pairs, simhash,
+)
+from spark_schema_guard.operators.multimodal import attach_media_metadata  # noqa: E402
+from spark_schema_guard.operators.similarity import cosine_topk  # noqa: E402
+from spark_schema_guard.operators.textstats import (  # noqa: E402
+    bpe_ish_token_count, fingerprint, language_guess, quality_features,
+    token_count,
+)
+from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, languages, web_pages  # noqa: E402
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+DOCS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 60, "maxLength": 480},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": "integer", "minimum": 0, "multipleOf": 2},
+    },
+}
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+}
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments
+
+# web_pages() re-expressed as a DuckDB CTE — byte-for-byte the same planted
+# seeds as spark_schema_guard/webgen.py
+WEB_CTE = """
+web AS (
+  SELECT
+    'https://' ||
+      (CASE WHEN uid % 5 = 0 THEN 'hot.example.com'
+            ELSE 'd' || (uid % 97) || '.example.org' END) ||
+      '/page/' || uid AS url,
+    1709251200 + (doc_id * 467) % 2592000 +
+      (CASE WHEN source = 'src3' THEN 3888000 ELSE 0 END) AS epoch,
+    CASE WHEN doc_id % 53 = 0 THEN '' ELSE text END AS text,
+    CASE WHEN doc_id % 101 = 0 THEN 'xx'
+         WHEN source = 'src3' AND doc_id % 3 = 0 THEN 'zh'
+         ELSE lang END AS lang,
+    CASE WHEN doc_id % 41 = 0 THEN NULL
+         WHEN doc_id % 43 = 0 THEN 3 + octet_length(encode(
+              CASE WHEN doc_id % 53 = 0 THEN '' ELSE text END))
+         ELSE 33 + octet_length(encode(
+              CASE WHEN doc_id % 53 = 0 THEN '' ELSE text END))
+    END AS html_bytes,
+    doc_id, source
+  FROM (SELECT *, CASE WHEN doc_id % 100 = 7 THEN doc_id - 1 ELSE doc_id END AS uid
+        FROM documents)
+)
+"""
+
+WEB_LANGS = "('en','de','fr','es','cs','zh','ru','ja','pt','it')"
+
+_DOCS_ENUM_MSG = "must be one of ['en', 'de', 'fr', 'es']"
+_WEB_ENUM_MSG = ("must be one of ['en', 'de', 'fr', 'es', 'cs', 'zh', 'ru', "
+                 "'ja', 'pt', 'it']")
+_WEB_ENUM_MSG_SQL = _WEB_ENUM_MSG.replace("'", "''")
+
+# per-rule fail predicates for DOCS_SCHEMA in plan order, as DuckDB SQL
+_DOCS_RULES_SQL = [
+    ("required", "data",
+     "doc_id IS NULL OR text IS NULL OR lang IS NULL", None),
+    ("minimum", "data.doc_id", "doc_id IS NOT NULL AND doc_id < 0",
+     "data.doc_id must be bigger than or equal to 0"),
+    ("minLength", "data.text", "text IS NOT NULL AND length(text) < 60",
+     "data.text must be longer than or equal to 60 characters"),
+    ("maxLength", "data.text", "text IS NOT NULL AND length(text) > 480",
+     "data.text must be shorter than or equal to 480 characters"),
+    ("enum", "data.lang",
+     "lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')",
+     "data.lang " + _DOCS_ENUM_MSG),
+    ("pattern", "data.source",
+     "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')",
+     "data.source must match pattern ^src[0-9]+$"),
+    ("minimum", "data.n_chars", "n_chars IS NOT NULL AND n_chars < 0",
+     "data.n_chars must be bigger than or equal to 0"),
+    ("multipleOf", "data.n_chars", "n_chars IS NOT NULL AND n_chars % 2 <> 0",
+     "data.n_chars must be multiple of 2"),
+]
+
+
+def _docs_fail_exprs():
+    fails = ", ".join(f"({cond})" for _, _, cond, _ in _DOCS_RULES_SQL)
+    n_viol = " + ".join(
+        f"(CASE WHEN {cond} THEN 1 ELSE 0 END)" for _, _, cond, _ in _DOCS_RULES_SQL)
+    first_rule = "CASE " + " ".join(
+        f"WHEN {cond} THEN '{rule}'" for rule, _, cond, _ in _DOCS_RULES_SQL
+    ) + " ELSE NULL END"
+    return fails, n_viol, first_rule
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate the web-page table at sf0.001, aggregate verdicts
+    and first-violation rules."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    web = web_pages(docs)
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    applied = plan.apply(web)
+    return (
+        applied.groupBy(
+            F.col("verdict"),
+            F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("verdict", "first_rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_v_verdicts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    plan = ssg.compile_plan(DOCS_SCHEMA, docs.schema)
+    return plan.apply(docs).select(
+        "doc_id",
+        F.col("verdict"),
+        F.size("violations").alias("n_violations"),
+        F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"),
+    )
+
+
+def q_v_violation_messages(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    plan = ssg.compile_plan(DOCS_SCHEMA, docs.schema)
+    return plan.violation_rows(docs, keys=["doc_id"])
+
+
+def q_v_lang_agg(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    plan = ssg.compile_plan(DOCS_SCHEMA, docs.schema)
+    return (
+        plan.apply(docs).groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("total"),
+             F.sum(F.col("verdict").cast("long")).alias("valid"))
+    )
+
+
+def q_web_verdicts_agg(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    return (
+        plan.apply(web).groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_web_violation_rows(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    return plan.violation_rows(web, keys=["doc_id"]).select(
+        "doc_id", "name", "rule", "message")
+
+
+def q_web_duplicate_urls(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return duplicate_keys(web, "url").select(
+        "url", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+def q_web_uniqueness_summary(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return uniqueness_report(web, "url")
+
+
+def q_fk_orders_customer(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return orphan_rows(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey")
+
+
+def q_fk_web_lang(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return (
+        orphan_rows(web, languages(spark), "lang", "lang_code")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_stats_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    prof = column_profile(docs, ["doc_id", "text", "lang", "source", "n_chars"],
+                          exact_distinct=True)
+    return prof.select(
+        "column", "count", "nulls",
+        F.round("null_frac", 6).alias("null_frac"),
+        F.col("distinct").cast("long").alias("n_distinct"),
+        "min", "max",
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+def q_stats_nulls_events(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    return null_fractions(events).select(
+        "column", "nulls", F.round("null_frac", 6).alias("null_frac"))
+
+
+def q_drift_lang_chisq(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    out = chi_square_drift(web, "lang", (F.col("source") == "src3"))
+    return out.select(F.round("statistic", 4).alias("statistic"),
+                      "dof", "n_buckets", "n_values")
+
+
+def q_drift_ts_ks(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    epochs = web.select(
+        F.unix_timestamp("warc_ts").cast("double").alias("epoch"),
+        (F.col("source") == "src3").alias("is_drifted"))
+    out = ks_drift(epochs, "epoch", "is_drifted", mode="exact")
+    return out.select(F.round("statistic", 6).alias("statistic"),
+                      "n_left", "n_right")
+
+
+def q_drift_events_value_ks(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    out = ks_drift(events, "value", (F.col("event_type") == "error"),
+                   mode="exact")
+    return out.select(F.round("statistic", 6).alias("statistic"),
+                      "n_left", "n_right")
+
+
+def q_dedup_exact(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return exact_duplicates(web, "doc_id", "text").select(
+        "fingerprint", F.col("dup_count").cast("long").alias("dup_count"),
+        F.try_element_at("doc_ids", F.lit(1)).alias("min_doc"),
+        F.try_element_at("doc_ids", F.lit(-1)).alias("max_doc"),
+    )
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    return minhash_signatures(docs, "doc_id", "text",
+                              num_hashes=4, shingle_k=8, hash_fn="md5")
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    return minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
+                              shingle_k=8, hash_fn="md5").select(
+        "id_a", "id_b", F.col("shared_bands").cast("long").alias("shared_bands"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300) & (F.length("text") >= 8))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=8,
+                               threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where(F.col("vec_id") < 3).collect()}
+    queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
+    return cosine_topk(emb, "vec_id", "embedding", queries, k=5).select(
+        "query_id", "rank", "neighbor_id")
+
+
+def q_ann_near_dups(spark, sf_dir):
+    from spark_schema_guard.operators.dedup import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return embedding_near_dups(emb, "vec_id", "embedding",
+                               threshold=0.2).select("id_a", "id_b")
+
+
+def q_text_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return quality_features(docs, "doc_id", "text")
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return language_guess(docs, "doc_id", "text")
+
+
+def q_text_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+def q_events_json_verdicts(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    out = validate_json_column(events, "props", PROPS_SCHEMA, engine="columnar")
+    return out.select(
+        "event_id", "verdict",
+        F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    with_meta = attach_media_metadata(web, "html", media_type="document")
+    return (
+        with_meta.where(F.col("html").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_payloads"),
+             F.sum(F.col("html_meta.size_bytes")).alias("total_bytes"),
+             F.min(F.col("html_meta.size_bytes")).alias("min_bytes"),
+             F.max(F.col("html_meta.size_bytes")).alias("max_bytes"))
+    )
+
+
+# --- rows-only (no SQL oracle): hash-function/Java-regex specific ---------
+
+
+def q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "v_verdicts": q_v_verdicts,
+        "v_violation_messages": q_v_violation_messages,
+        "v_lang_agg": q_v_lang_agg,
+        "web_verdicts_agg": q_web_verdicts_agg,
+        "web_violation_rows": q_web_violation_rows,
+        "web_duplicate_urls": q_web_duplicate_urls,
+        "web_uniqueness_summary": q_web_uniqueness_summary,
+        "fk_orders_customer": q_fk_orders_customer,
+        "fk_web_lang": q_fk_web_lang,
+        "stats_documents": q_stats_documents,
+        "stats_nulls_events": q_stats_nulls_events,
+        "drift_lang_chisq": q_drift_lang_chisq,
+        "drift_ts_ks": q_drift_ts_ks,
+        "drift_events_value_ks": q_drift_events_value_ks,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_near_dups": q_ann_near_dups,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "events_json_verdicts": q_events_json_verdicts,
+        "multimodal_meta": q_multimodal_meta,
+        "simhash": q_simhash,
+        "text_bpe_tokens": q_text_bpe_tokens,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    fails, n_viol, first_rule = _docs_fail_exprs()
+
+    union_messages = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS name, "
+        + ("CAST(NULL AS VARCHAR)" if rule == "required" else f"'{rule}'")
+        + " AS rule, "
+        + (f"'{name} must contain ' || '[' || "
+           "concat_ws(', ', CASE WHEN doc_id IS NULL THEN '''doc_id''' END,"
+           " CASE WHEN lang IS NULL THEN '''lang''' END,"
+           " CASE WHEN text IS NULL THEN '''text''' END) || '] properties'"
+           if rule == "required" else
+           "'" + msg.replace("'", "''") + "'")
+        + f" AS message FROM documents WHERE {cond}"
+        for rule, name, cond, msg in _DOCS_RULES_SQL
+    ).replace("SELECT doc_id, 'data' AS name, CAST(NULL AS VARCHAR) AS rule",
+              "SELECT doc_id, 'data' AS name, 'required' AS rule")
+
+    web_quality_note = ""  # placeholder to keep the dict literal tidy
+
+    return {
+        "v_verdicts": f"""
+            SELECT doc_id,
+                   ({n_viol}) = 0 AS verdict,
+                   CAST({n_viol} AS INT) AS n_violations,
+                   {first_rule} AS first_rule
+            FROM documents
+        """,
+        "v_violation_messages": union_messages,
+        "v_lang_agg": f"""
+            SELECT lang, COUNT(*) AS total,
+                   SUM(CASE WHEN ({n_viol}) = 0 THEN 1 ELSE 0 END) AS valid
+            FROM documents GROUP BY lang
+        """,
+        "web_verdicts_agg": f"""
+            WITH {WEB_CTE}
+            SELECT (length(text) >= 1 AND lang IN {WEB_LANGS}) AS verdict,
+                   COUNT(*) AS n_rows
+            FROM web GROUP BY 1
+        """,
+        "web_violation_rows": f"""
+            WITH {WEB_CTE}
+            SELECT doc_id, 'data.text' AS name, 'minLength' AS rule,
+                   'data.text must be longer than or equal to 1 characters' AS message
+            FROM web WHERE length(text) < 1
+            UNION ALL
+            SELECT doc_id, 'data.lang', 'enum',
+                   'data.lang {_WEB_ENUM_MSG_SQL}'
+            FROM web WHERE lang NOT IN {WEB_LANGS}
+        """,
+        "web_duplicate_urls": f"""
+            WITH {WEB_CTE}
+            SELECT url, COUNT(*) AS dup_count FROM web
+            GROUP BY url HAVING COUNT(*) > 1
+        """,
+        "web_uniqueness_summary": f"""
+            WITH {WEB_CTE}, c AS (SELECT url, COUNT(*) AS n FROM web GROUP BY url)
+            SELECT SUM(n) AS total_rows, COUNT(*) AS distinct_keys,
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS duplicated_keys,
+                   SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS surplus_rows
+            FROM c
+        """,
+        "fk_orders_customer": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+        """,
+        "fk_web_lang": f"""
+            WITH {WEB_CTE}
+            SELECT lang, COUNT(*) AS n_rows FROM web
+            WHERE lang IS NOT NULL AND lang NOT IN {WEB_LANGS}
+            GROUP BY lang
+        """,
+        "stats_documents": """
+            SELECT column_name AS "column", cnt AS count, nulls,
+                   round(nulls * 1.0 / cnt, 6) AS null_frac,
+                   n_distinct, min_v AS min, max_v AS max, mean
+            FROM (
+              SELECT 'doc_id' AS column_name, COUNT(*) AS cnt,
+                     SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+                     COUNT(DISTINCT doc_id) AS n_distinct,
+                     CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+                     CAST(MAX(doc_id) AS VARCHAR) AS max_v,
+                     round(AVG(doc_id), 4) AS mean
+              FROM documents
+              UNION ALL
+              SELECT 'text', COUNT(*),
+                     SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT text), MIN(text), MAX(text), NULL
+              FROM documents
+              UNION ALL
+              SELECT 'lang', COUNT(*),
+                     SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT lang), MIN(lang), MAX(lang), NULL
+              FROM documents
+              UNION ALL
+              SELECT 'source', COUNT(*),
+                     SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT source), MIN(source), MAX(source), NULL
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', COUNT(*),
+                     SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT n_chars),
+                     CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+                     round(AVG(n_chars), 4)
+              FROM documents
+            )
+        """,
+        "stats_nulls_events": """
+            SELECT col AS "column", nulls, round(nulls * 1.0 / cnt, 6) AS null_frac
+            FROM (
+              SELECT 'event_id' AS col, COUNT(*) AS cnt,
+                     SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls FROM events
+              UNION ALL SELECT 'ts', COUNT(*),
+                     SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL SELECT 'user_id', COUNT(*),
+                     SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL SELECT 'event_type', COUNT(*),
+                     SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL SELECT 'value', COUNT(*),
+                     SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL SELECT 'props', COUNT(*),
+                     SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) FROM events
+            )
+        """,
+        "drift_lang_chisq": f"""
+            WITH {WEB_CTE},
+            cells AS (SELECT (source = 'src3') AS bucket, lang AS value,
+                             COUNT(*) AS n
+                      FROM web GROUP BY 1, 2),
+            row_tot AS (SELECT bucket, SUM(n) AS row_n FROM cells GROUP BY bucket),
+            col_tot AS (SELECT value, SUM(n) AS col_n FROM cells GROUP BY value),
+            grand AS (SELECT SUM(n) AS g FROM cells)
+            SELECT round(SUM(pow(n - row_n * col_n * 1.0 / g, 2)
+                             / (row_n * col_n * 1.0 / g)), 4) AS statistic,
+                   (COUNT(DISTINCT cells.bucket) - 1)
+                     * (COUNT(DISTINCT cells.value) - 1) AS dof,
+                   COUNT(DISTINCT cells.bucket) AS n_buckets,
+                   COUNT(DISTINCT cells.value) AS n_values
+            FROM cells JOIN row_tot USING (bucket)
+                       JOIN col_tot USING (value), grand
+        """,
+        "drift_ts_ks": f"""
+            WITH {WEB_CTE},
+            tagged AS (SELECT epoch * 1.0 AS v, (source = 'src3') AS g FROM web),
+            pv AS (SELECT v,
+                          SUM(CASE WHEN g THEN 1 ELSE 0 END) AS n_l,
+                          SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_r
+                   FROM tagged GROUP BY v),
+            tot AS (SELECT SUM(n_l) AS tl, SUM(n_r) AS tr FROM pv),
+            cum AS (SELECT v,
+                           SUM(n_l) OVER (ORDER BY v) AS cl,
+                           SUM(n_r) OVER (ORDER BY v) AS cr
+                    FROM pv)
+            SELECT round(MAX(abs(cl * 1.0 / tl - cr * 1.0 / tr)), 6) AS statistic,
+                   MAX(tl) AS n_left, MAX(tr) AS n_right
+            FROM cum, tot
+        """,
+        "drift_events_value_ks": """
+            WITH tagged AS (SELECT value AS v, (event_type = 'error') AS g
+                            FROM events
+                            WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            pv AS (SELECT v,
+                          SUM(CASE WHEN g THEN 1 ELSE 0 END) AS n_l,
+                          SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_r
+                   FROM tagged GROUP BY v),
+            tot AS (SELECT SUM(n_l) AS tl, SUM(n_r) AS tr FROM pv),
+            cum AS (SELECT v,
+                           SUM(n_l) OVER (ORDER BY v) AS cl,
+                           SUM(n_r) OVER (ORDER BY v) AS cr
+                    FROM pv)
+            SELECT round(MAX(abs(cl * 1.0 / tl - cr * 1.0 / tr)), 6) AS statistic,
+                   MAX(tl) AS n_left, MAX(tr) AS n_right
+            FROM cum, tot
+        """,
+        "dedup_exact": f"""
+            WITH {WEB_CTE}
+            SELECT md5(text) AS fingerprint, COUNT(*) AS dup_count,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM web GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "dedup_minhash_sigs": """
+            SELECT doc_id,
+                   MIN(md5('s0|' || sh)) AS sig_0,
+                   MIN(md5('s1|' || sh)) AS sig_1,
+                   MIN(md5('s2|' || sh)) AS sig_2,
+                   MIN(md5('s3|' || sh)) AS sig_3
+            FROM (SELECT doc_id,
+                         unnest([substr(text, i, 8)
+                                 for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                  FROM documents WHERE doc_id < 200 AND length(text) >= 8)
+            GROUP BY doc_id
+        """,
+        "dedup_minhash_pairs": """
+            WITH sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM (SELECT doc_id,
+                           unnest([substr(text, i, 8)
+                                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                    FROM documents WHERE doc_id < 200 AND length(text) >= 8)
+              GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "dedup_ngram_jaccard": """
+            WITH shingled AS (
+              SELECT DISTINCT doc_id AS id, sh AS shingle
+              FROM (SELECT doc_id,
+                           unnest([substr(text, i, 8)
+                                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                    FROM documents WHERE doc_id < 300 AND length(text) >= 8)),
+            sizes AS (SELECT id, COUNT(*) AS set_size FROM shingled GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+                      FROM shingled a JOIN shingled b
+                        ON a.shingle = b.shingle AND a.id < b.id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.set_size + sb.set_size - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE i * 1.0 / (sa.set_size + sb.set_size - i) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))) AS cosine
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        """,
+        "ann_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id < b.vec_id
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                  >= 0.2
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": _text_quality_sql(),
+        "text_langid": _text_langid_sql(),
+        "text_fingerprints": r"""
+            SELECT doc_id,
+                   md5(concat_ws('|',
+                       substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 32),
+                       substr(reverse(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 32),
+                       CAST(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS VARCHAR)
+                   )) AS fingerprint
+            FROM documents
+        """,
+        "events_json_verdicts": """
+            SELECT event_id,
+                   (k IS NOT NULL AND k >= 0 AND k <= 80) AS verdict,
+                   CASE WHEN k IS NULL THEN 'required'
+                        WHEN k < 0 THEN 'minimum'
+                        WHEN k > 80 THEN 'maximum'
+                        ELSE NULL END AS first_rule
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+        """,
+        "multimodal_meta": f"""
+            WITH {WEB_CTE}
+            SELECT COUNT(*) AS n_payloads,
+                   SUM(html_bytes) AS total_bytes,
+                   MIN(html_bytes) AS min_bytes,
+                   MAX(html_bytes) AS max_bytes
+            FROM web WHERE html_bytes IS NOT NULL
+        """,
+    }
+
+
+def _stop_hits_sql(words):
+    parts = [
+        "CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words
+    ]
+    return " + ".join(parts)
+
+
+def _text_quality_sql() -> str:
+    from spark_schema_guard.operators.textstats import STOPWORDS
+
+    stop_hits = _stop_hits_sql(STOPWORDS)
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens,
+                 {stop_hits} AS stop_hits,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               round(CASE WHEN n_tokens > 0
+                          THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                          ELSE 0.0 END, 4) AS mean_token_len,
+               round(CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens
+                          ELSE 0.0 END, 4) AS stopword_ratio,
+               round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars
+                          ELSE 0.0 END, 4) AS punct_ratio,
+               round(CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars
+                          ELSE 0.0 END, 4) AS digit_ratio,
+               round(
+                 least(n_tokens / 20.0, 1.0) * 0.4
+                 + least((CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens
+                               ELSE 0.0 END) * 5.0, 1.0) * 0.3
+                 + (1.0 - least((CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars
+                                      ELSE 0.0 END) * 10.0, 1.0)) * 0.15
+                 + (1.0 - least((CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars
+                                      ELSE 0.0 END) * 5.0, 1.0)) * 0.15
+               , 4) AS quality_score
+        FROM base
     """
-    return {}
+
+
+def _text_langid_sql() -> str:
+    from spark_schema_guard.operators.textstats import LANG_MARKERS
+
+    hit_cols = ",\n".join(
+        f"{_stop_hits_sql(LANG_MARKERS[lang])} AS h_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, h_{lang} AS hits FROM base"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, {hit_cols} FROM documents),
+        stacked AS ({union}),
+        ranked AS (SELECT doc_id, lang, hits,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hits DESC, lang DESC) AS rn
+                   FROM stacked)
+        SELECT doc_id, lang AS lang_guess, hits AS marker_hits
+        FROM ranked WHERE rn = 1
+    """

@@ -1,0 +1,216 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: end-to-end validated documents/sec (verdicts + violation
+rows forced) on the synthetic web-page table at $SPARK_GRAFT_SF_DIR
+(default sf0.1), local[$SPARK_GRAFT_CPUS].
+
+--scaling runs the same validation job at two parallelism levels
+(local[8] vs local[32] in separate JVMs, standing in for N vs 4N
+executors) and writes BENCH/BASELINE.md with throughputs and the scaling
+efficiency (north rule: >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(cores: int, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    import spark_schema_guard as ssg
+    from spark_schema_guard.jsoncol import validate_json_column
+    from spark_schema_guard.operators import (
+        chi_square_drift, column_profile, ks_drift, uniqueness_report,
+    )
+    from spark_schema_guard.operators.dedup import minhash_candidates
+    from spark_schema_guard.operators.similarity import cosine_topk
+    from spark_schema_guard.operators.textstats import quality_features
+    from spark_schema_guard.session import build_session
+    from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, web_pages
+
+    spark = build_session(app_name=f"schema-guard-bench-{cores}",
+                          cores=cores, shuffle_partitions=max(cores, 8))
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        result = thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # warm the JVM + page cache once so per-query numbers measure the
+    # queries, not JIT/IO warmup
+    n_base = docs.count(); events.count(); emb.count()
+
+    # amplify the web table deterministically so throughput measures the
+    # engine, not fixed job overhead (BENCH_TARGET_ROWS rows)
+    target = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    replicas = max(1, target // max(n_base, 1))
+    web = web_pages(docs, replicas=replicas).repartition(cores * 2)
+
+    web_plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    n_docs = n_base * replicas
+
+    def web_validate():
+        applied = web_plan.apply(web)
+        # force verdicts AND violation materialization
+        return applied.agg(
+            F.sum(F.col("verdict").cast("long")),
+            F.sum(F.size("violations"))).collect()
+
+    timed("web_validate", web_validate)
+
+    docs_schema = {
+        "type": "object",
+        "required": ["doc_id", "text", "lang"],
+        "properties": {
+            "doc_id": {"type": "integer", "minimum": 0},
+            "text": {"type": "string", "minLength": 60, "maxLength": 480},
+            "lang": {"enum": ["en", "de", "fr", "es"]},
+            "source": {"type": "string", "pattern": "^src[0-9]+$"},
+            "n_chars": {"type": "integer", "minimum": 0, "multipleOf": 2},
+        },
+    }
+    docs_plan = ssg.compile_plan(docs_schema, docs.schema)
+    timed("docs_validate", lambda: docs_plan.apply(docs).agg(
+        F.sum(F.col("verdict").cast("long")), F.sum(F.size("violations"))).collect())
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_schema = {
+        "type": "object",
+        "required": ["l_orderkey", "l_quantity"],
+        "properties": {
+            "l_quantity": {"type": "number", "minimum": 1, "maximum": 50},
+            "l_discount": {"type": "number", "minimum": 0,
+                           "exclusiveMaximum": 0.11},
+            "l_extendedprice": {"type": "number", "multipleOf": 0.01},
+            "l_returnflag": {"enum": ["A", "N", "R"]},
+            "l_linenumber": {"type": "integer", "minimum": 1, "maximum": 7},
+        },
+    }
+    li_plan = ssg.compile_plan(li_schema, lineitem.schema)
+    timed("lineitem_validate", lambda: li_plan.apply(lineitem).agg(
+        F.sum(F.col("verdict").cast("long")), F.sum(F.size("violations"))).collect())
+
+    timed("web_stats", lambda: column_profile(
+        web, ["url", "text", "lang"]).collect())
+    timed("web_uniqueness", lambda: uniqueness_report(web, "url").collect())
+    timed("drift_chisq", lambda: chi_square_drift(
+        web, "lang", (F.col("source") == "src3")).collect())
+    timed("drift_ks_grid", lambda: ks_drift(
+        web.select(F.unix_timestamp("warc_ts").cast("double").alias("e"),
+                   (F.col("source") == "src3").alias("g")),
+        "e", "g", mode="grid", grid_size=64).collect())
+    timed("events_json", lambda: validate_json_column(
+        events, "props",
+        {"type": "object", "required": ["k"],
+         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}},
+        engine="columnar").agg(F.sum(F.col("verdict").cast("long"))).collect())
+    timed("dedup_minhash", lambda: minhash_candidates(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8,
+        hash_fn="xxhash64").count())
+    qvecs = [(r["vec_id"], r["embedding"])
+             for r in emb.where(F.col("vec_id") < 3).collect()]
+    timed("ann_topk", lambda: cosine_topk(
+        emb, "vec_id", "embedding", qvecs, k=5).collect())
+    timed("text_quality", lambda: quality_features(docs, "doc_id", "text").agg(
+        F.sum("quality_score")).collect())
+
+    docs_per_sec = round(n_docs / timings["web_validate"], 1)
+    spark.stop()
+    return {"timings": timings, "rows": n_docs, "docs_per_sec": docs_per_sec,
+            "cores": cores}
+
+
+def scaling_run():
+    """local[8] vs local[32] on the same input (north-rule evidence)."""
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single-json"],
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+            capture_output=True, text=True, timeout=3600)
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+    t8 = results[8]["queries"]["web_validate"]
+    t32 = results[32]["queries"]["web_validate"]
+    # efficiency = speedup achieved / speedup available
+    efficiency = round((t8 / t32) / (32 / 8), 3)
+    md = [
+        "# BENCH — measured numbers (spark-schema-guard)",
+        "",
+        f"Input: synthetic web-page table derived from {SF_DIR} "
+        f"documents.parquet ({results[32]['extra']['rows']} rows), "
+        "deterministic seeds (webgen.py).",
+        "",
+        "## Scaling (north rule: same job at two parallelism levels)",
+        "",
+        "| cores | web_validate sec | docs/sec |",
+        "|---|---|---|",
+        f"| local[8] | {t8} | {results[8]['extra']['docs_per_sec']} |",
+        f"| local[32] | {t32} | {results[32]['extra']['docs_per_sec']} |",
+        "",
+        f"**Scaling efficiency (T_8/T_32)/4 = {efficiency}** "
+        "(target >= 0.8; local-mode cores stand in for N vs 4N executors).",
+        "",
+        "Reference single-core baseline: ~40,245 docs/s "
+        "(fastjsonschema fast_compiled, BASELINE.md).",
+        "",
+        "## Full query timings at local[32]",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for name, sec in results[32]["queries"].items():
+        md.append(f"| {name} | {sec} |")
+    os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+    path = os.path.join(os.path.dirname(__file__), "BENCH", "BASELINE.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    print(json.dumps({"scaling_efficiency": efficiency,
+                      "t8": t8, "t32": t32, "report": path}))
+
+
+def main():
+    if "--scaling" in sys.argv:
+        scaling_run()
+        return
+    result = run_bench(CPUS, SF_DIR)
+    line = {
+        "metric": "validated_docs_per_sec",
+        "value": result["docs_per_sec"],
+        "unit": "docs/sec",
+        "queries": result["timings"],
+        "sf": _sf_of(SF_DIR),
+        "extra": {"rows": result["rows"], "cores": result["cores"],
+                  "docs_per_sec": result["docs_per_sec"]},
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    sys.argv.append("--single-json") if False else None
+    main()

@@ -498,7 +498,7 @@ class _PlanCompiler:
         if isinstance(items_definition, list):
             for idx, item_definition in enumerate(items_definition):
                 element_site = _Site(
-                    F.element_at(site.expr, idx + 1), element_type,
+                    F.try_element_at(site.expr, F.lit(idx + 1)), element_type,
                     site.sname + f"[{idx}]",
                     F.concat(site.name_col, F.lit(f"[{idx}]")),
                     site.base_uri, null_is_value=True)
@@ -555,7 +555,7 @@ class _PlanCompiler:
                        F.greatest(F.size(site.expr) - F.lit(start), F.lit(0)))
         failing = F.filter(F.transform(tail, element_violation),
                            lambda y: y.isNotNull())
-        first = F.element_at(failing, 1)
+        first = F.try_element_at(failing, F.lit(1))
         return Rule("items", site.sname + "[*]",
                     first.getField("name"), first.getField("message"),
                     site.present() & _null_false(F.size(failing) > F.lit(0)),
@@ -734,7 +734,7 @@ class _PlanCompiler:
                 clean = re.sub(r"[^a-zA-Z0-9]", "", key)
                 raise SchemaDefinitionError("data[{}] must be object".format(clean))
             if is_map:
-                child = _Site(F.element_at(site.expr, F.lit(key)),
+                child = _Site(F.try_element_at(site.expr, F.lit(key)),
                               site.dtype.valueType, site.sname + "." + key,
                               F.concat(site.name_col, F.lit("." + key)),
                               site.base_uri, null_is_value=True)
@@ -776,7 +776,7 @@ class _PlanCompiler:
 
         failing = F.filter(F.transform(F.map_entries(site.expr), entry_violation),
                            lambda y: y.isNotNull())
-        first = F.element_at(failing, 1)
+        first = F.try_element_at(failing, F.lit(1))
         return Rule(rule_label, site.sname + ".<" + rule_label + ">",
                     first.getField("name"), first.getField("message"),
                     site.present() & _null_false(F.size(failing) > F.lit(0)),

@@ -87,7 +87,7 @@ class ValidationPlan:
         return applied.select(
             *[F.col(f.name) for f in df.schema.fields],
             F.col("verdict"),
-            F.element_at(F.col("violations"), 1).alias("first_violation"),
+            F.try_element_at(F.col("violations"), F.lit(1)).alias("first_violation"),
         )
 
     def violation_rows(self, df: DataFrame, keys: list[str] | None = None) -> DataFrame:

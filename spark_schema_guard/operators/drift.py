@@ -100,31 +100,37 @@ def ks_drift(
                        F.max("tot_r").alias("n_right"))
 
     if mode == "grid":
+        # binned KS: one percentile sketch pass for the grid, one
+        # histogram pass binning each row into its grid cell (a ~B-element
+        # array filter per row), then the CDF comparison over <=B rows.
         probs = [i / grid_size for i in range(1, grid_size)]
         grid_row = tagged.agg(
-            F.percentile_approx("v", probs, 10000).alias("grid")).collect()[0]
+            F.percentile_approx("v", probs, 1000).alias("grid")).collect()[0]
         grid = sorted(set(grid_row["grid"] or []))
         if not grid:
             return tagged.agg(F.lit(0.0).alias("statistic"),
                               F.sum(F.col("g").cast("long")).alias("n_left"),
                               F.sum((~F.col("g")).cast("long")).alias("n_right"))
-        aggs = [
-            F.sum(F.col("g").cast("long")).alias("tot_l"),
-            F.sum((~F.col("g")).cast("long")).alias("tot_r"),
-        ]
-        for i, q in enumerate(grid):
-            le = F.col("v") <= F.lit(q)
-            aggs.append(F.sum((F.col("g") & le).cast("long")).alias(f"l_{i}"))
-            aggs.append(F.sum((~F.col("g") & le).cast("long")).alias(f"r_{i}"))
-        wide = tagged.agg(*aggs)
-        diffs = F.array(*[
-            F.abs(F.col(f"l_{i}") / F.col("tot_l") - F.col(f"r_{i}") / F.col("tot_r"))
-            for i in range(len(grid))
-        ])
-        return wide.select(
-            F.array_max(diffs).alias("statistic"),
-            F.col("tot_l").alias("n_left"),
-            F.col("tot_r").alias("n_right"),
+        grid_array = F.array(*[F.lit(float(q)) for q in grid])
+        bucket = F.size(F.filter(grid_array, lambda q: q <= F.col("v")))
+        binned = (
+            tagged.groupBy(bucket.alias("b"))
+            .agg(F.sum(F.col("g").cast("long")).alias("n_l"),
+                 F.sum((~F.col("g")).cast("long")).alias("n_r"))
+        )
+        w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        cum = (
+            binned
+            .withColumn("cl", F.sum("n_l").over(w))
+            .withColumn("cr", F.sum("n_r").over(w))
+        )
+        totals = cum.agg(F.max("cl").alias("tl"), F.max("cr").alias("tr"))
+        return (
+            cum.crossJoin(F.broadcast(totals))
+            .agg(F.max(F.abs(F.col("cl") / F.col("tl")
+                             - F.col("cr") / F.col("tr"))).alias("statistic"),
+                 F.max("tl").alias("n_left"),
+                 F.max("tr").alias("n_right"))
         )
 
     raise ValueError(f"unknown mode {mode!r}")

@@ -23,8 +23,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def web_pages(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, text, lang, source, n_chars) -> web page table."""
+def web_pages(documents: DataFrame, replicas: int = 1) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) -> web page table.
+
+    ``replicas`` deterministically amplifies the table for benchmarking:
+    each replica shifts doc_id by r*100000, preserving every planted-seed
+    proportion (the stride is a multiple of the hot-domain and dup-url
+    moduli).  replicas=1 (default) is the oracle-checked shape.
+    """
+    if replicas > 1:
+        documents = (
+            documents
+            .select(F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r"),
+                    "*")
+            .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(100000))
+            .drop("__r")
+        )
     doc_id = F.col("doc_id")
 
     domain = (
