@@ -66,10 +66,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     n_base = docs.count(); events.count(); emb.count()
 
     # amplify the web table deterministically so throughput measures the
-    # engine, not fixed job overhead (BENCH_TARGET_ROWS rows)
+    # engine, not fixed job overhead (BENCH_TARGET_ROWS rows).  The base
+    # table is a single parquet file = one input split; repartition BEFORE
+    # the explode so the amplification itself parallelizes — otherwise the
+    # generation stage runs in one task and caps every core count at
+    # single-thread throughput.
     target = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
     replicas = max(1, target // max(n_base, 1))
-    web = web_pages(docs, replicas=replicas).repartition(cores * 2)
+    web = web_pages(docs.repartition(cores * 2), replicas=replicas)
 
     web_plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
     n_docs = n_base * replicas
@@ -146,12 +150,18 @@ def run_bench(cores: int, sf_dir: str) -> dict:
 
 
 def scaling_run():
-    """local[8] vs local[32] on the same input (north-rule evidence)."""
+    """local[8] vs local[32] on the same input (north-rule evidence).
+
+    Uses a larger amplification than the plain bench so the measured
+    window is dominated by work, not fixed job/stage scheduling overhead
+    (~2s), which would otherwise mask the speedup."""
+    rows = os.environ.get("SPARK_GRAFT_SCALING_ROWS", "16000000")
     results = {}
     for cores in (8, 32):
         out = subprocess.run(
             [sys.executable, __file__, "--single-json"],
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cores),
+                 "SPARK_GRAFT_BENCH_ROWS": rows},
             capture_output=True, text=True, timeout=3600)
         line = out.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)

@@ -1,0 +1,98 @@
+"""CLI — the engine's analog of ``python -m fastjsonschema`` (reference
+``__main__.py:7-15``) plus a batch runner for spark-submit:
+
+  # show the compiled plan for a schema (like compile_to_code)
+  python -m spark_schema_guard plan --schema schema.json [--table t.parquet]
+
+  # validate a parquet table, write verdicts/violations, resumable audit
+  spark-submit --py-files engine.zip -m spark_schema_guard validate \\
+      --schema schema.json --table in.parquet --out out_dir \\
+      [--audit audit_dir] [--cores N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_schema(path: str) -> dict:
+    if path == "-":
+        return json.load(sys.stdin)
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def cmd_plan(args) -> int:
+    import spark_schema_guard as ssg
+    from spark_schema_guard.session import build_session
+
+    schema = _load_schema(args.schema)
+    if args.table:
+        spark = build_session(cores=args.cores)
+        df_schema = spark.read.parquet(args.table).schema
+    else:
+        # no table: row-validator compile only (definition check + keyword list)
+        ssg.compile(schema)
+        print("schema compiles; row validator ready (no table given, "
+              "columnar plan needs --table)")
+        return 0
+    plan = ssg.compile_plan(schema, df_schema)
+    print(plan.explain())
+    return 0
+
+
+def cmd_validate(args) -> int:
+    import spark_schema_guard as ssg
+    from pyspark.sql import functions as F
+    from spark_schema_guard.session import build_session
+
+    schema = _load_schema(args.schema)
+    spark = build_session(cores=args.cores)
+    df = spark.read.parquet(args.table)
+    plan = ssg.compile_plan(schema, df.schema, regex_engine=args.regex_engine)
+
+    if args.audit:
+        from spark_schema_guard.audit import AuditedRun
+
+        run = AuditedRun(spark, plan, args.table, args.audit)
+        summary = run.run(violations_path=f"{args.out}/violations"
+                          if args.out else None)
+        print(json.dumps(summary))
+        return 0
+
+    applied = plan.apply(df)
+    if args.out:
+        applied.write.mode("overwrite").parquet(f"{args.out}/validated")
+    counts = applied.groupBy("verdict").count().collect()
+    print(json.dumps({str(r["verdict"]): r["count"] for r in counts}))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="spark_schema_guard")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_plan = sub.add_parser("plan", help="compile and display a plan")
+    p_plan.add_argument("--schema", required=True)
+    p_plan.add_argument("--table")
+    p_plan.add_argument("--cores", type=int, default=4)
+    p_plan.set_defaults(fn=cmd_plan)
+
+    p_val = sub.add_parser("validate", help="validate a parquet table")
+    p_val.add_argument("--schema", required=True)
+    p_val.add_argument("--table", required=True)
+    p_val.add_argument("--out")
+    p_val.add_argument("--audit")
+    p_val.add_argument("--cores", type=int, default=4)
+    p_val.add_argument("--regex-engine", default="jvm",
+                       choices=["jvm", "python"])
+    p_val.set_defaults(fn=cmd_validate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

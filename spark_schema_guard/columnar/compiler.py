@@ -31,11 +31,11 @@ precompiled Python regex bank as the reference for byte-exact semantics.
 
 from __future__ import annotations
 
-import json
+
 import re
 
 import pandas as pd
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from decimal import Decimal
 
 from pyspark.sql import Column
@@ -1020,6 +1020,7 @@ def compile_plan(
     regex_engine: str = "jvm",
     use_formats: bool = True,
     use_default: bool = True,
+    detailed_exceptions: bool = True,
     formats: dict | None = None,
     handlers: dict | None = None,
 ) -> ValidationPlan:
@@ -1053,4 +1054,5 @@ def compile_plan(
         df_schema=df_schema,
         row_validator=row_validator,
         regex_engine=regex_engine,
+        detailed=detailed_exceptions,
     )

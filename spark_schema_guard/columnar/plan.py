@@ -44,7 +44,17 @@ class Rule:
         return Rule(self.rule, self.site, self.name_col, self.message,
                     F.coalesce(condition, F.lit(False)) & self.fail, self.dynamic)
 
-    def as_struct(self) -> Column:
+    def as_struct(self, lean: bool = False) -> Column:
+        if lean:
+            # detailed_exceptions=False analog (generator.py:277-282):
+            # rule id only, no name/message construction work per row
+            rule = (self.dynamic.getField("rule") if self.dynamic is not None
+                    else F.lit(self.rule))
+            return F.when(self.fail, F.struct(
+                F.lit(None).cast("string").alias("name"),
+                rule.alias("rule"),
+                F.lit(None).cast("string").alias("message"),
+            ))
         if self.dynamic is not None:
             return F.when(self.fail, self.dynamic)
         return F.when(
@@ -59,20 +69,22 @@ class Rule:
 
 class ValidationPlan:
     def __init__(self, rules, defaults, schema_definition, df_schema,
-                 row_validator, regex_engine="jvm"):
+                 row_validator, regex_engine="jvm", detailed=True):
         self.rules = rules
         self.defaults = defaults
         self.schema_definition = schema_definition
         self.df_schema = df_schema
         self.row_validator = row_validator
         self.regex_engine = regex_engine
+        self.detailed = detailed
 
     # -- evaluation --------------------------------------------------------
 
     def violations_column(self) -> Column:
         if not self.rules:
             return F.array().cast("array<struct<name:string,rule:string,message:string>>")
-        candidates = F.array(*[rule.as_struct() for rule in self.rules])
+        candidates = F.array(*[rule.as_struct(lean=not self.detailed)
+                               for rule in self.rules])
         return F.filter(candidates, lambda x: x.isNotNull())
 
     def apply(self, df: DataFrame, violations_col: str = "violations",

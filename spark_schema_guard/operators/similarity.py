@@ -10,7 +10,7 @@ bit) to recover recall.  Hyperplanes are seed-deterministic.
 
 from __future__ import annotations
 
-import math
+
 import random
 
 from pyspark.sql import DataFrame, Window

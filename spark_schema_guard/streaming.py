@@ -1,0 +1,78 @@
+"""Structured Streaming support.
+
+The reference is a batch-only engine (SURVEY.md §2.7), but a compiled
+:class:`ValidationPlan` is pure Column expressions, so it applies to a
+streaming DataFrame unchanged — validation becomes a stateless map stage.
+This module adds the streaming-specific conveniences:
+
+* :func:`validate_stream` — plan over a readStream source;
+* :func:`violation_rate_by_window` — watermarked event-time windows of
+  verdict/violation counts (late data handled by the watermark, state
+  bounded);
+* :func:`stream_to_audit` — foreachBatch sink appending per-batch metric
+  rows to the same audit table the batch runner uses, so a streaming job
+  is resumable/observable identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_stream(stream_df: DataFrame, plan) -> DataFrame:
+    """Apply a compiled plan to a streaming DataFrame (stateless)."""
+    return plan.apply(stream_df)
+
+
+def violation_rate_by_window(
+    validated: DataFrame,
+    time_col: str,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed verdict aggregation with a watermark for late rows."""
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    return (
+        validated.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("verdict")).cast("long")).alias("invalid_rows"),
+            F.sum(F.size("violations")).alias("violations"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "rows", "invalid_rows", "violations",
+        )
+    )
+
+
+def stream_to_audit(validated: DataFrame, audit_path: str, run_id: str):
+    """writeStream foreachBatch sink: per-micro-batch metrics appended to
+    the audit table (unit = batch id)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        metrics = batch_df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("verdict").cast("long")).alias("valid_rows"),
+            F.sum(F.size("violations")).alias("violation_count"),
+        ).withColumn("run_id", F.lit(run_id)) \
+         .withColumn("unit", F.lit(f"batch-{batch_id}")) \
+         .withColumn("schema_hash", F.lit("stream")) \
+         .withColumn("rule_counts",
+                     F.lit(None).cast("map<string,bigint>")) \
+         .withColumn("started_at", F.unix_timestamp()) \
+         .withColumn("finished_at", F.unix_timestamp()) \
+         .withColumn("wall_ms", F.lit(0).cast("long"))
+        metrics.select(
+            "run_id", "unit", "schema_hash", "rows", "valid_rows",
+            "violation_count", "rule_counts", "started_at", "finished_at",
+            "wall_ms",
+        ).write.mode("append").parquet(audit_path)
+
+    return validated.writeStream.foreachBatch(write_batch)

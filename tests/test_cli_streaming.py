@@ -1,0 +1,83 @@
+"""CLI, streaming, and lean-mode coverage."""
+
+import json
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+import spark_schema_guard as ssg
+
+SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text"],
+    "properties": {"text": {"type": "string", "minLength": 60},
+                   "lang": {"enum": ["en", "de", "fr", "es"]}},
+}
+
+
+def test_cli_plan_and_validate(sf_dir, tmp_path):
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "plan",
+         "--schema", str(schema_file),
+         "--table", f"{sf_dir}/documents.parquet", "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ValidationPlan" in out.stdout
+    assert "minLength" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "validate",
+         "--schema", str(schema_file),
+         "--table", f"{sf_dir}/documents.parquet",
+         "--out", str(tmp_path / "out"), "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    counts = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(counts) == {"True", "False"}
+
+
+def test_lean_mode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = ssg.compile_plan(SCHEMA, docs.schema, detailed_exceptions=False)
+    rows = plan.apply(docs).where(~F.col("verdict")).limit(5).collect()
+    assert rows
+    for r in rows:
+        for v in r["violations"]:
+            assert v["rule"] is not None
+            assert v["name"] is None and v["message"] is None
+
+
+def test_streaming_validation(spark, sf_dir, tmp_path):
+    from spark_schema_guard.streaming import (
+        validate_stream, violation_rate_by_window,
+    )
+    from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, web_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "stream_src")
+    web_pages(docs).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, static.schema)
+    validated = validate_stream(stream, plan)
+    windowed = violation_rate_by_window(validated, "warc_ts",
+                                        window="1 day", watermark="2 days")
+    query = (windowed.writeStream.format("memory")
+             .queryName("winagg").outputMode("append")
+             .trigger(availableNow=True).start())
+    query.awaitTermination(120)
+
+    # append-mode windows below the watermark may be withheld; check the
+    # stateless validation path end-to-end instead via a second sink
+    q2 = (validated.writeStream.format("memory").queryName("flat")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    flat = spark.sql("SELECT count(*) AS n, sum(CAST(verdict AS INT)) AS ok "
+                     "FROM flat").collect()[0]
+    assert flat["n"] == static.count()
+    batch_ok = plan.apply(static).where("verdict").count()
+    assert flat["ok"] == batch_ok
