@@ -207,9 +207,6 @@ class _PlanCompiler:
                 return [self._rule(site, "type", "must be " + " or ".join(types),
                                    site.expr.isNull())]
             return []  # constant-fold away
-        if site.null_is_value and "null" in types:
-            return [self._rule(site, "type", "must be " + " or ".join(types),
-                               site.expr.isNotNull())]
         if "integer" in types and typemap.is_fractional(site.dtype) and self.integral_float_is_int:
             expr = site.expr
             is_integral = expr == F.floor(expr)
@@ -223,6 +220,10 @@ class _PlanCompiler:
                 fail = fail | expr.isNull()
             return [self._rule(site, "type",
                                "must be " + " or ".join(types), fail)]
+        if site.null_is_value and "null" in types:
+            # only the JSON null value satisfies the declared types
+            return [self._rule(site, "type", "must be " + " or ".join(types),
+                               site.expr.isNotNull())]
         # statically impossible: every present value violates
         return [self._rule(site, "type", "must be " + " or ".join(types), F.lit(True))]
 
