@@ -45,7 +45,10 @@ from pyspark.sql import types as T
 from ..exceptions import SchemaDefinitionError
 from ..formats import jvm_pattern
 from ..ref_resolver import SchemaStore
-from ..rowcheck.compiler import _UNESCAPED_DOLLAR, _Compiler as _RowCompiler, _pick_dialect
+from ..rowcheck.compiler import (
+    _UNESCAPED_DOLLAR, _Compiler as _RowCompiler, _pick_dialect,
+    schema_value_repr,
+)
 from . import typemap
 from .plan import Rule, ValidationPlan
 
@@ -233,7 +236,7 @@ class _PlanCompiler:
         enum = definition["enum"]
         if not isinstance(enum, (list, tuple)):
             raise SchemaDefinitionError("enum must be an array")
-        message = f"must be one of {enum}"
+        message = f"must be one of {schema_value_repr(enum)}"
         compatible = [v for v in enum if _value_fits(v, site.dtype)]
         if not compatible:
             return [self._rule(site, "enum", message, F.lit(True))]
@@ -251,7 +254,7 @@ class _PlanCompiler:
 
     def _kw_const(self, definition, site):
         const = definition["const"]
-        message = f"must be same as const definition: {const}"
+        message = f"must be same as const definition: {schema_value_repr(const)}"
         if const is None and site.null_is_value:
             return [self._rule(site, "const", message, site.expr.isNotNull())]
         if not _value_fits(const, site.dtype):

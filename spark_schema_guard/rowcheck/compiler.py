@@ -95,6 +95,56 @@ def _strict_equal(value, target) -> bool:
     return value == target
 
 
+_SIMPLE_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", '"': '"',
+                   "'": "'", "a": "\a", "b": "\b", "f": "\f", "v": "\v",
+                   "0": "\0"}
+
+
+def _codegen_unescape(s: str) -> str:
+    """Interpret backslash escapes the way the Python parser does for a
+    double-quoted source literal.  The reference embeds ``str(enum)`` into
+    generated source escaping only quotes (``e()``, generator.py:261-271),
+    so backslashes inside value reprs get *halved* at parse time — that
+    quirk is part of its observable message text."""
+    out = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in _SIMPLE_ESCAPES:
+                out.append(_SIMPLE_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "x" and i + 3 < len(s):
+                try:
+                    out.append(chr(int(s[i + 2:i + 4], 16)))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            if nxt == "u" and i + 5 < len(s):
+                try:
+                    out.append(chr(int(s[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def schema_value_repr(value) -> str:
+    """A schema value as it appears in the reference's error messages:
+    ``str()`` pushed through the codegen escape/parse round trip.
+    Strings pass through identically (unicode_escape then parse restores
+    them); containers get their repr's backslashes halved."""
+    if isinstance(value, str):
+        return value
+    return _codegen_unescape(str(value).replace('"', '\\"'))
+
+
 def _freeze(value):
     """Canonical hashable form for uniqueItems: dicts to frozensets, lists to
     tuples, and bools to their string form so ``True`` never collides with
@@ -318,7 +368,7 @@ class _Compiler:
         enum = definition["enum"]
         if not isinstance(enum, (list, tuple)):
             raise SchemaDefinitionError("enum must be an array")
-        message = f"must be one of {enum}"
+        message = f"must be one of {schema_value_repr(enum)}"
 
         def check_enum(value, name, emit, scope, _defn=definition):
             if not any(_strict_equal(value, item) for item in enum):
@@ -330,11 +380,12 @@ class _Compiler:
 
     def _kw_const(self, fn, definition, base_uri):
         const = definition["const"]
+        const_repr = schema_value_repr(const)
 
         def check_const(value, name, emit, scope, _defn=definition):
             if not _strict_equal(value, const):
                 emit(self._error(
-                    f"{name} must be same as const definition: {const}",
+                    f"{name} must be same as const definition: {const_repr}",
                     value, name, _defn, "const",
                 ))
             return value
