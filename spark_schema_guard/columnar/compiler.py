@@ -163,7 +163,9 @@ class _PlanCompiler:
     def _rule(self, site, rule_id, message, fail) -> Rule:
         if isinstance(message, str):
             message = F.concat(site.name_col, F.lit(" " + message))
-        return Rule(rule_id, site.sname, site.name_col, message, site.present() & _null_false(fail))
+        value_col = site.expr.cast("string") if site.expr is not None else None
+        return Rule(rule_id, site.sname, site.name_col, message,
+                    site.present() & _null_false(fail), value_col=value_col)
 
     def _string_expr(self, site: _Site) -> Column | None:
         """The value as its JSON string form, or None if never a string."""
@@ -1025,6 +1027,7 @@ def compile_plan(
     use_formats: bool = True,
     use_default: bool = True,
     detailed_exceptions: bool = True,
+    include_value: bool = False,
     formats: dict | None = None,
     handlers: dict | None = None,
 ) -> ValidationPlan:
@@ -1059,4 +1062,5 @@ def compile_plan(
         row_validator=row_validator,
         regex_engine=regex_engine,
         detailed=detailed_exceptions,
+        include_value=include_value,
     )

@@ -37,14 +37,31 @@ class Rule:
     # pre-built violation struct whose rule id varies per row (nested
     # element/map-entry violations surface their inner rule verbatim)
     dynamic: Column | None = None
+    # offending value as a string (reference error objects carry .value)
+    value_col: Column | None = None
 
     def gated(self, condition: Column) -> "Rule":
         """The same rule, active only where ``condition`` holds (if/then,
         positional items length guards...)."""
         return Rule(self.rule, self.site, self.name_col, self.message,
-                    F.coalesce(condition, F.lit(False)) & self.fail, self.dynamic)
+                    F.coalesce(condition, F.lit(False)) & self.fail,
+                    self.dynamic, self.value_col)
 
-    def as_struct(self, lean: bool = False) -> Column:
+    def as_struct(self, lean: bool = False, include_value: bool = False) -> Column:
+        if include_value and not lean:
+            value = (self.value_col if self.value_col is not None
+                     else F.lit(None).cast("string"))
+            if self.dynamic is not None:
+                return F.when(self.fail, F.struct(
+                    self.dynamic.getField("name").alias("name"),
+                    self.dynamic.getField("rule").alias("rule"),
+                    self.dynamic.getField("message").alias("message"),
+                    value.alias("value")))
+            return F.when(self.fail, F.struct(
+                self.name_col.alias("name"),
+                F.lit(self.rule).alias("rule"),
+                self.message.alias("message"),
+                value.alias("value")))
         if lean:
             # detailed_exceptions=False analog (generator.py:277-282):
             # rule id only, no name/message construction work per row
@@ -69,7 +86,8 @@ class Rule:
 
 class ValidationPlan:
     def __init__(self, rules, defaults, schema_definition, df_schema,
-                 row_validator, regex_engine="jvm", detailed=True):
+                 row_validator, regex_engine="jvm", detailed=True,
+                 include_value=False):
         self.rules = rules
         self.defaults = defaults
         self.schema_definition = schema_definition
@@ -77,14 +95,19 @@ class ValidationPlan:
         self.row_validator = row_validator
         self.regex_engine = regex_engine
         self.detailed = detailed
+        self.include_value = include_value
 
     # -- evaluation --------------------------------------------------------
 
     def violations_column(self) -> Column:
         if not self.rules:
-            return F.array().cast("array<struct<name:string,rule:string,message:string>>")
-        candidates = F.array(*[rule.as_struct(lean=not self.detailed)
-                               for rule in self.rules])
+            tail = ",value:string" if self.include_value else ""
+            return F.array().cast(
+                f"array<struct<name:string,rule:string,message:string{tail}>>")
+        candidates = F.array(*[
+            rule.as_struct(lean=not self.detailed,
+                           include_value=self.include_value)
+            for rule in self.rules])
         return F.filter(candidates, lambda x: x.isNotNull())
 
     def apply(self, df: DataFrame, violations_col: str = "violations",

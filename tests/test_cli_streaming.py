@@ -81,3 +81,15 @@ def test_streaming_validation(spark, sf_dir, tmp_path):
     assert flat["n"] == static.count()
     batch_ok = plan.apply(static).where("verdict").count()
     assert flat["ok"] == batch_ok
+
+
+def test_include_value(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = ssg.compile_plan(SCHEMA, docs.schema, include_value=True)
+    rows = plan.apply(docs).where(~F.col("verdict")).limit(5).collect()
+    assert rows
+    for r in rows:
+        for v in r["violations"]:
+            assert "value" in v.asDict()
+            if v["name"] == "data.lang":
+                assert v["value"] is not None
