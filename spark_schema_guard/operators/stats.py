@@ -94,3 +94,16 @@ def null_fractions(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         for c in columns
     ]
     return wide.select(F.explode(F.array(*per_column)).alias("s")).select("s.*")
+
+
+def partition_verdicts(applied: DataFrame) -> DataFrame:
+    """Per-partition pass/fail rollup (north rule): one row per input
+    partition with row/valid/violation counts — the distributed analog of
+    the reference's per-call exception stream, and the shape appended to
+    the audit table."""
+    return (
+        applied.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum(F.col("verdict").cast("long")).alias("valid_rows"),
+             F.sum(F.size("violations")).alias("violations"))
+    )
