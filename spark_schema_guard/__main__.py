@@ -43,6 +43,15 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def _read_table(spark, path: str, fmt: str):
+    reader = spark.read
+    if fmt == "csv":
+        return reader.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    return reader.parquet(path)
+
+
 def cmd_validate(args) -> int:
     import spark_schema_guard as ssg
     from pyspark.sql import functions as F
@@ -50,7 +59,7 @@ def cmd_validate(args) -> int:
 
     schema = _load_schema(args.schema)
     spark = build_session(cores=args.cores)
-    df = spark.read.parquet(args.table)
+    df = _read_table(spark, args.table, args.format)
     plan = ssg.compile_plan(schema, df.schema, regex_engine=args.regex_engine)
 
     if args.audit:
@@ -88,6 +97,8 @@ def main(argv=None) -> int:
     p_val.add_argument("--cores", type=int, default=4)
     p_val.add_argument("--regex-engine", default="jvm",
                        choices=["jvm", "python"])
+    p_val.add_argument("--format", default="parquet",
+                       choices=["parquet", "csv", "json"])
     p_val.set_defaults(fn=cmd_validate)
 
     args = parser.parse_args(argv)

@@ -51,3 +51,41 @@ def test_partition_verdicts(spark, sf_dir):
     out = partition_verdicts(plan.apply(docs)).collect()
     assert sum(r["rows"] for r in out) == docs.count()
     assert all(r["valid_rows"] <= r["rows"] for r in out)
+
+
+def test_regex_modes_agree_on_ascii(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = {"type": "object",
+              "properties": {"source": {"pattern": "^src[0-9]+$"},
+                             "text": {"format": "email"}}}
+    jvm = ssg.compile_plan(schema, docs.schema, regex_engine="jvm")
+    py = ssg.compile_plan(schema, docs.schema, regex_engine="python")
+    a = {r["doc_id"]: r["verdict"] for r in jvm.apply(docs).select("doc_id", "verdict").collect()}
+    b = {r["doc_id"]: r["verdict"] for r in py.apply(docs).select("doc_id", "verdict").collect()}
+    assert a == b
+
+
+def test_regex_mode_unicode_digit_divergence(spark):
+    # Java \d is ASCII-only; Python \d matches Unicode digits.  jvm mode
+    # is the fast path with that documented caveat; python mode matches
+    # the reference exactly.
+    df = spark.createDataFrame([("١٢٣",), ("123",)], "v string")
+    schema = {"type": "object", "properties": {"v": {"pattern": r"^\d+$"}}}
+    jvm = ssg.compile_plan(schema, df.schema, regex_engine="jvm")
+    py = ssg.compile_plan(schema, df.schema, regex_engine="python")
+    jvm_verdicts = {r["v"]: r["verdict"] for r in jvm.apply(df).collect()}
+    py_verdicts = {r["v"]: r["verdict"] for r in py.apply(df).collect()}
+    assert py_verdicts == {"١٢٣": True, "123": True}   # reference semantics
+    assert jvm_verdicts["123"] is True
+    assert jvm_verdicts["١٢٣"] is False                # documented caveat
+
+
+def test_dollar_anchor_newline_parity(spark):
+    # 'a$' must NOT match 'a\n' (the reference rewrites $ -> \Z); Java
+    # rlike gets the equivalent \z rewrite
+    df = spark.createDataFrame([("a",), ("a\n",), ("ba",)], "v string")
+    schema = {"type": "object", "properties": {"v": {"pattern": "a$"}}}
+    for engine in ("jvm", "python"):
+        plan = ssg.compile_plan(schema, df.schema, regex_engine=engine)
+        got = {r["v"]: r["verdict"] for r in plan.apply(df).collect()}
+        assert got == {"a": True, "a\n": False, "ba": True}, engine
