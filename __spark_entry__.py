@@ -307,6 +307,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution: LSH candidate pairs -> connected components ->
+    canonical-doc selection (keep lowest id per cluster)."""
+    from spark_schema_guard.operators.dedup import duplicate_clusters
+
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    edges = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
+                               shingle_k=8, hash_fn="md5")
+    return duplicate_clusters(docs.select("doc_id"), "doc_id", edges).select(
+        "doc_id", "cluster_id", "is_canonical")
+
+
+def q_web_domain_skew(spark, sf_dir):
+    """Hot-domain profile of the web corpus (the skew diagnostic behind
+    salted uniqueness)."""
+    from spark_schema_guard.operators import domain_skew
+
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return domain_skew(web, "url", k=10).select(
+        "rank", F.col("value").alias("domain"), "n_rows",
+        F.round("share", 6).alias("share"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvecs = {r["vec_id"]: r["embedding"]
@@ -398,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "web_domain_skew": q_web_domain_skew,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
         "text_token_counts": q_text_token_counts,
@@ -652,6 +678,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE i * 1.0 / (sa.set_size + sb.set_size - i) >= 0.2
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM (SELECT doc_id,
+                           unnest([substr(text, i, 8)
+                                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                    FROM documents WHERE doc_id < 200 AND length(text) >= 8)
+              GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS cluster_id,
+                   COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id < 200 AND length(text) >= 8) d
+            LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "web_domain_skew": f"""
+            WITH {WEB_CTE},
+            d AS (SELECT regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS domain
+                  FROM web),
+            counts AS (SELECT domain, COUNT(*) AS n_rows FROM d
+                       WHERE domain IS NOT NULL AND domain <> ''
+                       GROUP BY domain),
+            tot AS (SELECT SUM(n_rows) AS t FROM counts),
+            ranked AS (SELECT domain, n_rows, n_rows * 1.0 / t AS share,
+                              ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+                                                 domain ASC) AS rank
+                       FROM counts, tot)
+            SELECT rank, domain, n_rows, round(share, 6) AS share
+            FROM ranked WHERE rank <= 10
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -56,9 +56,15 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, thunk):
-        t0 = time.perf_counter()
-        result = thunk()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of two runs: single-shot timings on a shared VM jitter by
+        # 2x+ (page cache, JIT, concurrent load); min is the steady state
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            result = thunk()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         return result
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

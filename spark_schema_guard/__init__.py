@@ -63,6 +63,14 @@ def compile_plan(definition, df_schema=None, **options):
     return _compile_plan(definition, df_schema=df_schema, **options)
 
 
+def load_plan(path_or_spec, df_schema=None, **kwargs):
+    """Rebuild a saved plan spec (see ``ValidationPlan.save``) — the
+    compile_to_code load path (reference tests/test_compile_to_code.py)."""
+    from .columnar import load_plan as _load_plan
+
+    return _load_plan(path_or_spec, df_schema=df_schema, **kwargs)
+
+
 __all__ = [
     "VERSION",
     "JsonSchemaException",
@@ -77,5 +85,6 @@ __all__ = [
     "compile",
     "validate",
     "compile_plan",
+    "load_plan",
     "compile_row_validator",
 ]

@@ -40,6 +40,9 @@ def cmd_plan(args) -> int:
         return 0
     plan = ssg.compile_plan(schema, df_schema)
     print(plan.explain())
+    if args.save:
+        plan.save(args.save)
+        print(f"plan spec saved to {args.save}")
     return 0
 
 
@@ -57,10 +60,16 @@ def cmd_validate(args) -> int:
     from pyspark.sql import functions as F
     from spark_schema_guard.session import build_session
 
-    schema = _load_schema(args.schema)
+    if not args.schema and not args.plan_spec:
+        print("validate needs --schema or --plan-spec", file=sys.stderr)
+        return 2
     spark = build_session(cores=args.cores)
     df = _read_table(spark, args.table, args.format)
-    plan = ssg.compile_plan(schema, df.schema, regex_engine=args.regex_engine)
+    if args.plan_spec:
+        plan = ssg.load_plan(args.plan_spec, df.schema)
+    else:
+        schema = _load_schema(args.schema)
+        plan = ssg.compile_plan(schema, df.schema, regex_engine=args.regex_engine)
 
     if args.audit:
         from spark_schema_guard.audit import AuditedRun
@@ -86,11 +95,15 @@ def main(argv=None) -> int:
     p_plan = sub.add_parser("plan", help="compile and display a plan")
     p_plan.add_argument("--schema", required=True)
     p_plan.add_argument("--table")
+    p_plan.add_argument("--save", help="write the plan spec JSON here "
+                        "(reload with validate --plan-spec)")
     p_plan.add_argument("--cores", type=int, default=4)
     p_plan.set_defaults(fn=cmd_plan)
 
     p_val = sub.add_parser("validate", help="validate a parquet table")
-    p_val.add_argument("--schema", required=True)
+    p_val.add_argument("--schema")
+    p_val.add_argument("--plan-spec", help="saved plan spec JSON "
+                       "(alternative to --schema)")
     p_val.add_argument("--table", required=True)
     p_val.add_argument("--out")
     p_val.add_argument("--audit")

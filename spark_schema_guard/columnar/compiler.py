@@ -1063,4 +1063,13 @@ def compile_plan(
         regex_engine=regex_engine,
         detailed=detailed_exceptions,
         include_value=include_value,
+        options={
+            "regex_engine": regex_engine,
+            "use_formats": use_formats,
+            "use_default": use_default,
+            "detailed_exceptions": detailed_exceptions,
+            "include_value": include_value,
+            "formats": formats,
+            "handlers": handlers,
+        },
     )

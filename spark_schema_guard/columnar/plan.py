@@ -87,7 +87,7 @@ class Rule:
 class ValidationPlan:
     def __init__(self, rules, defaults, schema_definition, df_schema,
                  row_validator, regex_engine="jvm", detailed=True,
-                 include_value=False):
+                 include_value=False, options=None):
         self.rules = rules
         self.defaults = defaults
         self.schema_definition = schema_definition
@@ -96,6 +96,7 @@ class ValidationPlan:
         self.regex_engine = regex_engine
         self.detailed = detailed
         self.include_value = include_value
+        self.options = options or {}
 
     # -- evaluation --------------------------------------------------------
 
@@ -164,3 +165,66 @@ class ValidationPlan:
         if self.defaults:
             lines.append(f"  defaults: {self.defaults}")
         return "\n".join(lines)
+
+    # -- persistence (compile_to_code analog, __init__.py:294-341) ---------
+
+    def to_spec(self) -> dict:
+        """The plan as a JSON-able spec: everything needed to rebuild it
+        bit-identically on another driver (the reference serializes its
+        generated source + regexes, generator.py:98-119; our plan is a
+        pure function of schema + table schema + options, so the spec *is*
+        the artifact).  Custom format/handler callables are not
+        serializable — like the reference, re-supply them at load time."""
+        opts = dict(self.options)
+        if opts.get("formats"):
+            opts["formats"] = sorted(opts["formats"])  # names only, as a marker
+        if opts.get("handlers"):
+            opts["handlers"] = sorted(opts["handlers"])
+        return {
+            "format": "spark-schema-guard/plan-spec@1",
+            "definition": self.schema_definition,
+            "df_schema": self.df_schema.jsonValue() if self.df_schema else None,
+            "options": opts,
+        }
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.to_spec(), fh, indent=1)
+
+
+def load_plan(path_or_spec, df_schema=None, *, formats=None, handlers=None):
+    """Rebuild a :class:`ValidationPlan` from a spec produced by
+    :meth:`ValidationPlan.save` — the load half of ``compile_to_code``
+    parity (tests/test_compile_to_code.py:9-30 in the reference).  Pass
+    ``df_schema`` to retarget the plan at a different table layout;
+    ``formats``/``handlers`` re-bind custom callables the spec can only
+    name."""
+    import json
+
+    from pyspark.sql import types as T
+
+    if isinstance(path_or_spec, str):
+        with open(path_or_spec) as fh:
+            spec = json.load(fh)
+    else:
+        spec = path_or_spec
+    if spec.get("format") != "spark-schema-guard/plan-spec@1":
+        raise ValueError(f"not a plan spec: {spec.get('format')!r}")
+    opts = dict(spec.get("options") or {})
+    named_formats = opts.pop("formats", None)
+    named_handlers = opts.pop("handlers", None)
+    if named_formats and not formats:
+        raise ValueError(
+            f"plan spec names custom formats {named_formats}; pass formats=")
+    if named_handlers and not handlers:
+        raise ValueError(
+            f"plan spec names custom handlers {named_handlers}; pass handlers=")
+    if df_schema is None and spec.get("df_schema"):
+        df_schema = T.StructType.fromJson(spec["df_schema"])
+
+    from .compiler import compile_plan
+
+    return compile_plan(spec["definition"], df_schema,
+                        formats=formats, handlers=handlers, **opts)

@@ -1,11 +1,15 @@
-from .stats import column_profile, null_fractions
+from .stats import (column_profile, domain_skew, heavy_hitters,
+                    null_fractions, partition_verdicts)
 from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import chi_square_drift, ks_drift
 
 __all__ = [
     "column_profile",
+    "domain_skew",
+    "heavy_hitters",
     "null_fractions",
+    "partition_verdicts",
     "duplicate_keys",
     "uniqueness_report",
     "orphan_rows",

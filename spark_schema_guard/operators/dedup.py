@@ -210,6 +210,99 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
         F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list:
+    ``(id, component)`` with component = MIN node id in the component.
+
+    This is the cluster-resolution stage of a dedup pipeline: candidate
+    pairs from ``exact_duplicates`` / ``minhash_candidates`` /
+    ``simhash_near_dups`` are edges; each component is one duplicate
+    cluster.  (Reference analog: ``uniqueItems`` dedups *within* a row —
+    draft04.py:391-422; this dedups *across* 10^12 rows.)
+
+    Algorithm: iterative min-label propagation with pointer-jumping —
+    each round a node adopts the minimum label over {itself} ∪ neighbors
+    ∪ its current label's node, with the (id ↔ label) links injected as
+    extra edges so labels hop along label chains (label(label(u))
+    reachable in one round).  Rounds are O(log d) in practice for dedup
+    graphs (near-clique components); each round is one shuffled
+    groupBy-min + join, AQE-safe.  ``localCheckpoint`` truncates lineage
+    every round — without it the iterative plan grows exponentially and
+    Catalyst analysis time dominates.  Convergence is detected with the
+    same single action that materializes the round (sum of labels is
+    strictly decreasing until fixpoint).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+               & (F.col("a") != F.col("b")))
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        links = labels.where(F.col("id") != F.col("label"))
+        hop = links.select(F.col("id").alias("a"), F.col("label").alias("b"))
+        all_edges = sym.union(hop).union(
+            hop.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        neigh_min = (
+            all_edges.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")),
+                "b")
+            .groupBy("a").agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
+            .select(labels["id"],
+                    F.least(labels["label"], F.col("nl")).alias("label"),
+                    labels["label"].alias("_old"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.drop("_old")
+        if not changed:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate-pair edges into duplicate clusters over ``df``:
+    every row gains ``cluster_id`` (MIN id of its cluster; singletons are
+    their own cluster) and ``is_canonical`` (True for the one row per
+    cluster to keep — the standard keep-lowest-id dedup policy).
+
+    The components table is tiny relative to ``df`` (only ids that appear
+    in an edge), so the attach join is broadcast-eligible; rows without
+    edges never shuffle.
+    """
+    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    out = (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,

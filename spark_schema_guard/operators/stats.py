@@ -96,6 +96,53 @@ def null_fractions(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     return wide.select(F.explode(F.array(*per_column)).alias("s")).select("s.*")
 
 
+def heavy_hitters(
+    df: DataFrame,
+    column,
+    *,
+    k: int = 20,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """Exact top-k most frequent values of ``column`` (a name or a Column
+    expression) with their share of all non-null rows:
+    ``value, n_rows, share, rank``.
+
+    Rank is deterministic (count DESC, value ASC) so results are
+    engine-portable.  The ranking window runs over the *aggregated*
+    counts (|distinct values| rows, partial-agg'd map-side), not the
+    input; at 10^12 rows pass ``min_share`` to cut the long tail before
+    the single-partition ranking (heavy hitters by definition clear any
+    such threshold — Misra-Gries guarantee: a value with share >= 1/k
+    survives every prefilter >= 1/k).
+    """
+    col = F.col(column) if isinstance(column, str) else column
+    counts = (
+        df.select(col.alias("value")).where(F.col("value").isNotNull())
+        .groupBy("value").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("t"))
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_rows") / F.col("t")).drop("t")
+    if min_share > 0.0:
+        shared = shared.where(F.col("share") >= min_share)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("value").asc())
+    return (
+        shared.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "value", "n_rows", "share")
+    )
+
+
+def domain_skew(df: DataFrame, url_col: str = "url", *, k: int = 10) -> DataFrame:
+    """Hot-domain profile of a web corpus: top-k domains by page count
+    with shares — the diagnostic that motivates salted-key repartitioning
+    for url uniqueness (north rule).  Domain = authority part of the URL,
+    extracted JVM-side."""
+    domain = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return heavy_hitters(df, F.when(domain != "", domain), k=k)
+
+
 def partition_verdicts(applied: DataFrame) -> DataFrame:
     """Per-partition pass/fail rollup (north rule): one row per input
     partition with row/valid/violation counts — the distributed analog of

@@ -93,3 +93,69 @@ def test_include_value(spark, sf_dir):
             assert "value" in v.asDict()
             if v["name"] == "data.lang":
                 assert v["value"] is not None
+
+
+def test_plan_spec_roundtrip(spark, sf_dir):
+    """save -> load rebuilds a plan producing identical violations (the
+    compile_to_code persist/import parity, reference
+    tests/test_compile_to_code.py:9-30)."""
+    import tempfile
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = ssg.compile_plan(SCHEMA, df.schema, include_value=True)
+    with tempfile.NamedTemporaryFile(suffix=".json", mode="w", delete=False) as fh:
+        path = fh.name
+    plan.save(path)
+    loaded = ssg.load_plan(path)
+    assert loaded.describe() == plan.describe()
+    assert loaded.include_value and loaded.detailed
+    a = plan.apply(df).select("doc_id", "verdict", "violations").collect()
+    b = loaded.apply(df).select("doc_id", "verdict", "violations").collect()
+    assert sorted(a) == sorted(b)
+
+
+def test_plan_spec_retarget_and_custom_format_guard(spark, sf_dir):
+    import pytest
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = ssg.compile_plan(SCHEMA, df.schema)
+    spec = plan.to_spec()
+    # retarget at a narrower projection of the same table
+    narrow = df.select("doc_id", "text")
+    loaded = ssg.load_plan(spec, narrow.schema)
+    out = loaded.apply(narrow)
+    assert out.where(~F.col("verdict")).count() > 0
+
+    # custom format callables can't ride in the spec; load must demand them
+    fmt_plan = ssg.compile_plan(
+        {"properties": {"text": {"format": "shouty"}}}, df.schema,
+        formats={"shouty": lambda v: v.isupper()})
+    spec2 = fmt_plan.to_spec()
+    with pytest.raises(ValueError, match="custom formats"):
+        ssg.load_plan(spec2)
+    reloaded = ssg.load_plan(spec2, df.schema,
+                             formats={"shouty": lambda v: v.isupper()})
+    assert reloaded.describe() == fmt_plan.describe()
+
+
+def test_cli_plan_save_and_validate_from_spec(sf_dir, tmp_path):
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    spec_file = tmp_path / "plan.json"
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "plan",
+         "--schema", str(schema_file),
+         "--table", f"{sf_dir}/documents.parquet",
+         "--save", str(spec_file), "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert spec_file.exists()
+
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "validate",
+         "--plan-spec", str(spec_file),
+         "--table", f"{sf_dir}/documents.parquet", "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    counts = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(counts) == {"True", "False"}

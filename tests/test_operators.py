@@ -212,3 +212,87 @@ def test_textstats(spark):
     fps = {r["doc_id"]: r["fingerprint"]
            for r in fingerprint(df, "doc_id", "text").collect()}
     assert len(set(fps.values())) == 4
+
+
+def test_connected_components(spark):
+    from spark_schema_guard.operators.dedup import connected_components
+
+    # two components {1,2,3} and {5,6}; reversed/duplicate edges collapse
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (3, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_path(spark):
+    from spark_schema_guard.operators.dedup import connected_components
+
+    # a 41-node path: pure neighbor propagation needs 40 rounds; the
+    # pointer-jumping (id<->label) edges must converge far faster
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    comp = connected_components(edges, max_iter=10).collect()
+    assert len(comp) == 41
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_duplicate_clusters_resolution(spark):
+    from spark_schema_guard.operators.dedup import duplicate_clusters
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "doc_id long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in duplicate_clusters(df, "doc_id", edges).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["cluster_id"] == 1 and not rows[3]["is_canonical"]
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert rows[6]["cluster_id"] == 5 and not rows[6]["is_canonical"]
+    # a row without any edge is its own (canonical) singleton cluster
+    assert rows[9]["cluster_id"] == 9 and rows[9]["is_canonical"]
+    kept = [r for r in rows.values() if r["is_canonical"]]
+    assert sorted(r["doc_id"] for r in kept) == [1, 5, 9]
+
+
+def test_duplicate_clusters_end_to_end_exact(spark):
+    """Full dedup pipeline: exact-dup groups -> edges -> clusters."""
+    from spark_schema_guard.operators.dedup import (
+        duplicate_clusters, exact_duplicates)
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id long, text string")
+    groups = exact_duplicates(df, "doc_id", "text")
+    edges = groups.select(
+        F.element_at("doc_ids", 1).alias("id_a"),
+        F.explode(F.slice("doc_ids", 2, 1000000)).alias("id_b"))
+    out = duplicate_clusters(df, "doc_id", edges)
+    canon = sorted(r["doc_id"] for r in out.collect() if r["is_canonical"])
+    assert canon == [1, 2, 5]
+
+
+def test_heavy_hitters(spark):
+    from spark_schema_guard.operators import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1 + [(None,)],
+        "v string")
+    top = heavy_hitters(df, "v", k=3).collect()
+    assert [(r["rank"], r["value"], r["n_rows"]) for r in top] == [
+        (1, "a", 5), (2, "b", 3), (3, "c", 3)]  # tie b/c broken by value asc
+    assert top[0]["share"] == pytest.approx(5 / 12)
+    capped = heavy_hitters(df, "v", k=10, min_share=0.25).collect()
+    assert [r["value"] for r in capped] == ["a", "b", "c"]
+
+
+def test_domain_skew(spark, sf_dir):
+    from spark_schema_guard.operators import domain_skew
+    from spark_schema_guard.webgen import web_pages
+
+    web = web_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    top = domain_skew(web, "url", k=3).collect()
+    # webgen plants uid%5==0 on hot.example.com -> ~20% share, rank 1
+    assert top[0]["value"] == "hot.example.com"
+    assert top[0]["share"] == pytest.approx(0.2, abs=0.02)
+    assert top[0]["rank"] == 1
+    for r in top[1:]:
+        assert r["n_rows"] <= top[0]["n_rows"]
