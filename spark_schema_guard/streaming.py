@@ -52,6 +52,87 @@ def violation_rate_by_window(
     )
 
 
+def stream_unique(
+    stream_df: DataFrame,
+    keys: list[str] | str,
+    *,
+    time_col: str,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming uniqueness enforcement: keep the first row per key, the
+    streaming analog of the batch url-uniqueness constraint
+    (operators/uniqueness.py).
+
+    State is bounded by the watermark — Spark evicts keys once the event
+    time passes ``watermark``, so a duplicate arriving later than the
+    horizon is NOT detected (the unavoidable batch/stream tradeoff; run
+    the batch salted check for the full-history guarantee)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def violation_streaks(
+    validated: DataFrame,
+    key_col: str,
+    *,
+    min_streak: int = 3,
+    time_col: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per key (e.g.
+    web domain), track the running count of *consecutive* invalid rows
+    across micro-batches; emit ``(key, streak, rows_seen)`` whenever the
+    streak is at or above ``min_streak`` at the end of a batch — the
+    "this domain just started failing systematically" alarm that a
+    stateless window can't express (a window forgets the inter-batch
+    carry).  State per key is two longs — bounded by |keys|."""
+    import pandas as pd  # noqa: F401 — required by the pandas UDF contract
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_type = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("streak", T.LongType()),
+        T.StructField("rows_seen", T.LongType()),
+    ])
+    state_type = T.StructType([
+        T.StructField("streak", T.LongType()),
+        T.StructField("rows_seen", T.LongType()),
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        streak, seen = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            # "consecutive" is defined in event-time order when a time
+            # column is given, else in micro-batch arrival order
+            if time_col is not None:
+                pdf = pdf.sort_values(time_col)
+            for ok in pdf["verdict"]:
+                seen += 1
+                streak = 0 if ok else streak + 1
+        state.update((streak, seen))
+
+        if streak >= min_streak:
+            yield pd.DataFrame({"key": [key[0]], "streak": [streak],
+                                "rows_seen": [seen]})
+        else:
+            yield pd.DataFrame({"key": [], "streak": [], "rows_seen": []})
+
+    cols = [F.col(key_col).cast("string").alias("key"), F.col("verdict")]
+    if time_col is not None:
+        cols.append(F.col(time_col))
+    return (
+        validated.select(*cols)
+        .groupBy("key")
+        .applyInPandasWithState(update, out_type, state_type, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_to_audit(validated: DataFrame, audit_path: str, run_id: str):
     """writeStream foreachBatch sink: per-micro-batch metrics appended to
     the audit table (unit = batch id)."""

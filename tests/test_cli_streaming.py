@@ -159,3 +159,47 @@ def test_cli_plan_save_and_validate_from_spec(sf_dir, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     counts = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(counts) == {"True", "False"}
+
+
+def test_stream_unique_within_watermark(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_unique
+
+    src = str(tmp_path / "uniq_src")
+    rows = [("u1", "2024-03-01 00:00:00"), ("u1", "2024-03-01 00:05:00"),
+            ("u2", "2024-03-01 00:01:00"), ("u3", "2024-03-01 00:02:00"),
+            ("u3", "2024-03-01 00:03:00")]
+    df = spark.createDataFrame(rows, "url string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    deduped = stream_unique(stream, "url", time_col="ts", watermark="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("uniq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url FROM uniq").collect()
+    assert sorted(r["url"] for r in got) == ["u1", "u2", "u3"]
+
+
+def test_violation_streaks_stateful(spark, tmp_path):
+    from spark_schema_guard.streaming import violation_streaks
+
+    src = str(tmp_path / "streak_src")
+    # domain A: 4 consecutive invalid; domain B: valid run broken, streak 1
+    rows = []
+    for i, (dom, ok) in enumerate(
+            [("a", False)] * 4 + [("b", True), ("b", False)] +
+            [("c", True)] * 3):
+        rows.append((dom, ok, f"2024-03-01 00:0{i}:00"))
+    df = spark.createDataFrame(rows, "domain string, verdict boolean, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    alarms = violation_streaks(stream, "domain", min_streak=3, time_col="ts")
+    q = (alarms.writeStream.format("memory").queryName("streaks")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["key"]: r for r in spark.sql("SELECT * FROM streaks").collect()}
+    assert "a" in got and got["a"]["streak"] == 4 and got["a"]["rows_seen"] == 4
+    assert "b" not in got and "c" not in got
