@@ -34,8 +34,20 @@ class ValidationError(SchemaError):
         self.message = message
         self.value = value
         self.name = name
-        self.definition = definition
+        # ``definition`` may be a zero-arg thunk: $ref expansion of the
+        # reported definition is deferred until someone actually reads it.
+        # Combinator probes (oneOf/anyOf/not) create and discard thousands
+        # of internal errors as control flow — eager expansion there turned
+        # a 3.4MB recursive schema (FHIR) from seconds into minutes.
+        self._definition = definition
         self.rule = rule
+
+    @property
+    def definition(self):
+        d = self._definition
+        if callable(d):
+            d = self._definition = d()
+        return d
 
     @property
     def path(self):

@@ -269,7 +269,9 @@ class _Compiler:
             return ValidationError(message)
         return ValidationError(
             message, value=value, name=name,
-            definition=self._expand_refs(definition), rule=rule,
+            # deferred: expansion walks the definition resolving $refs — far
+            # too costly to pay for probe errors that combinators swallow
+            definition=lambda d=definition: self._expand_refs(d), rule=rule,
         )
 
     def _expand_refs(self, definition):

@@ -79,3 +79,32 @@ def test_ref_path_in_error(reference):
     assert mine.value.message == theirs.value.message
     assert mine.value.name == theirs.value.name == "data.shipping"
     assert mine.value.path == ["data", "shipping"]
+
+
+def test_fhir_scale_recursion(reference):
+    """The reference's scale/recursion stress case (tests/examples/
+    issue-109: 3.4MB FHIR schema, ~200-branch root oneOf, recursive
+    definitions) — must compile, validate the 1MB instance identically,
+    and produce byte-equal error objects on a mutated instance."""
+    import json
+
+    with open("/root/reference/tests/examples/issue-109/fhir.schema.json") as fh:
+        schema = json.load(fh)
+    with open("/root/reference/tests/examples/issue-109/"
+              "85e52038-4d69-50e9-9e46-e379b8d830af.json") as fh:
+        inst = json.load(fh)
+
+    mine = ssg.compile(schema)
+    theirs = reference.compile(schema)
+    assert mine(json.loads(json.dumps(inst))) == \
+        theirs(json.loads(json.dumps(inst)))
+
+    bad = json.loads(json.dumps(inst))
+    bad["entry"][3]["resource"] = {"resourceType": "Nope"}
+    with pytest.raises(ssg.ValidationError) as m:
+        mine(json.loads(json.dumps(bad)))
+    with pytest.raises(reference.JsonSchemaValueException) as t:
+        theirs(json.loads(json.dumps(bad)))
+    assert m.value.message == t.value.message
+    assert m.value.rule == t.value.rule
+    assert m.value.definition == t.value.definition
