@@ -331,6 +331,18 @@ def q_web_domain_skew(spark, sf_dir):
         F.round("share", 6).alias("share"))
 
 
+def q_sample_mix(spark, sf_dir):
+    """Deterministic data mixing: per-lang hash-threshold sampling
+    (keep all en, half de, quarter fr; drop the rest)."""
+    from spark_schema_guard.operators import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang",
+                            {"en": 1.0, "de": 0.5, "fr": 0.25}, "doc_id",
+                            mode="hash")
+    return out.select("doc_id", "lang")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvecs = {r["vec_id"]: r["embedding"]
@@ -424,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "web_domain_skew": q_web_domain_skew,
+        "sample_mix": q_sample_mix,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
         "text_token_counts": q_text_token_counts,
@@ -730,6 +743,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM counts, tot)
             SELECT rank, domain, n_rows, round(share, 6) AS share
             FROM ranked WHERE rank <= 10
+        """,
+        "sample_mix": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+                  CASE lang
+                    WHEN 'en' THEN 'g'
+                    WHEN 'de' THEN '{format(int(0.5 * 16**15), "015x")}'
+                    WHEN 'fr' THEN '{format(int(0.25 * 16**15), "015x")}'
+                    ELSE '000000000000000'
+                  END
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

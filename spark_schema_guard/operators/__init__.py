@@ -3,6 +3,7 @@ from .stats import (column_profile, domain_skew, heavy_hitters,
 from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import chi_square_drift, ks_drift
+from .sampling import downsample, stratified_sample
 
 __all__ = [
     "column_profile",
@@ -16,4 +17,6 @@ __all__ = [
     "referential_report",
     "chi_square_drift",
     "ks_drift",
+    "downsample",
+    "stratified_sample",
 ]

@@ -296,3 +296,46 @@ def test_domain_skew(spark, sf_dir):
     assert top[0]["rank"] == 1
     for r in top[1:]:
         assert r["n_rows"] <= top[0]["n_rows"]
+
+
+def test_downsample_deterministic_and_unbiased(spark, sf_dir):
+    from spark_schema_guard.operators import downsample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    s1 = downsample(docs, "doc_id", 0.4)
+    s2 = downsample(docs.repartition(7), "doc_id", 0.4)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # partition-layout independent
+    assert abs(len(ids1) / n - 0.4) < 0.1
+    assert downsample(docs, "doc_id", 1.0).count() == n
+    assert downsample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_stratified_sample_modes(spark, sf_dir):
+    from spark_schema_guard.operators import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r["lang"]: r["n"] for r in
+                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fr = {"en": 1.0, "de": 0.5}
+
+    hashed = stratified_sample(docs, "lang", fr, "doc_id", mode="hash")
+    got = {r["lang"]: r["n"] for r in
+           hashed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("en") == per_lang["en"]          # fraction 1.0 keeps all
+    assert "fr" not in got and "es" not in got      # default 0.0 drops
+    assert abs(got.get("de", 0) / per_lang["de"] - 0.5) < 0.2
+
+    import math
+    exact = stratified_sample(docs, "lang", fr, "doc_id", mode="exact")
+    gote = {r["lang"]: r["n"] for r in
+            exact.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert gote["en"] == per_lang["en"]
+    assert gote["de"] == math.ceil(0.5 * per_lang["de"])  # exact quota
+    # exact mode is also layout-deterministic
+    again = stratified_sample(docs.repartition(5), "lang", fr, "doc_id",
+                              mode="exact")
+    assert sorted(r["doc_id"] for r in exact.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())

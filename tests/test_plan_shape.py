@@ -89,3 +89,28 @@ def test_dollar_anchor_newline_parity(spark):
         plan = ssg.compile_plan(schema, df.schema, regex_engine=engine)
         got = {r["v"]: r["verdict"] for r in plan.apply(df).collect()}
         assert got == {"a": True, "a\n": False, "ba": True}, engine
+
+
+def test_validation_plan_has_no_shuffle(spark, sf_dir):
+    # plan.apply is a pure projection: zero Exchange nodes before any
+    # user-added aggregation (SCALE.md "zero shuffles" claim)
+    web = web_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    text = _physical(plan.apply(web))
+    assert "Exchange" not in text
+
+
+def test_jsoncol_parses_json_once(spark, sf_dir):
+    # every rule reads the same parsed struct: from_json appears exactly
+    # once in the physical plan, not once per rule
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = validate_json_column(
+        events, "props",
+        {"type": "object", "required": ["k"],
+         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}},
+        engine="columnar")
+    text = _physical(out)
+    assert text.count("from_json") == 1
+    assert "Exchange" not in text

@@ -89,10 +89,18 @@ def main():
         "against the reference per core.",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, "a") as fh:
-        fh.write("\n".join(section) + "\n")
+    marker = "## Single-core baselines"
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = fh.read()
+    # replace any previous section(s) instead of stacking duplicates
+    if marker in existing:
+        existing = existing[:existing.index(marker)].rstrip() + "\n"
+    with open(path, "w") as fh:
+        fh.write(existing + "\n".join(section) + "\n")
     print(f"reference: {n / t_ref:,.0f} docs/s | rowcheck: {n / t_mine:,.0f} "
-          f"docs/s | appended to {path}")
+          f"docs/s | written to {path}")
 
 
 if __name__ == "__main__":
