@@ -170,6 +170,21 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timed("dedup_minhash", lambda: minhash_candidates(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8,
         hash_fn="xxhash64").count())
+
+    from spark_schema_guard.operators import domain_skew, stratified_sample
+    from spark_schema_guard.operators.dedup import duplicate_clusters
+
+    def clusters():
+        edges = minhash_candidates(docs, "doc_id", "text", num_hashes=8,
+                                   bands=4, shingle_k=8, hash_fn="xxhash64")
+        return duplicate_clusters(docs.select("doc_id"), "doc_id", edges) \
+            .where(~F.col("is_canonical")).count()
+
+    timed("dedup_clusters", clusters)
+    timed("domain_skew", lambda: domain_skew(web, "url", k=10).collect())
+    timed("sample_mix", lambda: stratified_sample(
+        web, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25}, "doc_id",
+        mode="hash").count())
     qvecs = [(r["vec_id"], r["embedding"])
              for r in emb.where(F.col("vec_id") < 3).collect()]
     timed("ann_topk", lambda: cosine_topk(

@@ -1,0 +1,111 @@
+"""End-to-end web-corpus pipeline: the engine's operators composed the way
+a production crawl-ingest job would use them.
+
+    python examples/webcrawl_pipeline.py [sf_dir] [out_dir]
+
+Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
+
+1. schema validation  — compiled plan, verdict + violations columns
+2. quality gates      — per-column stats, url uniqueness, lang drift
+3. dedup              — MinHash LSH candidates -> connected components ->
+                        keep canonical doc per cluster
+4. data mixing        — deterministic per-lang sampling
+5. audited write      — clean corpus + violation rows + per-file audit
+                        metrics (resumable: re-running skips completed
+                        input files)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import spark_schema_guard as ssg
+from spark_schema_guard.operators import (
+    chi_square_drift, column_profile, domain_skew, stratified_sample,
+    uniqueness_report,
+)
+from spark_schema_guard.operators.dedup import (
+    duplicate_clusters, minhash_candidates,
+)
+from spark_schema_guard.session import build_session
+from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, web_pages
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="webcrawl_pipeline_")
+    spark = build_session(app_name="webcrawl-pipeline", cores=8,
+                          shuffle_partitions=16)
+    report: dict = {"input": sf_dir, "out": out_dir}
+
+    # the synthetic Common-Crawl-shaped table (url, warc_ts, html, text, lang)
+    web = web_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    # -- 1. validation ----------------------------------------------------
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    validated = plan.apply(web)
+    verdicts = validated.groupBy("verdict").count().collect()
+    report["validation"] = {str(r["verdict"]): r["count"] for r in verdicts}
+
+    # -- 2. quality gates -------------------------------------------------
+    profile = column_profile(web, ["url", "text", "lang"]).collect()
+    report["stats"] = {r["column"]: {"nulls": r["nulls"],
+                                     "distinct": r["distinct"]}
+                      for r in profile}
+    uniq = uniqueness_report(web, "url").collect()[0]
+    report["url_uniqueness"] = {k: uniq[k] for k in
+                                ("total_rows", "distinct_keys",
+                                 "duplicated_keys", "surplus_rows")}
+    report["hot_domains"] = [
+        (r["value"], r["n_rows"])
+        for r in domain_skew(web, "url", k=3).collect()]
+    drift = chi_square_drift(web, "lang", (F.col("source") == "src3")).collect()[0]
+    report["lang_drift_chisq"] = round(drift["statistic"], 2)
+
+    # -- 3. dedup: candidates -> clusters -> canonical only ---------------
+    clean = validated.where(F.col("verdict"))
+    edges = minhash_candidates(clean, "doc_id", "text",
+                               num_hashes=8, bands=4, shingle_k=8)
+    clustered = duplicate_clusters(clean, "doc_id", edges)
+    deduped = clustered.where(F.col("is_canonical"))
+    report["dedup"] = {"before": clean.count(), "after": deduped.count()}
+
+    # -- 4. data mixing ---------------------------------------------------
+    mixed = stratified_sample(
+        deduped, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5},
+        "doc_id", mode="hash")
+    report["mix"] = {r["lang"]: r["n"] for r in
+                     mixed.groupBy("lang").agg(
+                         F.count(F.lit(1)).alias("n")).collect()}
+
+    # -- 5. audited, resumable write -------------------------------------
+    corpus_path = os.path.join(out_dir, "corpus")
+    mixed.drop("violations", "verdict", "cluster_id", "is_canonical") \
+        .write.mode("overwrite").parquet(corpus_path)
+    plan.violation_rows(web, keys=["url"]).write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "violations"))
+
+    from spark_schema_guard.audit import AuditedRun
+
+    run = AuditedRun(spark, plan, corpus_path,
+                     os.path.join(out_dir, "audit"))
+    report["audit"] = run.run()
+    # a second run validates nothing: every input file is checkpointed
+    rerun = AuditedRun(spark, plan, corpus_path,
+                       os.path.join(out_dir, "audit"))
+    report["audit_resume"] = rerun.run()
+
+    print(json.dumps(report, indent=1, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
