@@ -388,6 +388,17 @@ def q_events_json_verdicts(spark, sf_dir):
         F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
 
 
+def q_events_json_exact(spark, sf_dir):
+    """Same JSON-column validation through the exact engine (compiled row
+    validator inside an Arrow pandas UDF) — the genuinely-dynamic-data
+    path; must agree with the columnar engine and the SQL oracle."""
+    events = _read(spark, sf_dir, "events")
+    out = validate_json_column(events, "props", PROPS_SCHEMA, engine="python")
+    return out.select(
+        "event_id", "verdict",
+        F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     with_meta = attach_media_metadata(web, "html", media_type="document")
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
         "events_json_verdicts": q_events_json_verdicts,
+        "events_json_exact": q_events_json_exact,
         "multimodal_meta": q_multimodal_meta,
         "simhash": q_simhash,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -799,6 +811,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_json_verdicts": """
+            SELECT event_id,
+                   (k IS NOT NULL AND k >= 0 AND k <= 80) AS verdict,
+                   CASE WHEN k IS NULL THEN 'required'
+                        WHEN k < 0 THEN 'minimum'
+                        WHEN k > 80 THEN 'maximum'
+                        ELSE NULL END AS first_rule
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+        """,
+        "events_json_exact": """
             SELECT event_id,
                    (k IS NOT NULL AND k >= 0 AND k <= 80) AS verdict,
                    CASE WHEN k IS NULL THEN 'required'
