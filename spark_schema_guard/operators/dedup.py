@@ -216,9 +216,14 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list:
     ``(id, component)`` with component = MIN node id in the component.
+    With ``strict`` (default), raises if ``max_iter`` rounds pass without
+    reaching the fixpoint — unconverged labels silently over-split
+    components, which for dedup means keeping duplicates; pass
+    ``strict=False`` to accept the partial refinement instead.
 
     This is the cluster-resolution stage of a dedup pipeline: candidate
     pairs from ``exact_duplicates`` / ``minhash_candidates`` /
@@ -249,6 +254,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = None  # None = fixpoint never confirmed (e.g. max_iter=0)
     for _ in range(max_iter):
         links = labels.where(F.col("id") != F.col("label"))
         hop = links.select(F.col("id").alias("a"), F.col("label").alias("b"))
@@ -269,10 +275,15 @@ def connected_components(
         )
         changed = new_labels.agg(
             F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
-        ).collect()[0]["n"]
+        ).collect()[0]["n"] or 0  # sum over an empty graph is NULL = 0 changes
         labels = new_labels.drop("_old")
         if not changed:
             break
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed or 'unknown'} labels still changing); raise max_iter "
+            "or pass strict=False to accept the partial refinement")
     return labels.select("id", F.col("label").alias("component"))
 
 

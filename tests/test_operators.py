@@ -339,3 +339,18 @@ def test_stratified_sample_modes(spark, sf_dir):
                               mode="exact")
     assert sorted(r["doc_id"] for r in exact.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from spark_schema_guard.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+    # partial refinement accepted when explicitly requested
+    partial = connected_components(edges, max_iter=1, strict=False).collect()
+    assert len(partial) == 41
+    # an empty edge list converges trivially (NULL change-sum = 0)
+    empty = edges.sparkSession.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
