@@ -497,7 +497,8 @@ def oracle_sql() -> dict[str, str]:
         "v_violation_messages": union_messages,
         "v_lang_agg": f"""
             SELECT lang, COUNT(*) AS total,
-                   SUM(CASE WHEN ({n_viol}) = 0 THEN 1 ELSE 0 END) AS valid
+                   CAST(SUM(CASE WHEN ({n_viol}) = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS valid
             FROM documents GROUP BY lang
         """,
         "web_verdicts_agg": f"""
@@ -523,9 +524,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "web_uniqueness_summary": f"""
             WITH {WEB_CTE}, c AS (SELECT url, COUNT(*) AS n FROM web GROUP BY url)
-            SELECT SUM(n) AS total_rows, COUNT(*) AS distinct_keys,
-                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS duplicated_keys,
-                   SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS surplus_rows
+            SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                   COUNT(*) AS distinct_keys,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS duplicated_keys,
+                   CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+                     AS surplus_rows
             FROM c
         """,
         "fk_orders_customer": """
@@ -541,7 +545,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "stats_documents": """
-            SELECT column_name AS "column", cnt AS count, nulls,
+            SELECT column_name AS "column", cnt AS count,
+                   CAST(nulls AS BIGINT) AS nulls,
                    round(nulls * 1.0 / cnt, 6) AS null_frac,
                    n_distinct, min_v AS min, max_v AS max, mean
             FROM (
@@ -577,7 +582,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "stats_nulls_events": """
-            SELECT col AS "column", nulls, round(nulls * 1.0 / cnt, 6) AS null_frac
+            SELECT col AS "column", CAST(nulls AS BIGINT) AS nulls,
+                   round(nulls * 1.0 / cnt, 6) AS null_frac
             FROM (
               SELECT 'event_id' AS col, COUNT(*) AS cnt,
                      SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls FROM events
@@ -623,7 +629,8 @@ def oracle_sql() -> dict[str, str]:
                            SUM(n_r) OVER (ORDER BY v) AS cr
                     FROM pv)
             SELECT round(MAX(abs(cl * 1.0 / tl - cr * 1.0 / tr)), 6) AS statistic,
-                   MAX(tl) AS n_left, MAX(tr) AS n_right
+                   CAST(MAX(tl) AS BIGINT) AS n_left,
+                   CAST(MAX(tr) AS BIGINT) AS n_right
             FROM cum, tot
         """,
         "drift_events_value_ks": """
@@ -640,7 +647,8 @@ def oracle_sql() -> dict[str, str]:
                            SUM(n_r) OVER (ORDER BY v) AS cr
                     FROM pv)
             SELECT round(MAX(abs(cl * 1.0 / tl - cr * 1.0 / tr)), 6) AS statistic,
-                   MAX(tl) AS n_left, MAX(tr) AS n_right
+                   CAST(MAX(tl) AS BIGINT) AS n_left,
+                   CAST(MAX(tr) AS BIGINT) AS n_right
             FROM cum, tot
         """,
         "dedup_exact": f"""
@@ -835,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": f"""
             WITH {WEB_CTE}
             SELECT COUNT(*) AS n_payloads,
-                   SUM(html_bytes) AS total_bytes,
+                   CAST(SUM(html_bytes) AS BIGINT) AS total_bytes,
                    MIN(html_bytes) AS min_bytes,
                    MAX(html_bytes) AS max_bytes
             FROM web WHERE html_bytes IS NOT NULL

@@ -158,16 +158,28 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint per doc from whitespace tokens: ``id, simhash``.
 
     bit_j(doc) = sign of Σ_tokens (bit_j(hash(token)) ? +1 : -1).
+
+    ``hash_fn="md5"`` derives the per-token bits from the first
+    ``bits/4`` hex chars of md5(token) — engine-portable (any SQL oracle
+    can reproduce it digit-by-digit), used by the correctness gate;
+    ``xxhash64`` is the cheaper 10^12-row default.
     """
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    if hash_fn == "md5":
+        assert bits % 4 == 0
+        # big-endian prefix of the md5 hex digest: bit j lives in hex
+        # digit (bits/4 - 1 - j//4), bit position j%4 of that digit
+        h = F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     aggs = [
         F.sum(((F.shiftright(h, j).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"b_{j}")
         for j in range(bits)
@@ -181,11 +193,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
-                      bits: int = 32, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on half-band
-    equality (a pair within distance d must agree on at least one of d+1
-    disjoint bit blocks)."""
-    hashed = simhash(df, id_col, text_col, bits=bits)
+                      bits: int = 32, max_hamming: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on bit-block
+    equality: a pair within distance d must agree on at least one of d+1
+    disjoint bit blocks (pigeonhole), so the blocking is LOSSLESS — the
+    blocked join returns exactly the all-pairs answer, which is how the
+    DuckDB oracle verifies this scale path with a brute-force query."""
+    hashed = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     blocks = max_hamming + 1
     width = bits // blocks
     structs = [

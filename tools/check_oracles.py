@@ -1,10 +1,21 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir;
 compare row count, sorted column names, and an order-insensitive value
-hash.  Usage: python tools/check_oracles.py [sf_dir] [query ...]"""
+hash.
+
+The value hash is computed over Arrow-materialized values with TYPE TAGS
+(int / float / Decimal / bool / str are distinct), which is how r01's 7
+driver-only hash misses slipped past the old 10-sig-fig replica: DuckDB
+``SUM(int)`` yields HUGEINT (-> float64/decimal128 through pandas/Arrow)
+while Spark yields int64 — numerically equal, representationally not.
+Oracles must CAST aggregates to BIGINT / matching types explicitly.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -20,14 +31,25 @@ def canon(value):
     if value is None:
         return "<null>"
     if isinstance(value, bool):
-        return "true" if value else "false"
+        return "b:true" if value else "b:false"
+    if isinstance(value, int):
+        return f"i:{value}"
     if isinstance(value, float):
         if math.isnan(value):
-            return "nan"
-        return f"{value:.10g}"
+            return "f:nan"
+        if value == int(value) and abs(value) < 1e15:
+            return f"f:{int(value)}.0"
+        return f"f:{value!r}"
+    if isinstance(value, decimal.Decimal):
+        return f"d:{value}"
+    if isinstance(value, bytes):
+        return "x:" + value.hex()
     if isinstance(value, (list, tuple)):
         return "[" + ",".join(canon(v) for v in value) + "]"
-    return str(value)
+    if isinstance(value, dict):
+        return "{" + ",".join(
+            f"{k}={canon(v)}" for k, v in sorted(value.items())) + "}"
+    return f"s:{value}"
 
 
 def table_hash(rows, columns):
@@ -37,6 +59,12 @@ def table_hash(rows, columns):
     )
     digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
     return digest, lines
+
+
+def arrow_rows(table):
+    """Arrow table -> list of row tuples of plain Python values."""
+    cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+    return list(zip(*cols)) if cols else [], table.column_names
 
 
 def main():
@@ -63,8 +91,7 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            srows, scols = arrow_rows(sdf.toArrow())
         except Exception as exc:
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL  {name}: spark error {exc}")
@@ -74,8 +101,7 @@ def main():
             continue
         try:
             rel = con.sql(oracles[name])
-            orows = rel.fetchall()
-            ocols = [d[0] for d in rel.description]
+            orows, ocols = arrow_rows(rel.arrow())
         except Exception as exc:
             failures.append((name, f"ORACLE ERROR: {exc}"))
             print(f"FAIL  {name}: oracle error {exc}")
