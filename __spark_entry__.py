@@ -8,9 +8,12 @@
                      (validation rules, column stats, uniqueness,
                      referential, drift, dedup, similarity, text analysis,
                      JSON-column validation, multimodal metadata).
-``oracle_sql()``   — DuckDB-equivalent SQL per query (omitted only for the
-                     hash-function-specific ops: simhash and BPE-ish token
-                     split, which rely on xxhash64 / Java regex lookaround).
+``oracle_sql()``   — DuckDB-equivalent SQL for EVERY query, including the
+                     hash-based ops (simhash runs in md5-portable mode,
+                     reproduced digit-by-digit in SQL; the BPE-ish token
+                     pattern is lookaround-free so the same regex runs on
+                     both engines) and the bucketed scale paths (sign-block
+                     ANN, hyperplane-LSH top-k, blocked hamming join).
 
 Column names are aliased identically on both sides; floats are rounded;
 timestamps are surfaced as epoch BIGINTs to dodge tz-representation
@@ -357,7 +360,34 @@ def q_ann_near_dups(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     return embedding_near_dups(emb, "vec_id", "embedding",
-                               threshold=0.2).select("id_a", "id_b")
+                               threshold=0.2, exact=True).select("id_a", "id_b")
+
+
+def q_ann_near_dups_blocked(spark, sf_dir):
+    """The 100-TB code path: sign-block LSH (default) instead of the
+    all-pairs crossJoin; the oracle reproduces the same deterministic
+    blocking, so this is an exact-match gate on the blocked join."""
+    from spark_schema_guard.operators.dedup import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return embedding_near_dups(emb, "vec_id", "embedding",
+                               threshold=0.2, block_bits=4).select("id_a", "id_b")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k (the bucketed scale path).  multiprobe=0
+    so the candidate set is a pure bucket-equality join the oracle can
+    replicate; the recall-vs-brute property of multiprobe is covered by
+    tests/test_operators.py."""
+    from spark_schema_guard.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where(F.col("vec_id") < 3).collect()}
+    queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
+    return cosine_topk_lsh(emb, "vec_id", "embedding", queries, k=5,
+                           n_planes=3, multiprobe=0).select(
+        "query_id", "rank", "neighbor_id")
 
 
 def q_text_token_counts(spark, sf_dir):
@@ -411,12 +441,23 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-# --- rows-only (no SQL oracle): hash-function/Java-regex specific ---------
-
-
 def q_simhash(spark, sf_dir):
+    """md5-portable simhash mode (the gate variant; xxhash64 is the
+    cheaper production default — same plan shape, different hash)."""
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return simhash(docs, "doc_id", "text", bits=32)
+    return simhash(docs, "doc_id", "text", bits=32, hash_fn="md5")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """Blocked hamming join; the bit-block blocking is LOSSLESS for
+    hamming <= max_hamming (pigeonhole), so the all-pairs DuckDB oracle
+    must agree exactly."""
+    from spark_schema_guard.operators.dedup import simhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return simhash_near_dups(docs, "doc_id", "text", bits=32, max_hamming=4,
+                             hash_fn="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_text_bpe_tokens(spark, sf_dir):
@@ -450,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
+        "ann_near_dups_blocked": q_ann_near_dups_blocked,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -765,14 +809,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "sample_mix": f"""
-            SELECT doc_id, lang FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
-                  CASE lang
-                    WHEN 'en' THEN 'g'
-                    WHEN 'de' THEN '{format(int(0.5 * 16**15), "015x")}'
-                    WHEN 'fr' THEN '{format(int(0.25 * 16**15), "015x")}'
-                    ELSE '000000000000000'
-                  END
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CASE lang
+                       WHEN 'en' THEN 'g'
+                       WHEN 'de' THEN '{format(int(0.5 * 16**15), "015x")}'
+                       WHEN 'fr' THEN '{format(int(0.25 * 16**15), "015x")}'
+                       ELSE '000000000000000'
+                     END AS thr
+              FROM documents)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < thr
+               OR (doc_id IS NULL AND thr = 'g')
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -799,6 +846,23 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
                   >= 0.2
+        """,
+        "ann_near_dups_blocked": _ann_blocked_sql(block_bits=4, threshold=0.2),
+        "ann_topk_lsh": _ann_lsh_sql(k=5, n_planes=3),
+        "simhash": f"WITH {_simhash_md5_cte()} SELECT doc_id, simhash FROM sh",
+        "simhash_near_dups": f"""
+            WITH {_simhash_md5_cte()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "text_token_counts": r"""
             SELECT doc_id,
@@ -851,13 +915,98 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _simhash_md5_cte(pred: str = "doc_id < 500", bits: int = 32) -> str:
+    """CTE chain computing the md5-portable simhash digit-by-digit —
+    byte-identical to operators/dedup.py::simhash(hash_fn="md5")."""
+    nhex = bits // 4
+
+    def hexdig(i):
+        return f"(strpos('0123456789abcdef', substr(h16, {i}, 1)) - 1)"
+
+    poly = " + ".join(f"{hexdig(i)} * {16 ** (nhex - i)}"
+                      for i in range(1, nhex + 1))
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(bits))
+    fp = " + ".join(f"(CASE WHEN b_{j} > 0 THEN {2 ** j} ELSE 0 END)"
+                    for j in range(bits))
+    return rf"""
+            toks AS (SELECT doc_id, t AS tok
+                     FROM (SELECT doc_id,
+                                  unnest(regexp_split_to_array(text, '\s+')) AS t
+                           FROM documents WHERE {pred})
+                     WHERE length(t) > 0),
+            hv AS (SELECT doc_id, {poly} AS h
+                   FROM (SELECT doc_id, substr(md5(tok), 1, {nhex}) AS h16
+                         FROM toks)),
+            shbits AS (SELECT doc_id,
+                   {bit_sums}
+                   FROM hv GROUP BY doc_id),
+            sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM shbits)
+    """
+
+
+def _ann_blocked_sql(*, block_bits: int, threshold: float) -> str:
+    """Sign-block LSH near-dup oracle — same deterministic blocking as
+    operators/dedup.py::embedding_near_dups (bit j = sign of component
+    j+1, first component most significant)."""
+    key = " + ".join(
+        f"(CASE WHEN v[{j + 1}] > 0 THEN {2 ** (block_bits - 1 - j)} ELSE 0 END)"
+        for j in range(block_bits))
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings WHERE vec_id < 100),
+        blk AS (SELECT vec_id, v, ({key}) AS b FROM base)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM blk a JOIN blk c ON a.b = c.b AND a.vec_id < c.vec_id
+        WHERE list_dot_product(a.v, c.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(c.v, c.v))) >= {threshold}
+    """
+
+
+def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64) -> str:
+    """Hyperplane-LSH top-k oracle: the seed-deterministic planes are
+    embedded as literal arrays, buckets computed identically to
+    operators/similarity.py::lsh_bucket_column (multiprobe=0)."""
+    from spark_schema_guard.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, 42)
+
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 "
+        f"THEN {2 ** (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH data AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        db AS (SELECT vec_id, v, ({bucket}) AS bucket FROM data),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+              FROM db WHERE vec_id < 3),
+        scored AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                          list_dot_product(q.qv, d.v)
+                          / (sqrt(list_dot_product(q.qv, q.qv))
+                             * sqrt(list_dot_product(d.v, d.v))) AS cosine
+                   FROM q JOIN db d
+                     ON d.bucket = q.qb AND d.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
 def _stop_hits_sql(words):
-    parts = [
-        "CAST((length(' ' || text || ' ') - "
-        f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in words
-    ]
-    return " + ".join(parts)
+    """Token-membership hit count mirroring textstats._token_hits: split
+    once on whitespace, count tokens that are exact members of the word
+    list."""
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return (r"CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+            f"t -> list_contains([{quoted}], t))) AS BIGINT)")
 
 
 def _text_quality_sql() -> str:

@@ -69,13 +69,19 @@ class _Site:
     # Columns and struct fields follow NULL-means-absent; array elements and
     # map values are always "present" — their NULL is a JSON null value.
     null_is_value: bool = False
+    # For struct sites parsed out of a JSON string column: the JSON TEXT of
+    # this object (root = the raw column; nested = get_json_object slice).
+    # Lets object keywords see the TRUE runtime key set via
+    # json_object_keys instead of only the schema-declared struct fields.
+    json_expr: Column | None = None
 
     def present(self) -> Column:
         if self.expr is None or self.null_is_value:
             return F.lit(True)
         return self.expr.isNotNull()
 
-    def child(self, expr, dtype, suffix_static, name_col=None) -> "_Site":
+    def child(self, expr, dtype, suffix_static, name_col=None,
+              json_expr=None) -> "_Site":
         return _Site(
             expr=expr,
             dtype=dtype,
@@ -83,7 +89,22 @@ class _Site:
             name_col=name_col if name_col is not None
             else F.concat(self.name_col, F.lit(suffix_static)),
             base_uri=self.base_uri,
+            json_expr=json_expr,
         )
+
+    def object_keys(self) -> Column | None:
+        """Runtime key array of this object, when the true key set is
+        knowable (JSON-backed struct sites); None for plain structs."""
+        if self.json_expr is None:
+            return None
+        return F.json_object_keys(self.json_expr)
+
+
+def _json_path(key: str) -> str:
+    """get_json_object path for a static key."""
+    if re.fullmatch(r"[A-Za-z0-9_]+", key):
+        return f"$.{key}"
+    return "$['" + key.replace("'", "\\'") + "']"
 
 
 class PlanUnsupported(SchemaDefinitionError):
@@ -604,7 +625,12 @@ class _PlanCompiler:
             }
         if isinstance(site.dtype, T.StructType):
             return {
-                f.name: site.child(site.expr.getField(f.name), f.dataType, "." + f.name)
+                f.name: site.child(
+                    site.expr.getField(f.name), f.dataType, "." + f.name,
+                    json_expr=(
+                        F.get_json_object(site.json_expr, _json_path(f.name))
+                        if site.json_expr is not None
+                        and isinstance(f.dataType, T.StructType) else None))
                 for f in site.dtype.fields
             }
         return {}
@@ -615,6 +641,11 @@ class _PlanCompiler:
     def _object_len(self, site) -> Column | None:
         if isinstance(site.dtype, T.MapType):
             return F.size(site.expr)
+        keys = site.object_keys()
+        if keys is not None:
+            # true runtime key count (sees undeclared keys and counts
+            # explicit nulls as present, like the reference)
+            return F.size(keys)
         fields = self._field_sites(site)
         if not fields:
             return None
@@ -1016,6 +1047,15 @@ def compile_plan_for_column(
     return ValidationPlan(
         rules=rules, defaults=[], schema_definition=definition,
         df_schema=None, row_validator=row_validator, regex_engine=regex_engine,
+        options={
+            "column_root": column,
+            "column_dtype": dtype.json(),
+            "regex_engine": regex_engine,
+            "use_formats": use_formats,
+            "use_default": use_default,
+            "formats": formats,
+            "handlers": handlers,
+        },
     )
 
 

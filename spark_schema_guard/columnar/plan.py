@@ -215,12 +215,30 @@ def load_plan(path_or_spec, df_schema=None, *, formats=None, handlers=None):
     opts = dict(spec.get("options") or {})
     named_formats = opts.pop("formats", None)
     named_handlers = opts.pop("handlers", None)
-    if named_formats and not formats:
-        raise ValueError(
-            f"plan spec names custom formats {named_formats}; pass formats=")
-    if named_handlers and not handlers:
-        raise ValueError(
-            f"plan spec names custom handlers {named_handlers}; pass handlers=")
+    # the spec records custom callables by NAME only — the supplied dicts
+    # must cover every recorded name, or the rebuilt plan would silently
+    # diverge from the saved one
+    if named_formats:
+        missing = sorted(set(named_formats) - set(formats or {}))
+        if missing:
+            raise ValueError(
+                f"plan spec names custom formats {sorted(named_formats)}; "
+                f"formats= is missing {missing}")
+    if named_handlers:
+        missing = sorted(set(named_handlers) - set(handlers or {}))
+        if missing:
+            raise ValueError(
+                f"plan spec names custom handlers {sorted(named_handlers)}; "
+                f"handlers= is missing {missing}")
+    column_root = opts.pop("column_root", None)
+    column_dtype = opts.pop("column_dtype", None)
+    if column_root is not None:
+        from .compiler import compile_plan_for_column
+
+        return compile_plan_for_column(
+            spec["definition"], column_root,
+            T._parse_datatype_json_string(column_dtype),
+            formats=formats, handlers=handlers, **opts)
     if df_schema is None and spec.get("df_schema"):
         df_schema = T.StructType.fromJson(spec["df_schema"])
 

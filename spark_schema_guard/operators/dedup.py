@@ -257,43 +257,75 @@ def connected_components(
     Catalyst analysis time dominates.  Convergence is detected with the
     same single action that materializes the round (sum of labels is
     strictly decreasing until fixpoint).
+
+    Storage hygiene at 10^12-row scale: the symmetric edge list is
+    persisted once (otherwise every round recomputes the entire upstream
+    candidate-pair pipeline — LSH shingle/band included) and released on
+    exit, and each round's checkpoint blocks are dropped as soon as the
+    next round materializes, so executor storage holds at most two
+    label snapshots + the edges regardless of round count.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                & (F.col("a") != F.col("b")))
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    spark = edges.sparkSession
+
+    def _persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _release(ids):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    # Materialize the edge cache first (the one pass that pays the full
+    # upstream pipeline) so the id-diff below sees only checkpoint RDDs.
+    sym.count()
+    before = _persistent_ids()
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    prev_ck_ids = _persistent_ids() - before
     changed = None  # None = fixpoint never confirmed (e.g. max_iter=0)
-    for _ in range(max_iter):
-        links = labels.where(F.col("id") != F.col("label"))
-        hop = links.select(F.col("id").alias("a"), F.col("label").alias("b"))
-        all_edges = sym.union(hop).union(
-            hop.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        neigh_min = (
-            all_edges.join(
-                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")),
-                "b")
-            .groupBy("a").agg(F.min("nl").alias("nl"))
-        )
-        new_labels = (
-            labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
-            .select(labels["id"],
-                    F.least(labels["label"], F.col("nl")).alias("label"),
-                    labels["label"].alias("_old"))
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(
-            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
-        ).collect()[0]["n"] or 0  # sum over an empty graph is NULL = 0 changes
-        labels = new_labels.drop("_old")
-        if not changed:
-            break
+    try:
+        for _ in range(max_iter):
+            links = labels.where(F.col("id") != F.col("label"))
+            hop = links.select(F.col("id").alias("a"), F.col("label").alias("b"))
+            all_edges = sym.union(hop).union(
+                hop.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            neigh_min = (
+                all_edges.join(
+                    labels.select(F.col("id").alias("b"), F.col("label").alias("nl")),
+                    "b")
+                .groupBy("a").agg(F.min("nl").alias("nl"))
+            )
+            before = _persistent_ids()
+            new_labels = (
+                labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
+                .select(labels["id"],
+                        F.least(labels["label"], F.col("nl")).alias("label"),
+                        labels["label"].alias("_old"))
+                .localCheckpoint(eager=True)
+            )
+            new_ck_ids = _persistent_ids() - before
+            changed = new_labels.agg(
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
+            ).collect()[0]["n"] or 0  # sum over an empty graph is NULL = 0 changes
+            _release(prev_ck_ids)
+            prev_ck_ids = new_ck_ids
+            labels = new_labels.drop("_old")
+            if not changed:
+                break
+    finally:
+        sym.unpersist()
     if strict and changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -335,19 +367,28 @@ def embedding_near_dups(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    block_bits: int = 0,
+    block_bits: int = 8,
+    exact: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
-    ``block_bits=0`` is the exact all-pairs path (test scale); with b>0,
-    docs are blocked by the sign pattern of their first b components (a
-    1-permutation hyperplane LSH) so only same-block pairs join.
+    The default is BLOCKED: docs are bucketed by the sign pattern of
+    their first ``block_bits`` components (a 1-permutation hyperplane
+    LSH) and only same-block pairs join — the shape that survives a
+    10^12-row corpus.  ``exact=True`` opts into the all-pairs crossJoin
+    (O(n²) — small inputs / oracle comparisons only).  The blocking is
+    deterministic (sign bits of the stored vector), so a SQL oracle can
+    reproduce the blocked result exactly.
     """
+    if not exact and block_bits <= 0:
+        raise ValueError(
+            "block_bits must be > 0; pass exact=True to opt into the "
+            "all-pairs crossJoin explicitly")
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda acc, x: acc + x * x))
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm.alias("nrm"))
-    if block_bits > 0:
+    if not exact:
         key = F.lit(0)
         for j in range(block_bits):
             key = key * 2 + (F.element_at(F.col("v"), j + 1) > 0).cast("int")

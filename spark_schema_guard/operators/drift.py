@@ -42,12 +42,15 @@ def chi_square_drift(
     dof; scipy is not assumed present.)
     """
     cells = contingency(df, value_col, bucket_col)
-    totals = cells.agg(F.sum("n").alias("grand")).collect()[0]["grand"]
+    # grand total folded in as a broadcast single-row join (not an eager
+    # .collect() — no Spark job fires until the caller acts on the result)
+    grand = cells.agg(F.sum("n").alias("grand"))
     row_tot = cells.groupBy("bucket").agg(F.sum("n").alias("row_n"))
     col_tot = cells.groupBy("value").agg(F.sum("n").alias("col_n"))
     joined = (
         cells.join(row_tot, "bucket").join(col_tot, "value")
-        .withColumn("expected", F.col("row_n") * F.col("col_n") / F.lit(totals))
+        .crossJoin(F.broadcast(grand))
+        .withColumn("expected", F.col("row_n") * F.col("col_n") / F.col("grand"))
         .withColumn("contrib", F.pow(F.col("n") - F.col("expected"), 2) / F.col("expected"))
     )
     return joined.agg(

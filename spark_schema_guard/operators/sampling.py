@@ -44,10 +44,17 @@ def _threshold_hex(fraction: float) -> str:
 def downsample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Deterministic hash-threshold sample of ~``fraction`` of rows.
     Pure filter — no shuffle, no RNG, stable under re-runs and
-    repartitioning."""
+    repartitioning.
+
+    NULL ids hash to NULL and cannot be subsampled deterministically;
+    they are kept when ``fraction == 1.0`` ("keep all" means all) and
+    dropped otherwise — pre-filter or fill ids if that matters.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.where(_hash_key(F.col(id_col)) < F.lit(_threshold_hex(fraction)))
+    threshold = F.lit(_threshold_hex(fraction))
+    keep = _hash_key(F.col(id_col)) < threshold
+    return df.where(keep | (F.col(id_col).isNull() & (threshold == F.lit("g"))))
 
 
 def stratified_sample(
@@ -75,7 +82,12 @@ def stratified_sample(
         for value, frac in sorted(fractions.items()):
             threshold = F.when(strata.eqNullSafe(F.lit(value)),
                                F.lit(_threshold_hex(frac))).otherwise(threshold)
-        return df.where(_hash_key(F.col(id_col)) < threshold)
+        # NULL ids hash to NULL: keep them whenever their stratum's
+        # effective fraction is 1.0 (threshold 'g' = keep-all), drop
+        # otherwise — a NULL key cannot be fractionally subsampled.
+        keep = _hash_key(F.col(id_col)) < threshold
+        return df.where(keep | (F.col(id_col).isNull()
+                                & (threshold == F.lit("g"))))
 
     if mode == "exact":
         counts = {r["s"]: r["n"] for r in

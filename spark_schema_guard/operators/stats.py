@@ -108,12 +108,16 @@ def heavy_hitters(
     ``value, n_rows, share, rank``.
 
     Rank is deterministic (count DESC, value ASC) so results are
-    engine-portable.  The ranking window runs over the *aggregated*
-    counts (|distinct values| rows, partial-agg'd map-side), not the
-    input; at 10^12 rows pass ``min_share`` to cut the long tail before
-    the single-partition ranking (heavy hitters by definition clear any
-    such threshold — Misra-Gries guarantee: a value with share >= 1/k
-    survives every prefilter >= 1/k).
+    engine-portable.  The top-k itself is ``ORDER BY ... LIMIT k``,
+    which Spark executes as TakeOrderedAndProject — each partition of
+    the aggregated counts keeps its local top-k and only k·P candidate
+    rows merge — so no single-partition sort/window ever sees the full
+    distinct-value set, even with ``min_share=0`` on a high-cardinality
+    column.  The ``row_number`` that materializes the rank runs over the
+    already-limited k rows (bounded work by construction; pinned by
+    tests/test_plan_shape.py).  ``min_share`` additionally prefilters
+    the tail before the merge (a value with share >= 1/k survives every
+    prefilter >= 1/k — the Misra-Gries guarantee).
     """
     col = F.col(column) if isinstance(column, str) else column
     counts = (
@@ -125,11 +129,11 @@ def heavy_hitters(
         "share", F.col("n_rows") / F.col("t")).drop("t")
     if min_share > 0.0:
         shared = shared.where(F.col("share") >= min_share)
+    topk = shared.orderBy(F.col("n_rows").desc(), F.col("value").asc()).limit(k)
     from pyspark.sql import Window
     w = Window.orderBy(F.col("n_rows").desc(), F.col("value").asc())
     return (
-        shared.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "value", "n_rows", "share")
     )
 

@@ -29,35 +29,51 @@ def token_count(text: Column) -> Column:
         F.size(F.split(trimmed, r"\s+")))
 
 
+# BPE-ish sub-word token classes: letter runs, digit runs, and single
+# other non-space characters.  Deliberately lookaround-free so the exact
+# same pattern runs under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND
-    letter/digit/punctuation boundaries (a cheap BPE stand-in for
-    budget estimation)."""
-    pieces = F.split(text, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])")
-    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    """Sub-word-ish token count: letter runs, digit runs, and individual
+    punctuation/symbol characters each count as one token (a cheap BPE
+    stand-in for budget estimation).  Counted as regex matches — one
+    scan, engine-portable."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
-def _count_occurrences(text: Column, needle: str) -> Column:
-    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) \
-        / F.lit(len(needle))
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens of the trimmed text (empty text -> [''])."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def _token_hits(toks: Column, words) -> Column:
+    """How many tokens are exact members of ``words`` — one pass over the
+    token array (array_contains per token), not one string-replace scan
+    per word."""
+    word_arr = F.array(*[F.lit(w) for w in sorted(words)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t))) \
+        .cast("long")
 
 
 def word_occurrences(text: Column, word: str) -> Column:
-    """Occurrences of a word with space delimiters (cheap, index-free)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    return _count_occurrences(padded, f" {word} ").cast("long")
+    """Occurrences of a word as a whitespace-delimited token."""
+    return _token_hits(_tokens(text), [word])
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality features: n_chars, n_tokens, mean token length,
-    stopword ratio, punctuation ratio, digit ratio, and a [0,1] score."""
+    stopword ratio, punctuation ratio, digit ratio, and a [0,1] score.
+
+    Single tokenize pass: the text is split once and every stopword test
+    is an array membership check, instead of one full-string replace per
+    stopword (22 scans per doc in the previous formulation).
+    """
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count(text)
-    stop_hits = None
-    for w in STOPWORDS:
-        c = word_occurrences(text, w)
-        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_hits = _token_hits(_tokens(text), STOPWORDS)
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
     mean_tok_len = F.when(n_tokens > 0,
@@ -87,12 +103,10 @@ def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-frequency language id: the language whose marker words hit
     most often; deterministic tie-break by language code."""
     text = F.col(text_col)
+    toks = _tokens(text)
     scores = []
     for lang in sorted(LANG_MARKERS):
-        hits = None
-        for w in LANG_MARKERS[lang]:
-            c = word_occurrences(text, w)
-            hits = c if hits is None else hits + c
+        hits = _token_hits(toks, LANG_MARKERS[lang])
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max on struct: compares hits first, then lang (desc tie-break
     # would need inversion; asc lang on equal hits is deterministic)

@@ -113,7 +113,11 @@ def violation_streaks(
                 pdf = pdf.sort_values(time_col)
             for ok in pdf["verdict"]:
                 seen += 1
-                streak = 0 if ok else streak + 1
+                # NULL verdicts arrive as None or NaN depending on the
+                # Arrow batch; normalize explicitly — an unknown verdict
+                # counts as a violation (policy: can't confirm validity)
+                valid = False if pd.isna(ok) else bool(ok)
+                streak = 0 if valid else streak + 1
         state.update((streak, seen))
 
         if streak >= min_streak:

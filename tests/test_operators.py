@@ -187,11 +187,15 @@ def test_embedding_near_dups_and_topk(spark, sf_dir):
 def test_embedding_near_dups_blocked(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
     exact = {(r["id_a"], r["id_b"]) for r in
-             embedding_near_dups(df, "vec_id", "embedding", threshold=0.8).collect()}
+             embedding_near_dups(df, "vec_id", "embedding", threshold=0.8,
+                                 exact=True).collect()}
     blocked = {(r["id_a"], r["id_b"]) for r in
                embedding_near_dups(df, "vec_id", "embedding", threshold=0.8,
                                    block_bits=2).collect()}
     assert blocked <= exact  # blocking only prunes
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        embedding_near_dups(df, "vec_id", "embedding", block_bits=0)
 
 
 def test_textstats(spark):
