@@ -189,6 +189,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
              for r in emb.where(F.col("vec_id") < 3).collect()]
     timed("ann_topk", lambda: cosine_topk(
         emb, "vec_id", "embedding", qvecs, k=5).collect())
+
+    from spark_schema_guard.operators.dedup import simhash_near_dups
+    from spark_schema_guard.operators.similarity import cosine_topk_lsh
+    timed("ann_topk_lsh", lambda: cosine_topk_lsh(
+        emb, "vec_id", "embedding", qvecs, k=5, n_planes=6,
+        multiprobe=2).collect())
+    timed("dedup_simhash", lambda: simhash_near_dups(
+        docs, "doc_id", "text", bits=32, max_hamming=3).count())
     timed("text_quality", lambda: quality_features(docs, "doc_id", "text").agg(
         F.sum("quality_score")).collect())
 

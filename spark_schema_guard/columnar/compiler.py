@@ -247,7 +247,13 @@ class _PlanCompiler:
             return [self._rule(site, "type",
                                "must be " + " or ".join(types), fail)]
         if site.null_is_value and "null" in types:
-            # only the JSON null value satisfies the declared types
+            # only the JSON null value satisfies the declared types; when
+            # the raw JSON text is available, use it — the typed parse
+            # maps non-coercible values to NULL, which would otherwise be
+            # indistinguishable from a true JSON null
+            if site.json_expr is not None:
+                return [self._rule(site, "type", "must be " + " or ".join(types),
+                                   site.json_expr.isNotNull())]
             return [self._rule(site, "type", "must be " + " or ".join(types),
                                site.expr.isNotNull())]
         # statically impossible: every present value violates
@@ -261,8 +267,13 @@ class _PlanCompiler:
             raise SchemaDefinitionError("enum must be an array")
         message = f"must be one of {schema_value_repr(enum)}"
         compatible = [v for v in enum if _value_fits(v, site.dtype)]
-        if not compatible:
+        null_passes = site.null_is_value and any(v is None for v in enum)
+        if not compatible and not null_passes:
             return [self._rule(site, "enum", message, F.lit(True))]
+        if not compatible:
+            # only the null member can match (e.g. enum [null] on a
+            # string site): pass exactly on explicit JSON null
+            return [self._rule(site, "enum", message, site.expr.isNotNull())]
         expr = site.expr
         string_expr = self._string_expr(site)
         if string_expr is not None:
@@ -698,9 +709,18 @@ class _PlanCompiler:
                     "data: items {} are required but not allowed".format(impossible))
         if not self._is_object_site(site):
             return []
+        keys = site.object_keys()
         if isinstance(site.dtype, T.MapType):
             missing_flags = [
                 (key, ~F.map_contains_key(site.expr, F.lit(key))) for key in required
+            ]
+        elif keys is not None:
+            # JSON-backed: true key presence — an explicit null value
+            # satisfies required (reference semantics), unlike the
+            # struct-field NULL-means-absent approximation
+            missing_flags = [
+                (key, ~_null_false(F.array_contains(keys, F.lit(key))))
+                for key in required
             ]
         else:
             fields = self._field_sites(site)
@@ -757,6 +777,9 @@ class _PlanCompiler:
     def _presence_of(self, site, key) -> Column | None:
         if isinstance(site.dtype, T.MapType):
             return F.map_contains_key(site.expr, F.lit(key))
+        keys = site.object_keys()
+        if keys is not None:
+            return _null_false(F.array_contains(keys, F.lit(key)))
         fields = self._field_sites(site)
         if key in fields:
             return fields[key].present()
@@ -766,10 +789,38 @@ class _PlanCompiler:
         rules = []
         fields = self._field_sites(site)
         is_map = isinstance(site.dtype, T.MapType)
+        keys = site.object_keys()
         for key, prop_definition in definition["properties"].items():
             if not isinstance(prop_definition, (dict, bool)):
                 clean = re.sub(r"[^a-zA-Z0-9]", "", key)
                 raise SchemaDefinitionError("data[{}] must be object".format(clean))
+            if keys is not None and not is_map:
+                # JSON-backed struct: gate value rules on TRUE key
+                # presence, and treat a present-but-NULL field as an
+                # explicit JSON null (null_is_value), mirroring the map
+                # branch — so {"k": null} fails `type`, not `required`
+                if key in fields:
+                    base = fields[key]
+                    child = _Site(base.expr, base.dtype, base.sname,
+                                  base.name_col, base.base_uri,
+                                  null_is_value=True,
+                                  json_expr=(base.json_expr
+                                             if base.json_expr is not None
+                                             else F.get_json_object(
+                                                 site.json_expr,
+                                                 _json_path(key))))
+                    gate = site.present() & _null_false(
+                        F.array_contains(keys, F.lit(key)))
+                    for rule in self.compile_value(prop_definition, child):
+                        rules.append(rule.gated(gate))
+                if (
+                    self.use_default
+                    and isinstance(prop_definition, dict)
+                    and "default" in prop_definition
+                    and site.expr is None
+                ):
+                    self.defaults.append((key, prop_definition["default"]))
+                continue
             if is_map:
                 child = _Site(F.try_element_at(site.expr, F.lit(key)),
                               site.dtype.valueType, site.sname + "." + key,
@@ -819,6 +870,230 @@ class _PlanCompiler:
                     site.present() & _null_false(F.size(failing) > F.lit(0)),
                     dynamic=first)
 
+    # -- variant value rules (open-key JSON value schemas) -----------------
+    #
+    # Undeclared keys in a JSON column have no static type, so their value
+    # schemas are evaluated over Spark 4 VariantType: the raw text parses
+    # once as map<string,variant>, `schema_of_variant` recovers the exact
+    # JSON type per value, and `try_variant_get` projects typed views.
+    # Scalar keywords only — nested object/array/combinator value schemas
+    # raise PlanUnsupported (engine="python" is the exact path there).
+
+    _VARIANT_SUPPORTED = {
+        "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+        "exclusiveMaximum", "multipleOf", "minLength", "maxLength",
+        "pattern", "format",
+    }
+    _VARIANT_ANNOTATIONS = {
+        "title", "description", "default", "examples", "$comment",
+        "$schema", "$id", "id", "definitions",
+    }
+
+    def _variant_entry_rules(self, definition, name_col, v):
+        """(rule_id, message Column, fail Column) triples validating one
+        VARIANT value against a scalar-subset schema, in dialect keyword
+        order with reference-parity messages."""
+        if definition is True or definition == {}:
+            return []
+        if definition is False:
+            return [(None, F.concat(name_col, F.lit(" must not be there")),
+                     F.lit(True))]
+        if not isinstance(definition, dict):
+            raise SchemaDefinitionError("definition must be an object")
+        hard = [k for k in definition if k not in self._VARIANT_SUPPORTED
+                and k not in self._VARIANT_ANNOTATIONS]
+        if hard:
+            raise PlanUnsupported(
+                f"open-key value schema uses {sorted(hard)} — only scalar "
+                "keywords are expressible over dynamically-typed undeclared "
+                "keys; use engine='python'")
+
+        sov = F.schema_of_variant(v)
+        is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
+                  | sov.startswith("DECIMAL"))
+        num = F.try_variant_get(v, "$", "double")
+        is_str = sov == F.lit("STRING")
+        s = F.try_variant_get(v, "$", "string")
+
+        def type_pass(t):
+            if t == "null":
+                return F.is_variant_null(v)
+            if t == "boolean":
+                return sov == F.lit("BOOLEAN")
+            if t == "string":
+                return is_str
+            if t == "integer":
+                if self.integral_float_is_int:
+                    return is_num & (num == F.floor(num))
+                return (sov == F.lit("BIGINT")) | sov.rlike(r"^DECIMAL\(\d+,0\)$")
+            if t == "number":
+                return is_num
+            if t == "array":
+                return sov.startswith("ARRAY")
+            if t == "object":
+                return sov.startswith("OBJECT")
+            raise SchemaDefinitionError("Unknown type")
+
+        def member_pass(m):
+            if m is None:
+                return F.is_variant_null(v)
+            if isinstance(m, bool):
+                return ((sov == F.lit("BOOLEAN"))
+                        & (F.try_variant_get(v, "$", "boolean") == F.lit(m)))
+            if isinstance(m, (int, float)):
+                return is_num & (num == F.lit(float(m)))
+            if isinstance(m, str):
+                return is_str & (s == F.lit(m))
+            raise PlanUnsupported(
+                "array/object enum or const members over dynamically-typed "
+                "undeclared keys need deep compare; use engine='python'")
+
+        def msg(text):
+            return F.concat(name_col, F.lit(" " + text))
+
+        def bound(keyword, op, template):
+            b = definition[keyword]
+            if not isinstance(b, (int, float, Decimal)):
+                raise SchemaDefinitionError(f"{keyword} must be a number")
+            lit_b = F.lit(int(b) if isinstance(b, bool) else b)
+            return (keyword, msg(template.format(b)), is_num & op(num, lit_b))
+
+        out = []
+        for keyword in self.keyword_order:
+            if keyword not in definition:
+                continue
+            if keyword == "type":
+                declared = definition["type"]
+                types = declared if isinstance(declared, list) else [declared]
+                ok = F.lit(False)
+                for t in types:
+                    ok = ok | type_pass(t)
+                out.append(("type", msg("must be " + " or ".join(types)), ~ok))
+            elif keyword == "enum":
+                enum = definition["enum"]
+                if not isinstance(enum, (list, tuple)):
+                    raise SchemaDefinitionError("enum must be an array")
+                ok = F.lit(False)
+                for m in enum:
+                    ok = ok | member_pass(m)
+                out.append(("enum",
+                            msg(f"must be one of {schema_value_repr(enum)}"),
+                            ~ok))
+            elif keyword == "const":
+                const = definition["const"]
+                out.append((
+                    "const",
+                    msg("must be same as const definition: "
+                        f"{schema_value_repr(const)}"),
+                    ~member_pass(const)))
+            elif keyword == "minimum":
+                # exclusiveMinimum as the draft-04 truthy modifier — the
+                # same consult _kw_minimum does (reference draft04.py:339,
+                # inherited by later dialects)
+                if bool(definition.get("exclusiveMinimum", False)):
+                    out.append(bound("minimum", lambda c, b: c <= b,
+                                     "must be bigger than {}"))
+                else:
+                    out.append(bound("minimum", lambda c, b: c < b,
+                                     "must be bigger than or equal to {}"))
+            elif keyword == "maximum":
+                if bool(definition.get("exclusiveMaximum", False)):
+                    out.append(bound("maximum", lambda c, b: c >= b,
+                                     "must be smaller than {}"))
+                else:
+                    out.append(bound("maximum", lambda c, b: c > b,
+                                     "must be smaller than or equal to {}"))
+            elif keyword == "exclusiveMinimum":
+                out.append(bound("exclusiveMinimum", lambda c, b: c <= b,
+                                 "must be bigger than {}"))
+            elif keyword == "exclusiveMaximum":
+                out.append(bound("exclusiveMaximum", lambda c, b: c >= b,
+                                 "must be smaller than {}"))
+            elif keyword == "multipleOf":
+                divisor = definition["multipleOf"]
+                if not isinstance(divisor, (int, float, Decimal)):
+                    raise SchemaDefinitionError("multipleOf must be a number")
+                dec = T.DecimalType(38, 18)
+                fail = is_num & ((num.cast(dec) % F.lit(divisor).cast(dec))
+                                 != F.lit(0).cast(dec))
+                out.append(("multipleOf",
+                            msg(f"must be multiple of {divisor}"), fail))
+                out.append(("multipleOf", F.lit("inifinity reached"),
+                            is_num & ((num / F.lit(divisor))
+                                      == F.lit(float("inf")))))
+            elif keyword == "minLength":
+                b = definition["minLength"]
+                out.append(("minLength",
+                            msg(f"must be longer than or equal to {b} "
+                                "characters"),
+                            is_str & (F.length(s) < F.lit(b))))
+            elif keyword == "maxLength":
+                b = definition["maxLength"]
+                out.append(("maxLength",
+                            msg(f"must be shorter than or equal to {b} "
+                                "characters"),
+                            is_str & (F.length(s) > F.lit(b))))
+            elif keyword == "pattern":
+                pattern = definition["pattern"]
+                fixed = _UNESCAPED_DOLLAR.sub(r"\\Z", pattern)
+                match = self._regex_match(F.when(is_str, s), fixed,
+                                          anchored=False)
+                out.append(("pattern", msg(f"must match pattern {pattern}"),
+                            is_str & ~_null_false(match)))
+            elif keyword == "format":
+                if not self.use_formats:
+                    continue
+                fmt = definition["format"]
+                regex = None
+                if fmt in self.custom_formats and \
+                        isinstance(self.custom_formats[fmt], str):
+                    regex = self.custom_formats[fmt]
+                elif fmt in self.custom_formats:
+                    raise PlanUnsupported(
+                        f"callable custom format {fmt!r} over undeclared "
+                        "keys; use engine='python'")
+                elif fmt in self.format_table:
+                    regex = self.format_table[fmt]
+                if regex is not None:
+                    match = self._regex_match(F.when(is_str, s), regex,
+                                              anchored=True)
+                    out.append(("format", msg(f"must be {fmt}"),
+                                is_str & ~_null_false(match)))
+        return out
+
+    def _variant_violation(self, triples, name_col):
+        """First failing triple as a violation struct (null when none)."""
+        expr = F.lit(None).cast(
+            "struct<name:string,rule:string,message:string>")
+        for rule_id, message, fail in reversed(triples):
+            expr = F.when(_null_false(fail), F.struct(
+                name_col.alias("name"),
+                F.lit(rule_id).alias("rule"),
+                message.alias("message"))).otherwise(expr)
+        return expr
+
+    def _json_entry_rule(self, site, key_filter, value_definition, rule_label):
+        """First violating (key, value) entry of a JSON-backed object's
+        RUNTIME entries (map<string,variant> view of the raw text)."""
+        aux = F.from_json(site.json_expr,
+                          T.MapType(T.StringType(), T.VariantType()))
+
+        def entry_violation(e):
+            k = e.getField("key")
+            name_col = F.concat(site.name_col, F.lit("."), k)
+            triples = self._variant_entry_rules(value_definition, name_col,
+                                                e.getField("value"))
+            inner = self._variant_violation(triples, name_col)
+            return F.when(key_filter(k), inner)
+
+        failing = F.filter(F.transform(F.map_entries(aux), entry_violation),
+                           lambda y: y.isNotNull())
+        first = F.try_element_at(failing, F.lit(1))
+        return Rule(rule_label, site.sname + ".<" + rule_label + ">",
+                    first.getField("name"), first.getField("message"),
+                    site.present() & _null_false(F.size(failing) > F.lit(0)),
+                    dynamic=first)
+
     def _kw_pattern_properties(self, definition, site):
         table = definition["patternProperties"]
         rules = []
@@ -830,8 +1105,58 @@ class _PlanCompiler:
                 if rule is not None:
                     rules.append(rule)
             return rules
-        # struct/root: keys are static -> match at plan time
+        keys = site.object_keys()
         fields = self._field_sites(site)
+        if keys is not None:
+            # JSON-backed struct: declared fields matching a pattern are
+            # validated statically (gated on true presence, null =
+            # JSON null); UNDECLARED runtime keys are visible via
+            # json_object_keys — fully supported for boolean sub-schemas,
+            # PlanUnsupported for value schemas (their values have no
+            # static type; the python engine is the exact path)
+            for pattern, sub in table.items():
+                matcher = re.compile(pattern)
+                java = jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", pattern))
+                for key, base in fields.items():
+                    if matcher.search(key) and sub is not False:
+                        child = _Site(base.expr, base.dtype, base.sname,
+                                      base.name_col, base.base_uri,
+                                      null_is_value=True,
+                                      json_expr=base.json_expr)
+                        gate = site.present() & _null_false(
+                            F.array_contains(keys, F.lit(key)))
+                        for rule in self.compile_value(sub, child):
+                            rules.append(rule.gated(gate))
+                if sub is True or sub == {}:
+                    continue
+                if sub is False:
+                    first = F.try_element_at(
+                        F.array_sort(F.filter(
+                            keys, lambda k, _j=java:
+                            k.rlike(_j))), F.lit(1))
+                    name = F.concat(site.name_col, F.lit("."), first)
+                    rules.append(Rule(
+                        "patternProperties", site.sname + ".<key>", name,
+                        F.concat(name, F.lit(" must not be there")),
+                        site.present() & _null_false(F.size(F.filter(
+                            keys, lambda k, _j=java: k.rlike(_j))) > 0)))
+                else:
+                    # value schema over dynamically-typed UNDECLARED keys:
+                    # variant view (declared matches were compiled
+                    # statically above — exclude them to avoid double
+                    # reporting)
+                    decl = sorted(fields)
+
+                    def matches_undeclared(k, _j=java, _d=decl):
+                        cond = k.rlike(_j)
+                        for d in _d:
+                            cond = cond & (k != F.lit(d))
+                        return cond
+
+                    rules.append(self._json_entry_rule(
+                        site, matches_undeclared, sub, "patternProperties"))
+            return rules
+        # struct/root: keys are static -> match at plan time
         for pattern, sub in table.items():
             matcher = re.compile(pattern)
             for key, child in fields.items():
@@ -881,6 +1206,42 @@ class _PlanCompiler:
                                         "additionalProperties")
             return [rule] if rule is not None else []
 
+        keys = site.object_keys()
+        if keys is not None:
+            # JSON-backed struct: the TRUE runtime key set decides what
+            # is "additional" — undeclared keys are no longer invisible
+            java_patterns = [
+                jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", p))
+                for p in definition.get("patternProperties", {})
+            ]
+
+            def is_extra(k):
+                cond = F.lit(True)
+                for key in declared:
+                    cond = cond & (k != F.lit(key))
+                for j in java_patterns:
+                    cond = cond & ~k.rlike(j)
+                return cond
+
+            extras = F.filter(keys, is_extra)
+            if add_definition is False:
+                shown = F.concat(
+                    F.lit("{"),
+                    F.concat_ws(", ", F.transform(
+                        F.array_sort(extras),
+                        lambda k: F.concat(F.lit("'"), k, F.lit("'")))),
+                    F.lit("}"))
+                message = F.concat(site.name_col, F.lit(" must not contain "),
+                                   shown, F.lit(" properties"))
+                return [Rule("additionalProperties", site.sname, site.name_col,
+                             message,
+                             site.present() & _null_false(F.size(extras) > F.lit(0)))]
+            # value schema over undeclared keys: evaluated on the
+            # map<string,variant> view of the raw text (scalar keyword
+            # subset; _variant_entry_rules raises PlanUnsupported beyond)
+            return [self._json_entry_rule(site, is_extra, add_definition,
+                                          "additionalProperties")]
+
         fields = self._field_sites(site)
         extra_sites = {
             key: child for key, child in fields.items()
@@ -923,6 +1284,21 @@ class _PlanCompiler:
             return [self._rule(site, "propertyNames",
                                "must be named by propertyName definition",
                                ~F.forall(F.map_keys(site.expr), name_pass))]
+        keys = site.object_keys()
+        if keys is not None:
+            # JSON-backed struct: validate every RUNTIME key name
+            if names_definition is False:
+                return [self._rule(site, "propertyNames", "must not be there",
+                                   F.size(keys) > F.lit(0))]
+
+            def name_pass(k):
+                s = _Site(k, T.StringType(), site.sname + ".<name>", F.lit(""),
+                          site.base_uri)
+                return self._pass_expr_for_expr(names_definition, s)
+
+            return [self._rule(site, "propertyNames",
+                               "must be named by propertyName definition",
+                               ~F.forall(keys, name_pass))]
         fields = self._field_sites(site)
         if not fields:
             return []
@@ -1024,9 +1400,17 @@ def compile_plan_for_column(
     use_default: bool = True,
     formats: dict | None = None,
     handlers: dict | None = None,
+    json_source_col: str | None = None,
 ) -> ValidationPlan:
     """Compile a schema whose root is one (struct/map-typed) column rather
-    than the whole row — used for ``from_json``-parsed JSON columns."""
+    than the whole row — used for ``from_json``-parsed JSON columns.
+
+    ``json_source_col`` names the RAW JSON string column the struct was
+    parsed from; when given, object keywords see the true runtime key
+    set (``json_object_keys``) so open-key semantics
+    (additionalProperties: false, propertyNames, min/maxProperties,
+    required-with-explicit-null) match the reference instead of only the
+    schema-declared struct fields."""
     from ..rowcheck import compile_row_validator
 
     row_validator = compile_row_validator(
@@ -1042,7 +1426,9 @@ def compile_plan_for_column(
         "formats": formats,
     })
     site = _Site(F.col(column), dtype, "data", F.lit("data"),
-                 compiler.store.root_uri())
+                 compiler.store.root_uri(),
+                 json_expr=(F.col(json_source_col)
+                            if json_source_col else None))
     rules = compiler.compile_value(definition, site)
     return ValidationPlan(
         rules=rules, defaults=[], schema_definition=definition,
@@ -1050,6 +1436,7 @@ def compile_plan_for_column(
         options={
             "column_root": column,
             "column_dtype": dtype.json(),
+            "json_source_col": json_source_col,
             "regex_engine": regex_engine,
             "use_formats": use_formats,
             "use_default": use_default,

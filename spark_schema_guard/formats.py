@@ -122,5 +122,10 @@ def compile_bank(table: dict) -> dict:
 
 def jvm_pattern(pattern: str) -> str:
     """Translate a Python-``re`` anchored pattern for Java regex (``rlike``):
-    Python ``\\Z`` (absolute end) is ``\\z`` in Java."""
-    return pattern.replace(r"\Z", r"\z")
+    Python ``\\Z`` (absolute end) is ``\\z`` in Java, named groups spell
+    ``(?P<name>`` / ``(?P=name)`` in Python but ``(?<name>`` / ``\\k<name>``
+    in Java (the draft-07 date/time format regexes use them)."""
+    out = pattern.replace(r"\Z", r"\z")
+    out = re.sub(r"\(\?P<([A-Za-z][A-Za-z0-9]*)>", r"(?<\1>", out)
+    out = re.sub(r"\(\?P=([A-Za-z][A-Za-z0-9]*)\)", r"\\k<\1>", out)
+    return out

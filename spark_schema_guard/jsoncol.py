@@ -11,9 +11,21 @@ Two engines:
 
 * ``engine="columnar"`` (fast): ``from_json`` parses into a struct derived
   from the schema, then the columnar plan compiler takes over — all JVM.
-  Limits (documented): only declared properties are visible (open-key
-  keywords like additionalProperties can't see undeclared keys), and JSON
-  type mismatches surface as parse-nulls.
+  Open-key keywords see the TRUE runtime key set via ``json_object_keys``
+  on the raw JSON text: ``additionalProperties: false``,
+  ``propertyNames``, ``min/maxProperties``, ``required`` (an explicit
+  null value counts as present, reference-exact) and boolean
+  ``patternProperties`` all match the reference.  VALUE schemas over
+  undeclared keys run on a ``map<string, variant>`` view (Spark 4
+  VariantType preserves exact JSON types; ``schema_of_variant`` +
+  ``try_variant_get`` drive scalar keyword checks with reference-parity
+  messages).  A field-level type mismatch on a DECLARED key parses to a
+  NULL field while the key stays visible, so the type rule fires instead
+  of a blanket invalid-JSON sentinel; "must be valid JSON" is reserved
+  for text that is not a JSON object at all.  Remaining limit
+  (documented, raises ``PlanUnsupported`` instead of silently passing):
+  NESTED (object/array/combinator) value schemas over undeclared keys —
+  use ``engine="python"`` for those.
 """
 
 from __future__ import annotations
@@ -84,21 +96,21 @@ def validate_json_column(
         from .columnar.compiler import compile_plan_for_column
 
         struct_type = spark_struct_for(definition)
-        # PERMISSIVE from_json yields an all-null struct for malformed input;
-        # route the raw text into a corrupt-record field to detect it
-        corrupt = "_corrupt_record"
-        parse_type = T.StructType(
-            list(struct_type.fields) + [T.StructField(corrupt, T.StringType())])
-        parsed = F.from_json(F.col(column), parse_type,
-                             {"columnNameOfCorruptRecord": corrupt})
         tmp = "__parsed__"
-        out = df.withColumn(tmp, parsed)
-        # plan compiled against the schema-declared fields only, so the
-        # corrupt-record helper field is invisible to object keywords
-        plan = compile_plan_for_column(definition, tmp, struct_type)
+        out = df.withColumn(tmp, F.from_json(F.col(column), struct_type))
+        # the plan sees schema-declared fields as the parsed struct and
+        # the true runtime key set through the raw JSON column
+        plan = compile_plan_for_column(definition, tmp, struct_type,
+                                       json_source_col=column)
+        # "malformed" = the text is not a JSON object at all (broken
+        # syntax, or a scalar/array where an object is required).  A
+        # field-level type mismatch parses to a NULL field while the key
+        # stays visible in json_object_keys, so the declared-field type
+        # rules fire with reference semantics instead of a blanket
+        # invalid-JSON sentinel.
         malformed = F.when(
             F.col(column).isNotNull()
-            & (F.col(tmp).isNull() | F.col(tmp).getField(corrupt).isNotNull()),
+            & F.json_object_keys(F.col(column)).isNull(),
             F.array(F.struct(
                 F.lit("data").alias("name"),
                 F.lit(None).cast("string").alias("rule"),

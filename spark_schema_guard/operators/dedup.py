@@ -169,6 +169,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32,
     can reproduce it digit-by-digit), used by the correctness gate;
     ``xxhash64`` is the cheaper 10^12-row default.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63] (fingerprints are "
+                         "signed longs; bit 63 would overflow)")
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),

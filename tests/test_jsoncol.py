@@ -83,3 +83,114 @@ def test_columnar_engine_malformed(spark):
     assert rows['{"k": 5}'] == (True, [])
     assert rows["{nope"] == (False, ["data must be valid JSON"])
     assert rows[None] == (True, [])
+
+
+OPEN_KEY_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer"}},
+    "additionalProperties": False,
+    "propertyNames": {"maxLength": 8},
+    "minProperties": 1,
+    "maxProperties": 3,
+    "dependencies": {"a": ["b"]},
+}
+
+
+def test_open_key_columnar_matches_python(spark):
+    """Columnar open-key parity: additionalProperties False, propertyNames,
+    min/maxProperties, dependencies presence, and required-with-explicit-
+    null all see the TRUE runtime key set via json_object_keys."""
+    docs = [
+        '{"k": 1}',
+        '{"k": null}',            # present key: fails type, NOT required
+        '{}',                     # required + minProperties
+        '{"k": 1, "zzz": 9}',     # additionalProperties
+        '{"k": 1, "toolongkey": 1}',   # propertyNames + additional
+        '{"k": 1, "a": 1}',       # dependencies (a needs b) + additional
+        '{"k": 1, "a": 1, "b": 2, "c": 3}',  # maxProperties + additional
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    py = validate_json_column(df, "props", OPEN_KEY_SCHEMA, engine="python")
+    cols = validate_json_column(df, "props", OPEN_KEY_SCHEMA, engine="columnar")
+    py_rows = {r["props"]: [v["rule"] for v in r["violations"]]
+               for r in py.collect()}
+    col_rows = {r["props"]: [v["rule"] for v in r["violations"]]
+                for r in cols.collect()}
+    assert py_rows == col_rows
+    # verdict parity also for non-object JSON (message approximated as
+    # the malformed sentinel columnar-side, but verdict must agree)
+    shapes = spark.createDataFrame(
+        [('[1, 2]',), ('5',), ('"s"',)], "props string")
+    pv = {r["props"]: r["verdict"] for r in validate_json_column(
+        shapes, "props", OPEN_KEY_SCHEMA, engine="python").collect()}
+    cv = {r["props"]: r["verdict"] for r in validate_json_column(
+        shapes, "props", OPEN_KEY_SCHEMA, engine="columnar").collect()}
+    assert pv == cv == {"[1, 2]": False, "5": False, '"s"': False}
+
+
+def test_open_key_full_schema_columnar_matches_python(spark):
+    """OPEN_SCHEMA (pattern value schemas + additionalProperties False +
+    propertyNames + dependencies) runs columnar via the variant view of
+    undeclared keys and must agree with the exact python engine."""
+    docs = [
+        '{"k": 1}',
+        '{"k": "s"}',
+        '{"k": 1, "x_a": 2.5}',
+        '{"k": 1, "x_a": "bad"}',
+        '{"k": 1, "x_a": true}',
+        '{"k": 1, "zzz": 9}',
+        '{"k": 1, "toolongkey": 1}',
+        '{}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    py = validate_json_column(df, "props", OPEN_SCHEMA, engine="python")
+    cols = validate_json_column(df, "props", OPEN_SCHEMA, engine="columnar")
+    pv = {r["props"]: (r["verdict"], sorted(v["rule"] or "" for v in r["violations"]))
+          for r in py.collect()}
+    cv = {r["props"]: (r["verdict"], sorted(v["rule"] or "" for v in r["violations"]))
+          for r in cols.collect()}
+    assert pv == cv
+
+
+def test_open_key_variant_value_schemas(spark):
+    """additionalProperties/patternProperties VALUE schemas over
+    undeclared keys: scalar subset supported via variant; nested value
+    schemas still raise PlanUnsupported."""
+    from spark_schema_guard.columnar.compiler import PlanUnsupported
+
+    add_schema = {"type": "object",
+                  "properties": {"k": {"type": "integer"}},
+                  "additionalProperties": {"type": "string", "minLength": 2}}
+    docs = ['{"k": 1, "a": "ok"}', '{"k": 1, "a": "x"}',
+            '{"k": 1, "a": 7}', '{"k": 1}', '{"k": 1, "a": null}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    py = validate_json_column(df, "props", add_schema, engine="python")
+    cols = validate_json_column(df, "props", add_schema, engine="columnar")
+    pv = {r["props"]: [(v["rule"], v["message"]) for v in r["violations"]]
+          for r in py.collect()}
+    cv = {r["props"]: [(v["rule"], v["message"]) for v in r["violations"]]
+          for r in cols.collect()}
+    assert pv == cv
+
+    nested = {"type": "object",
+              "additionalProperties": {"type": "object",
+                                       "required": ["x"]}}
+    with pytest.raises(PlanUnsupported, match="engine='python'"):
+        validate_json_column(df, "props", nested, engine="columnar")
+
+
+def test_open_key_message_parity(spark):
+    """Byte parity of the open-key violation messages vs the reference
+    row validator."""
+    docs = ['{"k": 1, "zz": 1, "aa": 2}', '{"k": 1, "toolongkey": 1}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    schema = {"type": "object",
+              "properties": {"k": {"type": "integer"}},
+              "additionalProperties": False,
+              "propertyNames": {"maxLength": 8}}
+    py = validate_json_column(df, "props", schema, engine="python")
+    cols = validate_json_column(df, "props", schema, engine="columnar")
+    pm = {r["props"]: [v["message"] for v in r["violations"]] for r in py.collect()}
+    cm = {r["props"]: [v["message"] for v in r["violations"]] for r in cols.collect()}
+    assert pm == cm

@@ -114,3 +114,25 @@ def test_jsoncol_parses_json_once(spark, sf_dir):
     text = _physical(out)
     assert text.count("from_json") == 1
     assert "Exchange" not in text
+
+
+def test_open_key_json_plan_stays_jvm(spark):
+    # open-key keywords (runtime key set + variant value schemas) must
+    # not introduce Python nodes or shuffles; the struct parse and the
+    # variant map parse are the only from_json occurrences
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    df = spark.createDataFrame([('{"k": 1, "King": "x"}',)], "props string")
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer"}},
+              "additionalProperties": {"type": "string", "minLength": 2},
+              "propertyNames": {"maxLength": 8}}
+    out = validate_json_column(df, "props", schema, engine="columnar")
+    text = _physical(out)
+    assert "BatchEvalPython" not in text
+    assert "ArrowEvalPython" not in text
+    assert "Exchange" not in text
+    # one struct parse + the variant map view; the map expression prints
+    # once in the rule's fail predicate and once in its dynamic violation
+    # struct (whole-stage codegen CSEs the duplicate at runtime)
+    assert text.count("from_json") <= 4
