@@ -319,7 +319,11 @@ def q_dedup_clusters(spark, sf_dir):
         (F.col("doc_id") < 200) & (F.length("text") >= 8))
     edges = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
                                shingle_k=8, hash_fn="md5")
-    return duplicate_clusters(docs.select("doc_id"), "doc_id", edges).select(
+    # driver_max_edges=0 forces the DISTRIBUTED iterative path so the
+    # 10^12-row algorithm (not the small-graph union-find shortcut) is
+    # what the oracle verifies
+    return duplicate_clusters(docs.select("doc_id"), "doc_id", edges,
+                              driver_max_edges=0).select(
         "doc_id", "cluster_id", "is_canonical")
 
 

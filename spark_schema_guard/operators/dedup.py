@@ -228,6 +228,35 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
         F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def _driver_union_find(pairs, id_type, spark):
+    """Exact union-find over a collected edge list (the small-graph fast
+    path); returns the (id, component) DataFrame with component = MIN id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root: component id
+    rows = [(x, find(x)) for x in parent]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("component", id_type)])
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -235,6 +264,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     strict: bool = True,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list:
     ``(id, component)`` with component = MIN node id in the component.
@@ -242,6 +272,19 @@ def connected_components(
     reaching the fixpoint — unconverged labels silently over-split
     components, which for dedup means keeping duplicates; pass
     ``strict=False`` to accept the partial refinement instead.
+
+    ADAPTIVE strategy (the broadcast-join-threshold pattern): when the
+    edge list fits under ``driver_max_edges`` it is collected once and
+    resolved with exact driver-side union-find — a dedup candidate graph
+    after LSH banding is routinely tiny relative to the corpus, and the
+    iterative distributed loop would pay several shuffle rounds of pure
+    scheduling latency for it.  Above the threshold (the 10^12-row
+    regime) the distributed min-label loop below runs.  Probing is one
+    ``limit(threshold+1).collect()`` — if it comes back short it IS the
+    complete edge set; otherwise the limit stopped early and the
+    distributed path recomputes from source.  ``driver_max_edges=0``
+    forces the distributed path (used by the oracle gate so the
+    iterative algorithm stays under differential test).
 
     This is the cluster-resolution stage of a dedup pipeline: candidate
     pairs from ``exact_duplicates`` / ``minhash_candidates`` /
@@ -273,8 +316,14 @@ def connected_components(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
                & (F.col("a") != F.col("b")))
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     spark = edges.sparkSession
+    if driver_max_edges > 0:
+        probe = e.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            id_type = e.schema["a"].dataType
+            return _driver_union_find(
+                [(r["a"], r["b"]) for r in probe], id_type, spark)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
     def _persistent_ids():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -345,6 +394,7 @@ def duplicate_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve candidate-pair edges into duplicate clusters over ``df``:
     every row gains ``cluster_id`` (MIN id of its cluster; singletons are
@@ -355,7 +405,8 @@ def duplicate_clusters(
     in an edge), so the attach join is broadcast-eligible; rows without
     edges never shuffle.
     """
-    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    comp = connected_components(edges, src, dst, max_iter=max_iter,
+                                driver_max_edges=driver_max_edges)
     out = (
         df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))

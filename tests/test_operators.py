@@ -233,9 +233,11 @@ def test_connected_components_long_path(spark):
 
     # a 41-node path: pure neighbor propagation needs 40 rounds; the
     # pointer-jumping (id<->label) edges must converge far faster
+    # (driver_max_edges=0 pins the DISTRIBUTED loop, not the shortcut)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long")
-    comp = connected_components(edges, max_iter=10).collect()
+    comp = connected_components(edges, max_iter=10,
+                                driver_max_edges=0).collect()
     assert len(comp) == 41
     assert {r["component"] for r in comp} == {0}
 
@@ -350,11 +352,34 @@ def test_connected_components_nonconvergence_raises(spark):
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    # driver_max_edges=0 forces the iterative path (the adaptive driver
+    # union-find shortcut always converges)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1).collect()
+        connected_components(edges, max_iter=1, driver_max_edges=0).collect()
     # partial refinement accepted when explicitly requested
-    partial = connected_components(edges, max_iter=1, strict=False).collect()
+    partial = connected_components(edges, max_iter=1, strict=False,
+                                   driver_max_edges=0).collect()
     assert len(partial) == 41
     # an empty edge list converges trivially (NULL change-sum = 0)
     empty = edges.sparkSession.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_connected_components_adaptive_paths_agree(spark):
+    from spark_schema_guard.operators.dedup import connected_components
+
+    # mixed shapes: clique, path, singletons-with-self-loops filtered
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 13),
+         (20, 21), (5, 5), (None, 7)],
+        "id_a long, id_b long")
+    driver = {(r["id"], r["component"])
+              for r in connected_components(edges).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(
+                edges, driver_max_edges=0).collect()}
+    assert driver == dist
+    assert (3, 1) in driver and (13, 10) in driver and (21, 20) in driver
+    # threshold boundary: exactly at the limit still uses one collect
+    small = connected_components(edges, driver_max_edges=7).collect()
+    assert {(r["id"], r["component"]) for r in small} == driver
