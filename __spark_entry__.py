@@ -433,6 +433,43 @@ def q_events_json_exact(spark, sf_dir):
         F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
 
 
+OPEN_EVENTS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+    "patternProperties": {"^x_": {"type": "number", "minimum": 0.5}},
+    "additionalProperties": False,
+    "propertyNames": {"maxLength": 8},
+}
+
+
+def q_events_json_open(spark, sf_dir):
+    """Open-key columnar validation under the gate: a JSON column built
+    deterministically from event_id (planted type errors, out-of-range
+    values, undeclared keys, over-long names, failing pattern-property
+    values) validated with runtime-key + variant machinery; the oracle
+    predicts the violated-rule multiset arithmetically."""
+    events = _read(spark, sf_dir, "events")
+    i = F.col("event_id")
+    doc = F.concat(
+        F.lit('{"k": '),
+        F.when(i % 13 == 0, F.lit('"bad"')).otherwise((i % 97).cast("string")),
+        F.when(i % 5 == 0, F.lit(', "x_a": 0.25')).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(', "zz": 1')).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(', "toolongkey": 2')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    df = events.select("event_id", doc.alias("doc"))
+    out = validate_json_column(df, "doc", OPEN_EVENTS_SCHEMA,
+                               engine="columnar")
+    return out.select(
+        "event_id", "verdict",
+        F.array_join(
+            F.array_sort(F.transform(F.col("violations"),
+                                     lambda v: v.getField("rule"))),
+            ",").alias("rules"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     with_meta = attach_media_metadata(web, "html", media_type="document")
@@ -504,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_exact": q_events_json_exact,
+        "events_json_open": q_events_json_open,
         "multimodal_meta": q_multimodal_meta,
         "simhash": q_simhash,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -907,6 +945,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id,
                          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
+        """,
+        "events_json_open": """
+            SELECT event_id,
+                   (n_rules = '') AS verdict,
+                   n_rules AS rules
+            FROM (
+              SELECT event_id,
+                     concat_ws(',',
+                       CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0
+                            THEN 'additionalProperties' END,
+                       CASE WHEN event_id % 13 <> 0 AND event_id % 97 > 80
+                            THEN 'maximum' END,
+                       CASE WHEN event_id % 5 = 0 THEN 'minimum' END,
+                       CASE WHEN event_id % 11 = 0 THEN 'propertyNames' END,
+                       CASE WHEN event_id % 13 = 0 THEN 'type' END
+                     ) AS n_rules
+              FROM events)
         """,
         "multimodal_meta": f"""
             WITH {WEB_CTE}

@@ -566,7 +566,8 @@ class _PlanCompiler:
         if not rules:
             return None
         branches = [
-            F.when(rule.fail, F.struct(
+            F.when(rule.fail, rule.dynamic) if rule.dynamic is not None
+            else F.when(rule.fail, F.struct(
                 rule.name_col.alias("name"),
                 F.lit(rule.rule).alias("rule"),
                 rule.message.alias("message"),

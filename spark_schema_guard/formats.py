@@ -38,11 +38,11 @@ def _ipv6_pattern() -> str:
         r"::(?:{h}:){{5}}{t}".format(h=_H16, t=tail),
         r"(?:{h})?::(?:{h}:){{4}}{t}".format(h=_H16, t=tail),
         r"(?:{h}:{h})?::(?:{h}:){{3}}{t}".format(h=_H16, t=tail),
-        r"(?:(?:{h}:){{,2}}{h})?::(?:{h}:){{2}}{t}".format(h=_H16, t=tail),
-        r"(?:(?:{h}:){{,3}}{h})?::{h}:{t}".format(h=_H16, t=tail),
-        r"(?:(?:{h}:){{,4}}{h})?::{t}".format(h=_H16, t=tail),
-        r"(?:(?:{h}:){{,5}}{h})?::{h}".format(h=_H16),
-        r"(?:(?:{h}:){{,6}}{h})?::".format(h=_H16),
+        r"(?:(?:{h}:){{0,2}}{h})?::(?:{h}:){{2}}{t}".format(h=_H16, t=tail),
+        r"(?:(?:{h}:){{0,3}}{h})?::{h}:{t}".format(h=_H16, t=tail),
+        r"(?:(?:{h}:){{0,4}}{h})?::{t}".format(h=_H16, t=tail),
+        r"(?:(?:{h}:){{0,5}}{h})?::{h}".format(h=_H16),
+        r"(?:(?:{h}:){{0,6}}{h})?::".format(h=_H16),
     ]
     return r"^(?:" + r"|".join(parts) + r")\Z"
 
@@ -124,8 +124,10 @@ def jvm_pattern(pattern: str) -> str:
     """Translate a Python-``re`` anchored pattern for Java regex (``rlike``):
     Python ``\\Z`` (absolute end) is ``\\z`` in Java, named groups spell
     ``(?P<name>`` / ``(?P=name)`` in Python but ``(?<name>`` / ``\\k<name>``
-    in Java (the draft-07 date/time format regexes use them)."""
+    in Java (the draft-07 date/time format regexes use them), and Python's
+    open-lower-bound quantifier ``{,n}`` must be written ``{0,n}``."""
     out = pattern.replace(r"\Z", r"\z")
     out = re.sub(r"\(\?P<([A-Za-z][A-Za-z0-9]*)>", r"(?<\1>", out)
     out = re.sub(r"\(\?P=([A-Za-z][A-Za-z0-9]*)\)", r"\\k<\1>", out)
+    out = re.sub(r"(?<!\\)\{,(\d+)\}", r"{0,\1}", out)
     return out

@@ -170,6 +170,58 @@ CASES = [
       "contentMediaType": "application/json"}, '{"a": 1}'),
     ({"$schema": D7, "type": "string",
       "contentMediaType": "application/json"}, "{nope"),
+    # --- more formats (test_format.py) -----------------------------------
+    ({"$schema": D7, "type": "string", "format": "time"}, "12:30:00Z"),
+    ({"$schema": D7, "type": "string", "format": "time"}, "25:00:00Z"),
+    ({"$schema": D6, "type": "string", "format": "uri-reference"}, "/a/b"),
+    ({"$schema": D6, "type": "string", "format": "json-pointer"}, "/a/0/b"),
+    ({"$schema": D6, "type": "string", "format": "json-pointer"}, "a/b"),
+    ({"type": "string", "format": "ipv6"}, "::1"),
+    ({"type": "string", "format": "ipv6"}, "1:2:3:4:5:6:7:8:9"),
+    ({"type": "string", "format": "uuid"},
+     "123e4567-e89b-12d3-a456-426614174000"),
+    ({"type": "string", "format": "uuid"}, "123e4567"),
+    ({"type": "string", "format": "unknown-format-x"}, "anything"),
+    # --- nested structures ------------------------------------------------
+    ({"type": "array", "items": {"type": "array",
+                                 "items": {"type": "integer", "minimum": 0}}},
+     [[1, 2], [3]]),
+    ({"type": "array", "items": {"type": "array",
+                                 "items": {"type": "integer", "minimum": 0}}},
+     [[1, -2]]),
+    ({"type": "object",
+      "properties": {"o": {"type": "object",
+                           "properties": {"n": {"type": "integer",
+                                                "maximum": 5}},
+                           "required": ["n"]}}},
+     {"o": {"n": 9}}),
+    # --- combinator + keyword interplay ----------------------------------
+    ({"allOf": [{"type": "string"}, {"minLength": 3}, {"pattern": "^a"}]},
+     "abc"),
+    ({"allOf": [{"type": "string"}, {"minLength": 3}, {"pattern": "^a"}]},
+     "ab"),
+    ({"anyOf": [{"type": "integer", "minimum": 10},
+                {"type": "integer", "multipleOf": 3}]}, 9),
+    ({"anyOf": [{"type": "integer", "minimum": 10},
+                {"type": "integer", "multipleOf": 3}]}, 8),
+    ({"not": {"enum": [1, 2, 3]}}, 2),
+    ({"not": {"enum": [1, 2, 3]}}, 4),
+    # --- $ref (test_integration.py style) --------------------------------
+    ({"definitions": {"pos": {"type": "integer", "minimum": 1}},
+      "$ref": "#/definitions/pos"}, 5),
+    ({"definitions": {"pos": {"type": "integer", "minimum": 1}},
+      "$ref": "#/definitions/pos"}, 0),
+    ({"definitions": {"name": {"type": "string", "minLength": 2}},
+      "type": "object",
+      "properties": {"a": {"$ref": "#/definitions/name"},
+                     "b": {"$ref": "#/definitions/name"}}},
+     {"a": "ok", "b": "x"}),
+    # --- draft-04 vs draft-06 integral floats through bounds --------------
+    ({"type": "number", "maximum": 3}, 3.0),
+    ({"type": "number", "maximum": 3}, 3.5),
+    ({"type": ["integer", "string"]}, 5),
+    ({"type": ["integer", "string"]}, "x"),
+    ({"type": ["integer", "string"]}, 5.5),
 ]
 
 # None values: routed through the JSON-column path (explicit null is a
@@ -238,10 +290,14 @@ def test_columnar_keyword_conformance(spark, reference, schema, value):
     expected = _reference_outcome(reference, schema, value)
     if expected is None:
         pytest.skip("reference rejects this schema")
-    wrapper_schema = {k: v for k, v in schema.items() if k != "$schema"}
+    wrapper_schema = {k: v for k, v in schema.items()
+                      if k not in ("$schema", "definitions")}
     wrapper = {"type": "object", "properties": {"v": wrapper_schema}}
     if "$schema" in schema:
         wrapper["$schema"] = schema["$schema"]
+    if "definitions" in schema:
+        # root-relative $ref pointers must keep resolving after wrapping
+        wrapper["definitions"] = schema["definitions"]
     try:
         df_schema = T.StructType([T.StructField("v", _spark_type(value))])
     except _Hetero:
