@@ -74,11 +74,26 @@ class _Site:
     # Lets object keywords see the TRUE runtime key set via
     # json_object_keys instead of only the schema-declared struct fields.
     json_expr: Column | None = None
+    # Pre-materialized map<string,variant> view of json_expr (a helper
+    # column, so the parse happens once per row — from_json is
+    # CodegenFallback and would re-evaluate per inline copy).
+    variant_expr: Column | None = None
+    # Pre-materialized json_object_keys(json_expr) (same reasoning: the
+    # JSON expressions re-parse per inline occurrence, and several object
+    # keywords consult the key set).
+    keys_expr: Column | None = None
 
     def present(self) -> Column:
         if self.expr is None or self.null_is_value:
             return F.lit(True)
         return self.expr.isNotNull()
+
+    def object_variant_map(self) -> Column:
+        """map<string,variant> view of this JSON object's entries."""
+        if self.variant_expr is not None:
+            return self.variant_expr
+        return F.from_json(self.json_expr,
+                           T.MapType(T.StringType(), T.VariantType()))
 
     def child(self, expr, dtype, suffix_static, name_col=None,
               json_expr=None) -> "_Site":
@@ -95,6 +110,8 @@ class _Site:
     def object_keys(self) -> Column | None:
         """Runtime key array of this object, when the true key set is
         knowable (JSON-backed struct sites); None for plain structs."""
+        if self.keys_expr is not None:
+            return self.keys_expr
         if self.json_expr is None:
             return None
         return F.json_object_keys(self.json_expr)
@@ -799,21 +816,35 @@ class _PlanCompiler:
                 # JSON-backed struct: gate value rules on TRUE key
                 # presence, and treat a present-but-NULL field as an
                 # explicit JSON null (null_is_value), mirroring the map
-                # branch — so {"k": null} fails `type`, not `required`
+                # branch — so {"k": null} fails `type`, not `required`.
+                # Scalar prop schemas validate the VARIANT value (exact
+                # JSON type — the typed struct parse silently coerces
+                # numbers/booleans into string fields); nested schemas
+                # fall back to the parsed-struct compile.
                 if key in fields:
                     base = fields[key]
-                    child = _Site(base.expr, base.dtype, base.sname,
-                                  base.name_col, base.base_uri,
-                                  null_is_value=True,
-                                  json_expr=(base.json_expr
-                                             if base.json_expr is not None
-                                             else F.get_json_object(
-                                                 site.json_expr,
-                                                 _json_path(key))))
                     gate = site.present() & _null_false(
                         F.array_contains(keys, F.lit(key)))
-                    for rule in self.compile_value(prop_definition, child):
-                        rules.append(rule.gated(gate))
+                    try:
+                        aux = site.object_variant_map()
+                        triples = self._variant_entry_rules(
+                            prop_definition, base.name_col,
+                            F.try_element_at(aux, F.lit(key)))
+                        for rule_id, message, fail in triples:
+                            rules.append(Rule(
+                                rule_id, base.sname, base.name_col, message,
+                                _null_false(gate) & _null_false(fail)))
+                    except PlanUnsupported:
+                        child = _Site(base.expr, base.dtype, base.sname,
+                                      base.name_col, base.base_uri,
+                                      null_is_value=True,
+                                      json_expr=(base.json_expr
+                                                 if base.json_expr is not None
+                                                 else F.get_json_object(
+                                                     site.json_expr,
+                                                     _json_path(key))))
+                        for rule in self.compile_value(prop_definition, child):
+                            rules.append(rule.gated(gate))
                 if (
                     self.use_default
                     and isinstance(prop_definition, dict)
@@ -912,6 +943,10 @@ class _PlanCompiler:
         sov = F.schema_of_variant(v)
         is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
                   | sov.startswith("DECIMAL"))
+        # the reference inherits Python's bool-is-int for the NUMERIC
+        # keywords (True counts as 1 for minimum/maximum/multipleOf)
+        # while `type` and `enum` stay bool-strict — mirror exactly
+        is_numlike = is_num | (sov == F.lit("BOOLEAN"))
         num = F.try_variant_get(v, "$", "double")
         is_str = sov == F.lit("STRING")
         s = F.try_variant_get(v, "$", "string")
@@ -957,7 +992,8 @@ class _PlanCompiler:
             if not isinstance(b, (int, float, Decimal)):
                 raise SchemaDefinitionError(f"{keyword} must be a number")
             lit_b = F.lit(int(b) if isinstance(b, bool) else b)
-            return (keyword, msg(template.format(b)), is_num & op(num, lit_b))
+            return (keyword, msg(template.format(b)),
+                    is_numlike & op(num, lit_b))
 
         out = []
         for keyword in self.keyword_order:
@@ -1015,13 +1051,13 @@ class _PlanCompiler:
                 if not isinstance(divisor, (int, float, Decimal)):
                     raise SchemaDefinitionError("multipleOf must be a number")
                 dec = T.DecimalType(38, 18)
-                fail = is_num & ((num.cast(dec) % F.lit(divisor).cast(dec))
-                                 != F.lit(0).cast(dec))
+                fail = is_numlike & ((num.cast(dec) % F.lit(divisor).cast(dec))
+                                     != F.lit(0).cast(dec))
                 out.append(("multipleOf",
                             msg(f"must be multiple of {divisor}"), fail))
                 out.append(("multipleOf", F.lit("inifinity reached"),
-                            is_num & ((num / F.lit(divisor))
-                                      == F.lit(float("inf")))))
+                            is_numlike & ((num / F.lit(divisor))
+                                          == F.lit(float("inf")))))
             elif keyword == "minLength":
                 b = definition["minLength"]
                 out.append(("minLength",
@@ -1076,8 +1112,7 @@ class _PlanCompiler:
     def _json_entry_rule(self, site, key_filter, value_definition, rule_label):
         """First violating (key, value) entry of a JSON-backed object's
         RUNTIME entries (map<string,variant> view of the raw text)."""
-        aux = F.from_json(site.json_expr,
-                          T.MapType(T.StringType(), T.VariantType()))
+        aux = site.object_variant_map()
 
         def entry_violation(e):
             k = e.getField("key")
@@ -1131,16 +1166,21 @@ class _PlanCompiler:
                 if sub is True or sub == {}:
                     continue
                 if sub is False:
-                    first = F.try_element_at(
-                        F.array_sort(F.filter(
-                            keys, lambda k, _j=java:
-                            k.rlike(_j))), F.lit(1))
+                    # NOTE: HOF lambdas must be unary — PySpark inspects
+                    # the signature, and a default arg makes it look like
+                    # the (element, index) form
+                    def _matcher(j):
+                        return lambda k: k.rlike(j)
+
+                    matching = F.filter(keys, _matcher(java))
+                    first = F.try_element_at(F.array_sort(matching), F.lit(1))
                     name = F.concat(site.name_col, F.lit("."), first)
+                    # rule id None: a boolean-False schema violation has
+                    # no keyword id in the reference's error objects
                     rules.append(Rule(
-                        "patternProperties", site.sname + ".<key>", name,
+                        None, site.sname + ".<key>", name,
                         F.concat(name, F.lit(" must not be there")),
-                        site.present() & _null_false(F.size(F.filter(
-                            keys, lambda k, _j=java: k.rlike(_j))) > 0)))
+                        site.present() & _null_false(F.size(matching) > 0)))
                 else:
                     # value schema over dynamically-typed UNDECLARED keys:
                     # variant view (declared matches were compiled
@@ -1402,6 +1442,8 @@ def compile_plan_for_column(
     formats: dict | None = None,
     handlers: dict | None = None,
     json_source_col: str | None = None,
+    variant_source_col: str | None = None,
+    keys_source_col: str | None = None,
 ) -> ValidationPlan:
     """Compile a schema whose root is one (struct/map-typed) column rather
     than the whole row — used for ``from_json``-parsed JSON columns.
@@ -1429,7 +1471,11 @@ def compile_plan_for_column(
     site = _Site(F.col(column), dtype, "data", F.lit("data"),
                  compiler.store.root_uri(),
                  json_expr=(F.col(json_source_col)
-                            if json_source_col else None))
+                            if json_source_col else None),
+                 variant_expr=(F.col(variant_source_col)
+                               if variant_source_col else None),
+                 keys_expr=(F.col(keys_source_col)
+                            if keys_source_col else None))
     rules = compiler.compile_value(definition, site)
     return ValidationPlan(
         rules=rules, defaults=[], schema_definition=definition,
@@ -1438,6 +1484,8 @@ def compile_plan_for_column(
             "column_root": column,
             "column_dtype": dtype.json(),
             "json_source_col": json_source_col,
+            "variant_source_col": variant_source_col,
+            "keys_source_col": keys_source_col,
             "regex_engine": regex_engine,
             "use_formats": use_formats,
             "use_default": use_default,

@@ -97,11 +97,24 @@ def validate_json_column(
 
         struct_type = spark_struct_for(definition)
         tmp = "__parsed__"
-        out = df.withColumn(tmp, F.from_json(F.col(column), struct_type))
+        tmp_v = "__variants__"
+        tmp_k = "__json_keys__"
+        # three materialized parses per row: the schema-typed struct, a
+        # map<string,variant> view for open-key / exact-JSON-type rules,
+        # and the runtime key array (helper COLUMNS, not inline
+        # expressions — the JSON expressions are CodegenFallback, inline
+        # copies would re-parse the text per rule)
+        out = (df.withColumn(tmp, F.from_json(F.col(column), struct_type))
+               .withColumn(tmp_v, F.from_json(
+                   F.col(column),
+                   T.MapType(T.StringType(), T.VariantType())))
+               .withColumn(tmp_k, F.json_object_keys(F.col(column))))
         # the plan sees schema-declared fields as the parsed struct and
         # the true runtime key set through the raw JSON column
         plan = compile_plan_for_column(definition, tmp, struct_type,
-                                       json_source_col=column)
+                                       json_source_col=column,
+                                       variant_source_col=tmp_v,
+                                       keys_source_col=tmp_k)
         # "malformed" = the text is not a JSON object at all (broken
         # syntax, or a scalar/array where an object is required).  A
         # field-level type mismatch parses to a NULL field while the key
@@ -109,8 +122,7 @@ def validate_json_column(
         # rules fire with reference semantics instead of a blanket
         # invalid-JSON sentinel.
         malformed = F.when(
-            F.col(column).isNotNull()
-            & F.json_object_keys(F.col(column)).isNull(),
+            F.col(column).isNotNull() & F.col(tmp_k).isNull(),
             F.array(F.struct(
                 F.lit("data").alias("name"),
                 F.lit(None).cast("string").alias("rule"),
@@ -120,7 +132,7 @@ def validate_json_column(
         out = out.withColumn(
             violations_col,
             F.coalesce(malformed, plan.violations_column()),
-        ).drop(tmp)
+        ).drop(tmp, tmp_v, tmp_k)
         return out.withColumn(verdict_col, F.size(F.col(violations_col)) == 0)
 
     raise ValueError(f"unknown engine {engine!r}")

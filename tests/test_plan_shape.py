@@ -101,8 +101,10 @@ def test_validation_plan_has_no_shuffle(spark, sf_dir):
 
 
 def test_jsoncol_parses_json_once(spark, sf_dir):
-    # every rule reads the same parsed struct: from_json appears exactly
-    # once in the physical plan, not once per rule
+    # every rule reads the same MATERIALIZED parses: at most two
+    # from_json per plan (the schema-typed struct + the variant-map
+    # helper column), never one per rule — from_json is CodegenFallback,
+    # inline copies would re-parse the text per rule
     from spark_schema_guard.jsoncol import validate_json_column
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -112,7 +114,7 @@ def test_jsoncol_parses_json_once(spark, sf_dir):
          "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}},
         engine="columnar")
     text = _physical(out)
-    assert text.count("from_json") == 1
+    assert text.count("from_json") <= 2
     assert "Exchange" not in text
 
 
@@ -132,7 +134,5 @@ def test_open_key_json_plan_stays_jvm(spark):
     assert "BatchEvalPython" not in text
     assert "ArrowEvalPython" not in text
     assert "Exchange" not in text
-    # one struct parse + the variant map view; the map expression prints
-    # once in the rule's fail predicate and once in its dynamic violation
-    # struct (whole-stage codegen CSEs the duplicate at runtime)
-    assert text.count("from_json") <= 4
+    # one struct parse + one shared variant-map helper column
+    assert text.count("from_json") <= 2
