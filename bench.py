@@ -162,11 +162,15 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         web.select(F.unix_timestamp("warc_ts").cast("double").alias("e"),
                    (F.col("source") == "src3").alias("g")),
         "e", "g", mode="grid", grid_size=64).collect())
+    props_schema = {
+        "type": "object", "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}}
     timed("events_json", lambda: validate_json_column(
-        events, "props",
-        {"type": "object", "required": ["k"],
-         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}},
+        events, "props", props_schema,
         engine="columnar").agg(F.sum(F.col("verdict").cast("long"))).collect())
+    timed("events_json_coerce", lambda: validate_json_column(
+        events, "props", props_schema, engine="columnar",
+        json_types="coerce").agg(F.sum(F.col("verdict").cast("long"))).collect())
     timed("dedup_minhash", lambda: minhash_candidates(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8,
         hash_fn="xxhash64").count())

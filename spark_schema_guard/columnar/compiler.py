@@ -141,6 +141,10 @@ class _PlanCompiler:
         self.use_formats = options.get("use_formats", True)
         self.use_default = options.get("use_default", True)
         self.custom_formats = options.get("formats") or {}
+        # exact JSON value typing for declared fields / undeclared value
+        # schemas via VariantType; False = legacy coercing struct parse
+        # (faster, documented string-coercion caveat)
+        self.exact_json_types = options.get("exact_json_types", True)
         self.defaults: list[tuple[str, object]] = []  # top-level column defaults
         self._ref_stack: list[tuple[str, str]] = []
 
@@ -826,6 +830,8 @@ class _PlanCompiler:
                     gate = site.present() & _null_false(
                         F.array_contains(keys, F.lit(key)))
                     try:
+                        if not self.exact_json_types:
+                            raise PlanUnsupported("coerce mode")
                         aux = site.object_variant_map()
                         triples = self._variant_entry_rules(
                             prop_definition, base.name_col,
@@ -1112,6 +1118,11 @@ class _PlanCompiler:
     def _json_entry_rule(self, site, key_filter, value_definition, rule_label):
         """First violating (key, value) entry of a JSON-backed object's
         RUNTIME entries (map<string,variant> view of the raw text)."""
+        if not self.exact_json_types:
+            raise PlanUnsupported(
+                f"{rule_label} value schemas over undeclared keys need "
+                "exact JSON typing; use json_types='exact' (default) or "
+                "engine='python'")
         aux = site.object_variant_map()
 
         def entry_violation(e):
@@ -1444,6 +1455,7 @@ def compile_plan_for_column(
     json_source_col: str | None = None,
     variant_source_col: str | None = None,
     keys_source_col: str | None = None,
+    exact_json_types: bool = True,
 ) -> ValidationPlan:
     """Compile a schema whose root is one (struct/map-typed) column rather
     than the whole row — used for ``from_json``-parsed JSON columns.
@@ -1467,6 +1479,7 @@ def compile_plan_for_column(
         "use_formats": use_formats,
         "use_default": use_default,
         "formats": formats,
+        "exact_json_types": exact_json_types,
     })
     site = _Site(F.col(column), dtype, "data", F.lit("data"),
                  compiler.store.root_uri(),
@@ -1486,6 +1499,7 @@ def compile_plan_for_column(
             "json_source_col": json_source_col,
             "variant_source_col": variant_source_col,
             "keys_source_col": keys_source_col,
+            "exact_json_types": exact_json_types,
             "regex_engine": regex_engine,
             "use_formats": use_formats,
             "use_default": use_default,

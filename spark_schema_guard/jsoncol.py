@@ -25,7 +25,10 @@ Two engines:
   for text that is not a JSON object at all.  Remaining limit
   (documented, raises ``PlanUnsupported`` instead of silently passing):
   NESTED (object/array/combinator) value schemas over undeclared keys —
-  use ``engine="python"`` for those.
+  use ``engine="python"`` for those.  ``json_types="coerce"`` opts out
+  of the variant view for a ~2x cheaper plan that validates the typed
+  struct parse directly (string fields silently absorb numbers/bools —
+  the pre-variant behavior, now an explicit choice).
 """
 
 from __future__ import annotations
@@ -84,8 +87,16 @@ def validate_json_column(
     violations_col: str = "violations",
     verdict_col: str = "verdict",
     formats=None,
+    json_types: str = "exact",
 ) -> DataFrame:
-    """Append violations + verdict for a JSON string column."""
+    """Append violations + verdict for a JSON string column.
+
+    ``json_types`` (columnar engine only): ``"exact"`` (default) types
+    declared scalar fields from the variant view — exact reference
+    semantics for dynamic JSON types, ~2x the plan cost of
+    ``"coerce"``, which validates the schema-typed struct parse
+    directly (numbers/booleans silently coerce into string-typed
+    fields; undeclared-key value schemas raise PlanUnsupported)."""
     if engine == "python":
         udf = json_violations_udf(definition, formats=formats)
         out = df.withColumn(violations_col, udf(F.col(column)))
@@ -95,26 +106,36 @@ def validate_json_column(
         from .columnar import spark_struct_for
         from .columnar.compiler import compile_plan_for_column
 
+        if json_types not in ("exact", "coerce"):
+            raise ValueError(f"unknown json_types {json_types!r}")
+        exact = json_types == "exact"
         struct_type = spark_struct_for(definition)
         tmp = "__parsed__"
         tmp_v = "__variants__"
         tmp_k = "__json_keys__"
-        # three materialized parses per row: the schema-typed struct, a
-        # map<string,variant> view for open-key / exact-JSON-type rules,
-        # and the runtime key array (helper COLUMNS, not inline
+        # materialized parses per row (helper COLUMNS, not inline
         # expressions — the JSON expressions are CodegenFallback, inline
-        # copies would re-parse the text per rule)
-        out = (df.withColumn(tmp, F.from_json(F.col(column), struct_type))
-               .withColumn(tmp_v, F.from_json(
-                   F.col(column),
-                   T.MapType(T.StringType(), T.VariantType())))
-               .withColumn(tmp_k, F.json_object_keys(F.col(column))))
-        # the plan sees schema-declared fields as the parsed struct and
-        # the true runtime key set through the raw JSON column
-        plan = compile_plan_for_column(definition, tmp, struct_type,
-                                       json_source_col=column,
-                                       variant_source_col=tmp_v,
-                                       keys_source_col=tmp_k)
+        # copies would re-parse the text per rule): the schema-typed
+        # struct always; in exact mode also a map<string,variant> view
+        # whose map_keys doubles as the runtime key array (Catalyst
+        # prunes the struct parse whenever every declared-field rule
+        # compiles against the variant view); in coerce mode just
+        # json_object_keys for the key-level open-key rules.
+        out = df.withColumn(tmp, F.from_json(F.col(column), struct_type))
+        if exact:
+            out = (out.withColumn(tmp_v, F.from_json(
+                       F.col(column),
+                       T.MapType(T.StringType(), T.VariantType())))
+                   .withColumn(tmp_k, F.map_keys(F.col(tmp_v))))
+        else:
+            out = out.withColumn(tmp_k,
+                                 F.json_object_keys(F.col(column)))
+        plan = compile_plan_for_column(
+            definition, tmp, struct_type,
+            json_source_col=column,
+            variant_source_col=tmp_v if exact else None,
+            keys_source_col=tmp_k,
+            exact_json_types=exact)
         # "malformed" = the text is not a JSON object at all (broken
         # syntax, or a scalar/array where an object is required).  A
         # field-level type mismatch parses to a NULL field while the key
@@ -132,7 +153,7 @@ def validate_json_column(
         out = out.withColumn(
             violations_col,
             F.coalesce(malformed, plan.violations_column()),
-        ).drop(tmp, tmp_v, tmp_k)
+        ).drop(tmp, tmp_k, *([tmp_v] if exact else []))
         return out.withColumn(verdict_col, F.size(F.col(violations_col)) == 0)
 
     raise ValueError(f"unknown engine {engine!r}")

@@ -194,3 +194,37 @@ def test_open_key_message_parity(spark):
     pm = {r["props"]: [v["message"] for v in r["violations"]] for r in py.collect()}
     cm = {r["props"]: [v["message"] for v in r["violations"]] for r in cols.collect()}
     assert pm == cm
+
+
+def test_coerce_mode_fast_path(spark, sf_dir):
+    """json_types='coerce' validates the typed struct parse directly:
+    agrees with exact mode on well-typed data, and refuses undeclared-key
+    value schemas instead of mistyping them."""
+    from spark_schema_guard.columnar.compiler import PlanUnsupported
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = validate_json_column(events, "props", PROPS_SCHEMA,
+                                 engine="columnar")
+    coerce = validate_json_column(events, "props", PROPS_SCHEMA,
+                                  engine="columnar", json_types="coerce")
+    a = {r["event_id"]: r["verdict"]
+         for r in exact.select("event_id", "verdict").collect()}
+    b = {r["event_id"]: r["verdict"]
+         for r in coerce.select("event_id", "verdict").collect()}
+    assert a == b
+    # key-level open-key rules still work in coerce mode
+    df = spark.createDataFrame([('{"k": 1, "zz": 2}',), ('{"k": 1}',)],
+                               "props string")
+    closed = {**PROPS_SCHEMA, "additionalProperties": False}
+    got = {r["props"]: r["verdict"] for r in validate_json_column(
+        df, "props", closed, engine="columnar",
+        json_types="coerce").collect()}
+    assert got == {'{"k": 1, "zz": 2}': False, '{"k": 1}': True}
+    # value schemas over undeclared keys need exact typing
+    open_vals = {**PROPS_SCHEMA, "additionalProperties": {"type": "string"}}
+    with pytest.raises(PlanUnsupported, match="exact"):
+        validate_json_column(df, "props", open_vals, engine="columnar",
+                             json_types="coerce")
+    with pytest.raises(ValueError, match="json_types"):
+        validate_json_column(df, "props", PROPS_SCHEMA, engine="columnar",
+                             json_types="bogus")
