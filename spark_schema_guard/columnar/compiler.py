@@ -82,18 +82,36 @@ class _Site:
     # JSON expressions re-parse per inline occurrence, and several object
     # keywords consult the key set).
     keys_expr: Column | None = None
+    # Owning compiler, for registering helper columns: nested JSON-backed
+    # sites materialize their variant-map/key-set parses as plan aux
+    # columns instead of inlining a re-parse per consulting rule.  Only
+    # row-level sites carry json_expr, so HOF-lambda element sites (whose
+    # exprs are lambda variables, invalid as top-level columns) can never
+    # trigger a registration.
+    compiler: "object | None" = None
 
     def present(self) -> Column:
         if self.expr is None or self.null_is_value:
             return F.lit(True)
+        if self.keys_expr is not None:
+            # JSON-backed object site: presence = the text parsed as a
+            # JSON object.  Equivalent to the typed-struct parse being
+            # non-null for every row the caller doesn't already override
+            # with its malformed-JSON check, and it frees Catalyst to
+            # prune the struct parse when all rules compile against the
+            # variant view (scalar-only schemas → one parse per row).
+            return self.keys_expr.isNotNull()
         return self.expr.isNotNull()
 
     def object_variant_map(self) -> Column:
         """map<string,variant> view of this JSON object's entries."""
-        if self.variant_expr is not None:
-            return self.variant_expr
-        return F.from_json(self.json_expr,
-                           T.MapType(T.StringType(), T.VariantType()))
+        if self.variant_expr is None:
+            vm = F.from_json(self.json_expr,
+                             T.MapType(T.StringType(), T.VariantType()))
+            if self.compiler is not None:
+                vm = self.compiler._materialize("vmap", vm)
+            self.variant_expr = vm
+        return self.variant_expr
 
     def child(self, expr, dtype, suffix_static, name_col=None,
               json_expr=None) -> "_Site":
@@ -105,16 +123,22 @@ class _Site:
             else F.concat(self.name_col, F.lit(suffix_static)),
             base_uri=self.base_uri,
             json_expr=json_expr,
+            compiler=self.compiler,
         )
 
     def object_keys(self) -> Column | None:
         """Runtime key array of this object, when the true key set is
         knowable (JSON-backed struct sites); None for plain structs."""
-        if self.keys_expr is not None:
-            return self.keys_expr
-        if self.json_expr is None:
-            return None
-        return F.json_object_keys(self.json_expr)
+        if self.keys_expr is None:
+            if self.variant_expr is not None:
+                # piggyback on the already-materialized variant parse
+                self.keys_expr = F.map_keys(self.variant_expr)
+            elif self.json_expr is not None:
+                k = F.json_object_keys(self.json_expr)
+                if self.compiler is not None:
+                    k = self.compiler._materialize("keys", k)
+                self.keys_expr = k
+        return self.keys_expr
 
 
 def _json_path(key: str) -> str:
@@ -147,6 +171,16 @@ class _PlanCompiler:
         self.exact_json_types = options.get("exact_json_types", True)
         self.defaults: list[tuple[str, object]] = []  # top-level column defaults
         self._ref_stack: list[tuple[str, str]] = []
+        # helper columns (name, expr) the plan must project before rule
+        # evaluation — nested JSON parses materialized once per row
+        # instead of once per consulting rule (from_json/get_json_object
+        # are CodegenFallback: every inline copy re-parses the text)
+        self.aux_cols: list[tuple[str, Column]] = []
+
+    def _materialize(self, hint: str, col: Column) -> Column:
+        name = f"__aux{len(self.aux_cols)}_{hint}__"
+        self.aux_cols.append((name, col))
+        return F.col(name)
 
     # ------------------------------------------------------------------
     def compile_root(self, definition, df_schema: T.StructType) -> list[Rule]:
@@ -178,7 +212,16 @@ class _PlanCompiler:
                 return []
             self._ref_stack.append(key)
             try:
-                sub_site = _Site(site.expr, site.dtype, site.sname, site.name_col, doc_uri)
+                # same site, re-based to the target document — $ref is
+                # transparent, so every value-semantics field (explicit
+                # null handling, JSON text/variant/key views) carries over
+                sub_site = _Site(site.expr, site.dtype, site.sname,
+                                 site.name_col, doc_uri,
+                                 null_is_value=site.null_is_value,
+                                 json_expr=site.json_expr,
+                                 variant_expr=site.variant_expr,
+                                 keys_expr=site.keys_expr,
+                                 compiler=site.compiler)
                 return self.compile_value(target, sub_site)
             finally:
                 self._ref_stack.pop()
@@ -277,7 +320,17 @@ class _PlanCompiler:
                                    site.json_expr.isNotNull())]
             return [self._rule(site, "type", "must be " + " or ".join(types),
                                site.expr.isNotNull())]
-        # statically impossible: every present value violates
+        # statically impossible: every present value violates.  One
+        # exception: a JSON-backed site whose struct inference fell back
+        # to string (recursive $ref — no finite static type) may hold a
+        # real object/array at runtime; a constant-fail would be silently
+        # wrong, so refuse the plan instead.
+        if (site.json_expr is not None
+                and isinstance(site.dtype, (T.StringType,))
+                and ("object" in types or "array" in types)):
+            raise PlanUnsupported(
+                "recursive $ref object/array schemas have no finite static "
+                "type for the columnar engine; use engine='python'")
         return [self._rule(site, "type", "must be " + " or ".join(types), F.lit(True))]
 
     # -- enum / const ------------------------------------------------------
@@ -846,9 +899,12 @@ class _PlanCompiler:
                                       null_is_value=True,
                                       json_expr=(base.json_expr
                                                  if base.json_expr is not None
-                                                 else F.get_json_object(
-                                                     site.json_expr,
-                                                     _json_path(key))))
+                                                 else self._materialize(
+                                                     "jtxt",
+                                                     F.get_json_object(
+                                                         site.json_expr,
+                                                         _json_path(key)))),
+                                      compiler=self)
                         for rule in self.compile_value(prop_definition, child):
                             rules.append(rule.gated(gate))
                 if (
@@ -1169,7 +1225,8 @@ class _PlanCompiler:
                         child = _Site(base.expr, base.dtype, base.sname,
                                       base.name_col, base.base_uri,
                                       null_is_value=True,
-                                      json_expr=base.json_expr)
+                                      json_expr=base.json_expr,
+                                      compiler=self)
                         gate = site.present() & _null_false(
                             F.array_contains(keys, F.lit(key)))
                         for rule in self.compile_value(sub, child):
@@ -1488,11 +1545,13 @@ def compile_plan_for_column(
                  variant_expr=(F.col(variant_source_col)
                                if variant_source_col else None),
                  keys_expr=(F.col(keys_source_col)
-                            if keys_source_col else None))
+                            if keys_source_col else None),
+                 compiler=compiler)
     rules = compiler.compile_value(definition, site)
     return ValidationPlan(
         rules=rules, defaults=[], schema_definition=definition,
         df_schema=None, row_validator=row_validator, regex_engine=regex_engine,
+        aux_cols=compiler.aux_cols,
         options={
             "column_root": column,
             "column_dtype": dtype.json(),
@@ -1546,6 +1605,7 @@ def compile_plan(
     rules = compiler.compile_root(definition, df_schema)
     return ValidationPlan(
         rules=rules,
+        aux_cols=compiler.aux_cols,
         defaults=compiler.defaults,
         schema_definition=definition,
         df_schema=df_schema,

@@ -87,8 +87,14 @@ class Rule:
 class ValidationPlan:
     def __init__(self, rules, defaults, schema_definition, df_schema,
                  row_validator, regex_engine="jvm", detailed=True,
-                 include_value=False, options=None):
+                 include_value=False, options=None, aux_cols=None):
         self.rules = rules
+        # helper columns (name, expr) projected before rule evaluation and
+        # dropped after — nested JSON parses materialized once per row
+        # (the parse expressions are CodegenFallback; inline copies would
+        # re-parse the text per consulting rule).  Ordered: later entries
+        # may reference earlier ones.
+        self.aux_cols = aux_cols or []
         self.defaults = defaults
         self.schema_definition = schema_definition
         self.df_schema = df_schema
@@ -111,9 +117,21 @@ class ValidationPlan:
             for rule in self.rules])
         return F.filter(candidates, lambda x: x.isNotNull())
 
+    def with_aux(self, df: DataFrame) -> DataFrame:
+        """Project the plan's helper columns (in registration order — later
+        entries may reference earlier ones)."""
+        out = df
+        for name, col in self.aux_cols:
+            out = out.withColumn(name, col)
+        return out
+
+    def drop_aux(self, df: DataFrame) -> DataFrame:
+        return df.drop(*[name for name, _ in self.aux_cols]) if self.aux_cols else df
+
     def apply(self, df: DataFrame, violations_col: str = "violations",
               verdict_col: str = "verdict") -> DataFrame:
-        out = df.withColumn(violations_col, self.violations_column())
+        out = self.with_aux(df).withColumn(violations_col, self.violations_column())
+        out = self.drop_aux(out)
         return out.withColumn(verdict_col, F.size(F.col(violations_col)) == F.lit(0))
 
     def verdicts(self, df: DataFrame) -> DataFrame:

@@ -71,17 +71,61 @@ def is_temporal(dtype: T.DataType) -> bool:
     return isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
-def spark_struct_for(definition: dict) -> T.StructType:
+def _contains_ref(node) -> bool:
+    if isinstance(node, dict):
+        return "$ref" in node or any(_contains_ref(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_ref(v) for v in node)
+    return False
+
+
+def _deref(node, store, base, seen):
+    """Follow a $ref chain; returns (node, base, seen), with node=None on
+    a cycle (recursive schemas have no finite static type — callers fall
+    back to StringType; the plan compiler independently terminates the
+    same recursion as pass)."""
+    while isinstance(node, dict) and "$ref" in node and store is not None:
+        target, doc_uri, canonical = store.resolve(node["$ref"], base)
+        if canonical in seen:
+            return None, base, seen
+        seen = seen | {canonical}
+        node, base = target, doc_uri
+    return node, base, seen
+
+
+def spark_struct_for(definition: dict, store=None) -> T.StructType:
     """Derive a Spark StructType from an object-typed JSON schema — used to
     ``from_json``-parse JSON string columns into typed structs so the whole
-    rule plan stays JVM-side, and by the synthetic data generator."""
+    rule plan stays JVM-side, and by the synthetic data generator.
+
+    ``$ref`` is transparent: refs resolve through a :class:`SchemaStore`
+    (built on demand) so a referenced object schema infers the same struct
+    as its inline form."""
+    base, seen = "", frozenset()
+    if store is None and _contains_ref(definition):
+        from ..ref_resolver import SchemaStore
+        store = SchemaStore(definition)
+        definition = store.root  # the ref-absolutized copy
+    if store is not None:
+        base = store.base_uri
+        definition, base, seen = _deref(definition, store, base, seen)
+        if definition is None or not isinstance(definition, dict):
+            return T.StructType([])
     fields = []
     for key, sub in definition.get("properties", {}).items():
-        fields.append(T.StructField(key, spark_type_for(sub), nullable=True))
+        fields.append(T.StructField(
+            key, _spark_type_for(sub, store, base, seen), nullable=True))
     return T.StructType(fields)
 
 
 def spark_type_for(definition) -> T.DataType:
+    return _spark_type_for(definition, None, "", frozenset())
+
+
+def _spark_type_for(definition, store, base, seen) -> T.DataType:
+    definition, base, seen = _deref(definition, store, base, seen)
+    if definition is None:
+        return T.StringType()  # recursive ref: no finite static type
     if not isinstance(definition, dict):
         return T.StringType()
     declared = definition.get("type")
@@ -89,10 +133,15 @@ def spark_type_for(definition) -> T.DataType:
         non_null = [t for t in declared if t != "null"]
         declared = non_null[0] if non_null else "null"
     if declared == "object" or "properties" in definition:
-        return spark_struct_for(definition)
+        fields = []
+        for key, sub in definition.get("properties", {}).items():
+            fields.append(T.StructField(
+                key, _spark_type_for(sub, store, base, seen), nullable=True))
+        return T.StructType(fields)
     if declared == "array":
         items = definition.get("items")
-        element = spark_type_for(items if isinstance(items, dict) else {})
+        element = _spark_type_for(items if isinstance(items, dict) else {},
+                                  store, base, seen)
         return T.ArrayType(element, containsNull=True)
     return {
         "string": T.StringType(),

@@ -1,6 +1,7 @@
 """Validation of dynamic JSON string columns (e.g. ``events.props``).
 
-Two engines:
+Two engines (plus ``engine="auto"``, which compiles the columnar plan
+and falls back to the python engine only on ``PlanUnsupported``):
 
 * ``engine="python"`` (exact): the driver-compiled closure validator is
   captured in an Arrow-batched pandas UDF — compile once, ship once per
@@ -24,11 +25,12 @@ Two engines:
   of a blanket invalid-JSON sentinel; "must be valid JSON" is reserved
   for text that is not a JSON object at all.  Remaining limit
   (documented, raises ``PlanUnsupported`` instead of silently passing):
-  NESTED (object/array/combinator) value schemas over undeclared keys —
-  use ``engine="python"`` for those.  ``json_types="coerce"`` opts out
-  of the variant view for a ~2x cheaper plan that validates the typed
-  struct parse directly (string fields silently absorb numbers/bools —
-  the pre-variant behavior, now an explicit choice).
+  NESTED (object/array/combinator) value schemas over undeclared keys
+  and recursive object ``$ref``s — use ``engine="python"`` (or
+  ``"auto"``) for those.  ``json_types="coerce"`` opts out of the
+  variant view for a cheaper plan that validates the typed struct parse
+  directly (string fields silently absorb numbers/bools — the
+  pre-variant behavior, now an explicit choice).
 """
 
 from __future__ import annotations
@@ -96,7 +98,24 @@ def validate_json_column(
     semantics for dynamic JSON types, ~2x the plan cost of
     ``"coerce"``, which validates the schema-typed struct parse
     directly (numbers/booleans silently coerce into string-typed
-    fields; undeclared-key value schemas raise PlanUnsupported)."""
+    fields; undeclared-key value schemas raise PlanUnsupported).
+
+    ``engine="auto"`` compiles the columnar (JVM, zero-shuffle) plan and
+    falls back to the exact Arrow-batched python engine only when the
+    schema needs it (``PlanUnsupported``: nested value schemas over
+    undeclared keys, recursive object refs)."""
+    if engine == "auto":
+        from .columnar.compiler import PlanUnsupported
+        try:
+            return validate_json_column(
+                df, column, definition, engine="columnar",
+                violations_col=violations_col, verdict_col=verdict_col,
+                formats=formats, json_types=json_types)
+        except PlanUnsupported:
+            return validate_json_column(
+                df, column, definition, engine="python",
+                violations_col=violations_col, verdict_col=verdict_col,
+                formats=formats)
     if engine == "python":
         udf = json_violations_udf(definition, formats=formats)
         out = df.withColumn(violations_col, udf(F.col(column)))
@@ -150,10 +169,11 @@ def validate_json_column(
                 F.lit("data must be valid JSON").alias("message"),
             )),
         )
-        out = out.withColumn(
+        out = plan.with_aux(out).withColumn(
             violations_col,
             F.coalesce(malformed, plan.violations_column()),
         ).drop(tmp, tmp_k, *([tmp_v] if exact else []))
+        out = plan.drop_aux(out)
         return out.withColumn(verdict_col, F.size(F.col(violations_col)) == 0)
 
     raise ValueError(f"unknown engine {engine!r}")

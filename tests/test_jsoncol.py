@@ -228,3 +228,78 @@ def test_coerce_mode_fast_path(spark, sf_dir):
     with pytest.raises(ValueError, match="json_types"):
         validate_json_column(df, "props", PROPS_SCHEMA, engine="columnar",
                              json_types="bogus")
+
+
+def test_ref_transparent_struct_inference_and_open_keys(spark):
+    """$ref is transparent end-to-end in the columnar engine: a root-level
+    $ref infers the referenced object's struct (declared-field typing,
+    explicit-null semantics) and keeps the runtime key view
+    (additionalProperties) — byte-parity with the python engine."""
+    plain = {"type": "object", "required": ["k"],
+             "properties": {"k": {"type": "integer"}},
+             "additionalProperties": False}
+    reffed = {"definitions": {"obj": plain}, "$ref": "#/definitions/obj"}
+    from spark_schema_guard.columnar import spark_struct_for
+    assert spark_struct_for(reffed).simpleString() == "struct<k:bigint>"
+
+    df = spark.createDataFrame(
+        [('{"k": null}',), ('{"k": 1, "zz": 2}',), ('{"k": "s"}',),
+         ('{"k": 7}',), ('not json',)], "props string")
+    results = {}
+    for eng in ("python", "columnar"):
+        out = validate_json_column(df, "props", reffed, engine=eng)
+        results[eng] = {
+            r["props"]: (r["verdict"],
+                         [v["message"] for v in (r["violations"] or [])])
+            for r in out.collect()}
+    assert results["python"] == results["columnar"]
+    assert results["columnar"]['{"k": 7}'][0] is True
+    assert results["columnar"]['{"k": null}'][0] is False
+
+
+def test_recursive_ref_refused_by_columnar_exact_in_python(spark):
+    """Recursive $ref has no finite static type: struct inference falls
+    back to string for the cyclic field, and the columnar engine refuses
+    the plan (PlanUnsupported) instead of compiling a silently-wrong
+    constant-fail; engine='python' is the exact path."""
+    from spark_schema_guard.columnar import spark_struct_for
+    from spark_schema_guard.columnar.compiler import PlanUnsupported
+
+    rec = {"definitions": {"node": {
+               "type": "object",
+               "properties": {"v": {"type": "integer"},
+                              "next": {"$ref": "#/definitions/node"}}}},
+           "$ref": "#/definitions/node"}
+    assert spark_struct_for(rec).simpleString() == "struct<v:bigint,next:string>"
+    df = spark.createDataFrame([('{"v": 1, "next": {"v": 2}}',),
+                                ('{"v": "bad"}',),
+                                ('{"v": 1, "next": {"v": "bad"}}',)],
+                               "props string")
+    with pytest.raises(PlanUnsupported, match="python"):
+        validate_json_column(df, "props", rec, engine="columnar")
+    out = validate_json_column(df, "props", rec, engine="python")
+    got = {r["props"]: r["verdict"] for r in out.collect()}
+    assert got == {'{"v": 1, "next": {"v": 2}}': True,
+                   '{"v": "bad"}': False,
+                   '{"v": 1, "next": {"v": "bad"}}': False}
+
+
+def test_engine_auto_picks_columnar_else_python(spark):
+    """engine='auto': JVM columnar plan when expressible, exact python
+    engine on PlanUnsupported — never an error, never silent wrongness."""
+    df = spark.createDataFrame([('{"k": 1}',), ('{"k": "s"}',)], "props string")
+    expressible = {"type": "object", "properties": {"k": {"type": "integer"}}}
+    out = validate_json_column(df, "props", expressible, engine="auto")
+    text = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in text  # took the columnar path
+    assert {r["props"]: r["verdict"] for r in out.collect()} == {
+        '{"k": 1}': True, '{"k": "s"}': False}
+
+    rec = {"definitions": {"node": {
+               "type": "object",
+               "properties": {"next": {"$ref": "#/definitions/node"}}}},
+           "$ref": "#/definitions/node"}
+    out2 = validate_json_column(df, "props", rec, engine="auto")
+    text2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in text2  # fell back to the exact engine
+    assert all(r["verdict"] for r in out2.collect())

@@ -114,8 +114,32 @@ def test_jsoncol_parses_json_once(spark, sf_dir):
          "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}}},
         engine="columnar")
     text = _physical(out)
-    assert text.count("from_json") <= 2
+    # scalar-only schema: every rule compiles against the variant view
+    # and presence reads its key array, so Catalyst prunes the typed
+    # struct parse — exactly ONE parse per row
+    assert text.count("from_json") == 1
     assert "Exchange" not in text
+
+
+def test_nested_jsoncol_materializes_parses(spark):
+    # nested object schemas register aux columns (text slice, variant
+    # map, key array) so each is parsed once per row, never once per
+    # consulting rule
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    df = spark.createDataFrame([('{"k": 1, "o": {"x": 5}}',)], "props string")
+    schema = {"type": "object",
+              "properties": {"k": {"type": "integer"},
+                             "o": {"type": "object", "required": ["x"],
+                                   "properties": {"x": {"type": "integer"}},
+                                   "additionalProperties": {"type": "string"}}}}
+    out = validate_json_column(df, "props", schema, engine="columnar")
+    text = _physical(out)
+    assert "BatchEvalPython" not in text and "Exchange" not in text
+    # root struct + root variant map + nested-site variant map
+    assert text.count("from_json") <= 3
+    # the nested text slice is materialized once, referenced thereafter
+    assert text.count("get_json_object") <= 2
 
 
 def test_open_key_json_plan_stays_jvm(spark):
