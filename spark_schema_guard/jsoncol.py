@@ -95,7 +95,7 @@ def validate_json_column(
 
     ``json_types`` (columnar engine only): ``"exact"`` (default) types
     declared scalar fields from the variant view — exact reference
-    semantics for dynamic JSON types, ~2x the plan cost of
+    semantics for dynamic JSON types, ~1.4x the plan cost of
     ``"coerce"``, which validates the schema-typed struct parse
     directly (numbers/booleans silently coerce into string-typed
     fields; undeclared-key value schemas raise PlanUnsupported).
