@@ -88,6 +88,33 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_package(args) -> int:
+    """Build the ``--py-files`` zip for cluster submission: the whole
+    ``spark_schema_guard`` package, importable from the zip root, so
+
+        spark-submit --py-files engine.zip job.py
+
+    (or ``... -m spark_schema_guard validate ...``) works on executors
+    with no install step."""
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    count = 0
+    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, dirnames, filenames in os.walk(pkg_dir):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for name in sorted(filenames):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, name)
+                zf.write(full, os.path.relpath(full, root))
+                count += 1
+    print(json.dumps({"zip": args.out, "files": count}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="spark_schema_guard")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -113,6 +140,11 @@ def main(argv=None) -> int:
     p_val.add_argument("--format", default="parquet",
                        choices=["parquet", "csv", "json"])
     p_val.set_defaults(fn=cmd_validate)
+
+    p_pkg = sub.add_parser(
+        "package", help="build the spark-submit --py-files zip")
+    p_pkg.add_argument("--out", default="engine.zip")
+    p_pkg.set_defaults(fn=cmd_package)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -203,3 +203,29 @@ def test_violation_streaks_stateful(spark, tmp_path):
     got = {r["key"]: r for r in spark.sql("SELECT * FROM streaks").collect()}
     assert "a" in got and got["a"]["streak"] == 4 and got["a"]["rows_seen"] == 4
     assert "b" not in got and "c" not in got
+
+
+def test_cli_package_builds_importable_pyfiles_zip(tmp_path):
+    """`python -m spark_schema_guard package` builds the spark-submit
+    --py-files artifact: the package importable from the zip root in a
+    fresh interpreter (what executors do with --py-files)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "engine.zip"
+    r = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "package",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["files"] > 10
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import spark_schema_guard as ssg;"
+         "v = ssg.compile({'type': 'object', 'required': ['u']});"
+         "print(v.collect({})[0].rule)"],
+        env={"PYTHONPATH": str(out), "PATH": "/usr/bin:/bin"},
+        capture_output=True, text=True, timeout=120)
+    assert probe.returncode == 0, probe.stderr
+    assert probe.stdout.strip() == "required"
