@@ -172,3 +172,26 @@ def test_bpe_ish_tokens(spark):
                               .alias("n")).collect()}
     # abc|123|def|! ; '' ; x|,|y|.|z ; ¡|hola|se|ñ|or|!
     assert got == {1: 4, 2: 0, 3: 5, 4: 6}
+
+
+def test_simhash_no_token_explode_and_merge_semantics(spark):
+    """simhash folds per-row bit sums with a higher-order aggregate (no
+    token explode — the only shuffle is one 32-long row per doc), docs
+    with empty/NULL text drop out, and rows sharing an id merge their
+    bit votes exactly as the old token-explode groupBy did."""
+    from spark_schema_guard.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, ""), (4, "   "), (5, None),
+         (6, "alpha beta"), (6, "gamma")],
+        "doc_id int, text string")
+    out = simhash(df, "doc_id", "text", bits=16, hash_fn="md5")
+    text = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in text  # no explode: tokens never become rows
+    got = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert set(got) == {1, 2, 6}       # empty/whitespace/NULL dropped
+    assert got[1] == got[2]
+    # duplicate-id rows merge their token votes: {alpha beta}+{gamma}
+    # fingerprints like one doc "alpha beta gamma"
+    assert got[6] == got[1]
