@@ -174,11 +174,9 @@ def test_bpe_ish_tokens(spark):
     assert got == {1: 4, 2: 0, 3: 5, 4: 6}
 
 
-def test_simhash_no_token_explode_and_merge_semantics(spark):
-    """simhash folds per-row bit sums with a higher-order aggregate (no
-    token explode — the only shuffle is one 32-long row per doc), docs
-    with empty/NULL text drop out, and rows sharing an id merge their
-    bit votes exactly as the old token-explode groupBy did."""
+def test_simhash_empty_doc_and_merge_semantics(spark):
+    """simhash drops docs with empty/NULL text, and rows sharing an id
+    merge their bit votes (sum over the union of their tokens)."""
     from spark_schema_guard.operators.dedup import simhash
 
     df = spark.createDataFrame(
@@ -187,11 +185,24 @@ def test_simhash_no_token_explode_and_merge_semantics(spark):
          (6, "alpha beta"), (6, "gamma")],
         "doc_id int, text string")
     out = simhash(df, "doc_id", "text", bits=16, hash_fn="md5")
-    text = out._jdf.queryExecution().executedPlan().toString()
-    assert "Generate" not in text  # no explode: tokens never become rows
     got = {r["doc_id"]: r["simhash"] for r in out.collect()}
     assert set(got) == {1, 2, 6}       # empty/whitespace/NULL dropped
     assert got[1] == got[2]
     # duplicate-id rows merge their token votes: {alpha beta}+{gamma}
     # fingerprints like one doc "alpha beta gamma"
     assert got[6] == got[1]
+
+
+def test_minhash_signature_null_and_duplicate_text_semantics(spark):
+    """Identical texts get identical signatures; NULL text yields NULL
+    signature columns (min over no hashable shingles)."""
+    from spark_schema_guard.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, None)],
+        "doc_id int, text string")
+    out = minhash_signatures(df, "doc_id", "text", num_hashes=4,
+                             shingle_k=4, hash_fn="md5")
+    got = {r["doc_id"]: tuple(r)[1:] for r in out.collect()}
+    assert got[1] == got[2]
+    assert all(v is None for v in got[3])  # NULL text -> NULL signature
