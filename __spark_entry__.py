@@ -422,6 +422,18 @@ def q_events_json_verdicts(spark, sf_dir):
         F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
 
 
+def q_events_json_coerce(spark, sf_dir):
+    """The json_types='coerce' fast path (typed-struct parse only, no
+    variant view): on well-typed data it must agree with exact mode and
+    the SQL oracle."""
+    events = _read(spark, sf_dir, "events")
+    out = validate_json_column(events, "props", PROPS_SCHEMA,
+                               engine="columnar", json_types="coerce")
+    return out.select(
+        "event_id", "verdict",
+        F.try_element_at("violations", F.lit(1)).getField("rule").alias("first_rule"))
+
+
 def q_events_json_exact(spark, sf_dir):
     """Same JSON-column validation through the exact engine (compiled row
     validator inside an Arrow pandas UDF) — the genuinely-dynamic-data
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
         "events_json_verdicts": q_events_json_verdicts,
+        "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
         "events_json_open": q_events_json_open,
         "multimodal_meta": q_multimodal_meta,
@@ -925,6 +938,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_json_verdicts": """
+            SELECT event_id,
+                   (k IS NOT NULL AND k >= 0 AND k <= 80) AS verdict,
+                   CASE WHEN k IS NULL THEN 'required'
+                        WHEN k < 0 THEN 'minimum'
+                        WHEN k > 80 THEN 'maximum'
+                        ELSE NULL END AS first_rule
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+        """,
+        "events_json_coerce": """
             SELECT event_id,
                    (k IS NOT NULL AND k >= 0 AND k <= 80) AS verdict,
                    CASE WHEN k IS NULL THEN 'required'
