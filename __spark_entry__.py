@@ -394,6 +394,22 @@ def q_ann_topk_lsh(spark, sf_dir):
         "query_id", "rank", "neighbor_id")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k (inverted-file scale path): md5-seeded coarse
+    centroids, nearest-cell assignment, nprobe-cell probing — all
+    engine-portable (iterations=0), reproduced cell-for-cell by the
+    DuckDB oracle."""
+    from spark_schema_guard.operators.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where(F.col("vec_id") < 3).collect()}
+    queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
+    return cosine_topk_ivf(emb, "vec_id", "embedding", queries, k=5,
+                           n_centroids=16, nprobe=4).select(
+        "query_id", "rank", "neighbor_id")
+
+
 def q_text_token_counts(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
@@ -546,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dups": q_ann_near_dups,
         "ann_near_dups_blocked": q_ann_near_dups_blocked,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "simhash_near_dups": q_simhash_near_dups,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -904,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_near_dups_blocked": _ann_blocked_sql(block_bits=4, threshold=0.2),
         "ann_topk_lsh": _ann_lsh_sql(k=5, n_planes=3),
+        "ann_topk_ivf": _ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
         "simhash": f"WITH {_simhash_md5_cte()} SELECT doc_id, simhash FROM sh",
         "simhash_near_dups": f"""
             WITH {_simhash_md5_cte()}
@@ -1079,6 +1097,57 @@ def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64) -> str:
                                              ORDER BY cosine DESC,
                                                       neighbor_id ASC) AS rank
                    FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_sql(*, k: int, n_centroids: int, nprobe: int) -> str:
+    """IVF top-k oracle: md5-ordered centroid seeding, argmax-cosine
+    cell assignment (ties to the smaller cell), nprobe-cell probing —
+    mirroring operators/similarity.py::cosine_topk_ivf at
+    iterations=0."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+        WITH data AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                   AS cell, v AS cv
+          FROM data
+          QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                  <= {n_centroids}
+        ),
+        db AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT d.vec_id, d.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {cos.format(a="d.v", b="c.cv")} DESC,
+                                               c.cell ASC) AS rn
+            FROM data d CROSS JOIN cents c)
+          WHERE rn = 1
+        ),
+        qprobe AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT d.vec_id AS query_id, d.v AS qv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                      ORDER BY {cos.format(a="d.v", b="c.cv")} DESC,
+                                               c.cell ASC) AS rn
+            FROM data d CROSS JOIN cents c
+            WHERE d.vec_id < 3)
+          WHERE rn <= {nprobe}
+        ),
+        scored AS (
+          SELECT q.query_id, d.vec_id AS neighbor_id,
+                 {cos.format(a="q.qv", b="d.v")} AS cosine
+          FROM qprobe q JOIN db d ON d.cell = q.cell
+          WHERE d.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC)
+                   AS rank
+          FROM scored)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
     """
 

@@ -199,6 +199,10 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timed("ann_topk_lsh", lambda: cosine_topk_lsh(
         emb, "vec_id", "embedding", qvecs, k=5, n_planes=6,
         multiprobe=2).collect())
+    from spark_schema_guard.operators.similarity import cosine_topk_ivf
+    timed("ann_topk_ivf", lambda: cosine_topk_ivf(
+        emb, "vec_id", "embedding", qvecs, k=5, n_centroids=16,
+        nprobe=4).collect())
     timed("dedup_simhash", lambda: simhash_near_dups(
         docs, "doc_id", "text", bits=32, max_hamming=3).count())
     timed("text_quality", lambda: quality_features(docs, "doc_id", "text").agg(

@@ -383,3 +383,43 @@ def test_connected_components_adaptive_paths_agree(spark):
     # threshold boundary: exactly at the limit still uses one collect
     small = connected_components(edges, driver_max_edges=7).collect()
     assert {(r["id"], r["component"]) for r in small} == driver
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: cells partition the corpus (every vector lands in one
+    cell), recall@k vs brute force is well above the random-candidate
+    floor at nprobe/n_centroids, and results are deterministic."""
+    from spark_schema_guard.operators.similarity import (
+        cosine_topk, cosine_topk_ivf, ivf_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where(F.col("vec_id") < 3).collect()}
+    queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
+
+    cents = ivf_centroids(emb, "vec_id", "embedding", 16)
+    assert len(cents) == 16 and len({c for c, _ in cents}) == 16
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, "vec_id", "embedding",
+                                  queries, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in cosine_topk_ivf(emb, "vec_id", "embedding", queries,
+                                    k=5, n_centroids=16, nprobe=4).collect()}
+    recall = len(brute & ivf) / len(brute)
+    # probing 4/16 cells scans ~25% of the corpus; near-neighbors
+    # concentrate in the query's own cells, so recall must beat the
+    # random-scan floor (embeddings here are RANDOM vectors — the worst
+    # case for IVF, whose cells assume cluster structure — so the floor
+    # is the honest bound; measured 0.47-0.73 across the sf dirs)
+    assert recall >= 0.3, recall
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_ivf(emb, "vec_id", "embedding", queries,
+                                      k=5, n_centroids=16, nprobe=4).collect()}
+    assert again == ivf
+    # nprobe = n_centroids degenerates to exact brute-force
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(emb, "vec_id", "embedding", queries,
+                                     k=5, n_centroids=16,
+                                     nprobe=16).collect()}
+    assert full == brute
