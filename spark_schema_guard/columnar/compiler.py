@@ -32,6 +32,7 @@ precompiled Python regex bank as the reference for byte-exact semantics.
 from __future__ import annotations
 
 
+import math
 import re
 
 import pandas as pd
@@ -299,7 +300,10 @@ class _PlanCompiler:
             return []  # constant-fold away
         if "integer" in types and typemap.is_fractional(site.dtype) and self.integral_float_is_int:
             expr = site.expr
-            is_integral = expr == F.floor(expr)
+            # modulo, not floor(): floor on a double returns LONG, which
+            # overflows (-> NULL/ANSI error) for magnitudes past 2^63 —
+            # 1e308 IS integral (float.is_integer() in the reference)
+            is_integral = (expr % F.lit(1.0)) == F.lit(0.0)
             if isinstance(site.dtype, (T.FloatType, T.DoubleType)):
                 inf = float("inf")
                 is_integral = (
@@ -429,8 +433,14 @@ class _PlanCompiler:
             # Exact check: double→decimal cast goes through the shortest
             # decimal repr (BigDecimal.valueOf), the JVM analog of the
             # reference's Decimal(repr(x)) trick (draft04.py:361-366).
+            # try_cast, with a double-fmod fallback: magnitudes past
+            # Decimal(38,18) (~1e20) would raise under ANSI; fmod on the
+            # exact double value is the closest available semantics there.
             dec = T.DecimalType(38, 18)
-            fail = (expr.cast(dec) % F.lit(divisor).cast(dec)) != F.lit(0).cast(dec)
+            fail = F.coalesce(
+                (expr.try_cast(dec) % F.lit(divisor).cast(dec))
+                != F.lit(0).cast(dec),
+                (expr % F.lit(float(divisor))) != F.lit(0.0))
         rules = [self._rule(site, "multipleOf", f"must be multiple of {divisor}", fail)]
         if typemap.is_fractional(site.dtype) and not isinstance(site.dtype, T.DecimalType):
             inf = float("inf")
@@ -1010,6 +1020,12 @@ class _PlanCompiler:
         # while `type` and `enum` stay bool-strict — mirror exactly
         is_numlike = is_num | (sov == F.lit("BOOLEAN"))
         num = F.try_variant_get(v, "$", "double")
+        # BIGINT-typed values also project exactly as longs: the double
+        # view rounds magnitudes past 2^53, silently moving them across
+        # bounds / onto enum members (the reference compares Python ints
+        # exactly) — numeric keywords branch on the variant type
+        is_bigint = sov == F.lit("BIGINT")
+        lng = F.try_variant_get(v, "$", "long")
         is_str = sov == F.lit("STRING")
         s = F.try_variant_get(v, "$", "string")
 
@@ -1022,7 +1038,9 @@ class _PlanCompiler:
                 return is_str
             if t == "integer":
                 if self.integral_float_is_int:
-                    return is_num & (num == F.floor(num))
+                    # modulo, not floor(): floor(double) -> LONG overflows
+                    # past 2^63 (1e308 is integral in the reference)
+                    return is_num & ((num % F.lit(1.0)) == F.lit(0.0))
                 return (sov == F.lit("BIGINT")) | sov.rlike(r"^DECIMAL\(\d+,0\)$")
             if t == "number":
                 return is_num
@@ -1039,6 +1057,22 @@ class _PlanCompiler:
                 return ((sov == F.lit("BOOLEAN"))
                         & (F.try_variant_get(v, "$", "boolean") == F.lit(m)))
             if isinstance(m, (int, float)):
+                if (isinstance(m, int) or float(m).is_integer()) \
+                        and -2 ** 63 <= int(m) <= 2 ** 63 - 1:
+                    # integral member: Python compares exactly, so the
+                    # double view must not decide — BIGINT values match
+                    # as longs; DOUBLE values match iff integral, inside
+                    # long range (the cast would clamp, not null, on
+                    # overflow) and exactly equal after the cast
+                    mi = int(m)
+                    dbl = (is_num & ~is_bigint
+                           & ((num % F.lit(1.0)) == F.lit(0.0))
+                           & (num >= F.lit(float(-2 ** 63)))
+                           & (num < F.lit(float(2 ** 63)))
+                           & (num.cast("long") == F.lit(mi)))
+                    return (is_bigint & (lng == F.lit(mi))) | dbl
+                # non-integral member: an integral-valued double (incl.
+                # the rounded view of any BIGINT) can never equal it
                 return is_num & (num == F.lit(float(m)))
             if isinstance(m, str):
                 return is_str & (s == F.lit(m))
@@ -1049,13 +1083,37 @@ class _PlanCompiler:
         def msg(text):
             return F.concat(name_col, F.lit(" " + text))
 
-        def bound(keyword, op, template):
+        _BOUND_OPS = {
+            # fail-op, integer-edge transform (for an integer value v:
+            # v < b ⟺ v < ceil(b); v ≤ b ⟺ v ≤ floor(b);
+            # v > b ⟺ v > floor(b); v ≥ b ⟺ v ≥ ceil(b))
+            "lt": (lambda c, x: c < x, math.ceil),
+            "le": (lambda c, x: c <= x, math.floor),
+            "gt": (lambda c, x: c > x, math.floor),
+            "ge": (lambda c, x: c >= x, math.ceil),
+        }
+
+        def bound(keyword, kind, template):
             b = definition[keyword]
             if not isinstance(b, (int, float, Decimal)):
                 raise SchemaDefinitionError(f"{keyword} must be a number")
+            op, edge = _BOUND_OPS[kind]
             lit_b = F.lit(int(b) if isinstance(b, bool) else b)
-            return (keyword, msg(template.format(b)),
-                    is_numlike & op(num, lit_b))
+            dbl_fail = is_numlike & ~is_bigint & op(num, lit_b)
+            # exact long-side comparison for BIGINT values — the double
+            # view rounds 2^53+ magnitudes across the bound
+            try:
+                bi = int(edge(b))
+            except (OverflowError, ValueError):  # infinite bound
+                bi = None
+            if bi is not None and -2 ** 63 <= bi <= 2 ** 63 - 1:
+                big_fail = is_bigint & op(lng, F.lit(bi))
+            else:
+                # bound beyond long range: every long sits on one side
+                high = b > 0
+                const = high if kind in ("lt", "le") else not high
+                big_fail = is_bigint & F.lit(const)
+            return (keyword, msg(template.format(b)), dbl_fail | big_fail)
 
         out = []
         for keyword in self.keyword_order:
@@ -1090,31 +1148,40 @@ class _PlanCompiler:
                 # same consult _kw_minimum does (reference draft04.py:339,
                 # inherited by later dialects)
                 if bool(definition.get("exclusiveMinimum", False)):
-                    out.append(bound("minimum", lambda c, b: c <= b,
+                    out.append(bound("minimum", "le",
                                      "must be bigger than {}"))
                 else:
-                    out.append(bound("minimum", lambda c, b: c < b,
+                    out.append(bound("minimum", "lt",
                                      "must be bigger than or equal to {}"))
             elif keyword == "maximum":
                 if bool(definition.get("exclusiveMaximum", False)):
-                    out.append(bound("maximum", lambda c, b: c >= b,
+                    out.append(bound("maximum", "ge",
                                      "must be smaller than {}"))
                 else:
-                    out.append(bound("maximum", lambda c, b: c > b,
+                    out.append(bound("maximum", "gt",
                                      "must be smaller than or equal to {}"))
             elif keyword == "exclusiveMinimum":
-                out.append(bound("exclusiveMinimum", lambda c, b: c <= b,
+                out.append(bound("exclusiveMinimum", "le",
                                  "must be bigger than {}"))
             elif keyword == "exclusiveMaximum":
-                out.append(bound("exclusiveMaximum", lambda c, b: c >= b,
+                out.append(bound("exclusiveMaximum", "ge",
                                  "must be smaller than {}"))
             elif keyword == "multipleOf":
                 divisor = definition["multipleOf"]
                 if not isinstance(divisor, (int, float, Decimal)):
                     raise SchemaDefinitionError("multipleOf must be a number")
                 dec = T.DecimalType(38, 18)
-                fail = is_numlike & ((num.cast(dec) % F.lit(divisor).cast(dec))
-                                     != F.lit(0).cast(dec))
+                # deliberately the DOUBLE view for every numeric variant,
+                # including BIGINT: the reference computes value/divisor
+                # through float true-division for int divisors, so a huge
+                # odd int IS "a multiple of 2" there (draft04.py:366 —
+                # int/int -> float rounds past 2^53); exact long modulo
+                # here would diverge.  try_cast + double-fmod fallback:
+                # magnitudes past Decimal(38,18) would raise under ANSI.
+                fail = is_numlike & F.coalesce(
+                    (num.try_cast(dec) % F.lit(divisor).cast(dec))
+                    != F.lit(0).cast(dec),
+                    (num % F.lit(float(divisor))) != F.lit(0.0))
                 out.append(("multipleOf",
                             msg(f"must be multiple of {divisor}"), fail))
                 out.append(("multipleOf", F.lit("inifinity reached"),

@@ -38,3 +38,22 @@ def test_collect_mode_through_ref():
     with pytest.raises(ssg.ValidationErrors) as exc:
         validator({"a": 1, "b": 2})
     assert [e.name for e in exc.value.errors] == ["data.a", "data.b"]
+
+
+def test_typed_long_multiple_of_is_exact(spark, reference):
+    # Reference computes value/divisor through float true-division for
+    # int divisors (draft04.py:366), so any odd int past 2^53 counts as
+    # "a multiple of 2" — a float artifact. On a TYPED integer column
+    # the columnar engine uses exact long modulo instead; the JSON
+    # engines keep byte-parity with the reference's float semantics
+    # (pinned in the bigint conformance test in test_jsoncol.py).
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(2 ** 60 + 1,), (2 ** 60,), (7,), (6,)],
+                               T.StructType([T.StructField("k", T.LongType())]))
+    plan = ssg.compile_plan(
+        {"type": "object", "properties": {"k": {"multipleOf": 2}}}, df.schema)
+    got = {r["k"]: r["verdict"] for r in plan.apply(df).collect()}
+    assert got == {2 ** 60 + 1: False, 2 ** 60: True, 7: False, 6: True}
+    # the reference's float path calls the huge odd int valid
+    reference.validate({"multipleOf": 2}, 2 ** 60 + 1)  # no raise

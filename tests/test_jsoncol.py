@@ -303,3 +303,40 @@ def test_engine_auto_picks_columnar_else_python(spark):
     text2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in text2  # fell back to the exact engine
     assert all(r["verdict"] for r in out2.collect())
+
+
+def test_bigint_precision_parity_with_python_engine(spark):
+    """Numeric keywords over dynamically-typed JSON values compare like
+    the reference: bounds and enum/const are EXACT past 2^53 (BIGINT
+    variants compare as longs — the double view rounds onto the wrong
+    side), while multipleOf keeps the reference's float-division
+    semantics (a huge odd int IS 'a multiple of 2' there)."""
+    big = 2 ** 60 + 1
+    docs = [f'{{"k": {big}}}', f'{{"k": {2 ** 60}}}',
+            '{"k": 9007199254740993}', '{"k": -0.0}', '{"k": 1e308}',
+            '{"k": 3.0}', '{"k": 2.5}', '{"k": true}',
+            '{"k": -9223372036854775808}', '{"k": 9223372036854775807}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    cases = [
+        {"type": "object", "properties": {"k": {"type": "integer", "minimum": big}}},
+        {"type": "object", "properties": {"k": {"enum": [big, "x"]}}},
+        {"type": "object", "properties": {"k": {"const": 3}}},
+        {"type": "object", "properties": {"k": {"multipleOf": 2}}},
+        # (bool + float-divisor multipleOf crashes IN THE REFERENCE —
+        # Decimal(repr(True)) raises InvalidOperation — and the exact
+        # engine faithfully mirrors that, so keep true out of this case)
+        {"type": "object", "properties": {"k": {"multipleOf": 0.5}},
+         "__skip_docs__": ['{"k": true}']},
+        {"type": "object", "properties": {"k": {"maximum": 2.5}}},
+        {"type": "object", "properties": {"k": {"exclusiveMinimum": float(2 ** 60)}}},
+        {"type": "object", "properties": {"k": {"maximum": -2 ** 63}}},
+    ]
+    for sch in cases:
+        skip = sch.pop("__skip_docs__", [])
+        case_df = spark.createDataFrame(
+            [(d,) for d in docs if d not in skip], "props string")
+        res = {}
+        for eng in ("python", "columnar"):
+            out = validate_json_column(case_df, "props", sch, engine=eng)
+            res[eng] = {r["props"]: r["verdict"] for r in out.collect()}
+        assert res["python"] == res["columnar"], (sch, res)
