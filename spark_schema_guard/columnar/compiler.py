@@ -428,14 +428,24 @@ class _PlanCompiler:
             return []
         expr = site.expr
         if typemap.is_integral(site.dtype) and isinstance(divisor, int):
+            # exact long modulo — documented deliberate divergence from
+            # the reference's float true-division past 2^53 on TYPED
+            # integer columns (tests/test_divergences.py)
             fail = (expr % F.lit(divisor)) != F.lit(0)
+        elif isinstance(divisor, (int, bool)) and not isinstance(divisor, float):
+            # fractional value, int divisor: mirror the reference's
+            # float true-division — invalid iff the double quotient is
+            # non-integral, so any |q| >= 2^52 is integral and valid
+            # (draft04.py:366)
+            q = expr / F.lit(float(divisor))
+            fail = (q % F.lit(1.0)) != F.lit(0.0)
         else:
-            # Exact check: double→decimal cast goes through the shortest
-            # decimal repr (BigDecimal.valueOf), the JVM analog of the
-            # reference's Decimal(repr(x)) trick (draft04.py:361-366).
-            # try_cast, with a double-fmod fallback: magnitudes past
-            # Decimal(38,18) (~1e20) would raise under ANSI; fmod on the
-            # exact double value is the closest available semantics there.
+            # Float divisor: double→decimal cast goes through the
+            # shortest decimal repr (BigDecimal.valueOf), the JVM analog
+            # of the reference's Decimal(repr(x)) trick
+            # (draft04.py:361-366).  try_cast, with a double-fmod
+            # fallback: magnitudes past Decimal(38,18) (~1e20) would
+            # raise under ANSI.
             dec = T.DecimalType(38, 18)
             fail = F.coalesce(
                 (expr.try_cast(dec) % F.lit(divisor).cast(dec))
@@ -1170,18 +1180,26 @@ class _PlanCompiler:
                 divisor = definition["multipleOf"]
                 if not isinstance(divisor, (int, float, Decimal)):
                     raise SchemaDefinitionError("multipleOf must be a number")
-                dec = T.DecimalType(38, 18)
                 # deliberately the DOUBLE view for every numeric variant,
-                # including BIGINT: the reference computes value/divisor
-                # through float true-division for int divisors, so a huge
-                # odd int IS "a multiple of 2" there (draft04.py:366 —
-                # int/int -> float rounds past 2^53); exact long modulo
-                # here would diverge.  try_cast + double-fmod fallback:
-                # magnitudes past Decimal(38,18) would raise under ANSI.
-                fail = is_numlike & F.coalesce(
-                    (num.try_cast(dec) % F.lit(divisor).cast(dec))
-                    != F.lit(0).cast(dec),
-                    (num % F.lit(float(divisor))) != F.lit(0.0))
+                # including BIGINT, mirroring the reference exactly:
+                # - int divisor: q = value / divisor via float TRUE
+                #   DIVISION, invalid iff q is non-integral — so any
+                #   |q| >= 2^52 is integral and VALID (draft04.py:366; a
+                #   huge odd int IS "a multiple of 2" there); exact
+                #   modulo would diverge.
+                # - float divisor: Decimal(repr(value)) path -> decimal
+                #   cast (try_cast + double-fmod fallback: magnitudes
+                #   past Decimal(38,18) would raise under ANSI).
+                if isinstance(divisor, (int, bool)) \
+                        and not isinstance(divisor, float):
+                    q = num / F.lit(float(divisor))
+                    fail = is_numlike & ((q % F.lit(1.0)) != F.lit(0.0))
+                else:
+                    dec = T.DecimalType(38, 18)
+                    fail = is_numlike & F.coalesce(
+                        (num.try_cast(dec) % F.lit(divisor).cast(dec))
+                        != F.lit(0).cast(dec),
+                        (num % F.lit(float(divisor))) != F.lit(0.0))
                 out.append(("multipleOf",
                             msg(f"must be multiple of {divisor}"), fail))
                 out.append(("multipleOf", F.lit("inifinity reached"),

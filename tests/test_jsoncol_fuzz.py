@@ -30,6 +30,14 @@ def _random_value(rng):
         None,
         [1, 2],
         {"in": 1},
+        # adversarial numerics/strings: past-2^53 ints (rounded double
+        # views once moved these across bounds/enum members), integral
+        # doubles, long-range edges, unicode incl. astral + quotes
+        rng.choice([2 ** 60 + 1, 2 ** 60, 9007199254740993,
+                    -2 ** 63, 2 ** 63 - 1]),
+        rng.choice([1e308, -0.0, 3.0, 1e15 + 0.5]),
+        rng.choice(["é", "日本語", "emoji \U0001F600", 'qu"ote',
+                    "back\\slash", "tab\tnewline\n"]),
     ])
 
 
