@@ -55,7 +55,13 @@ def _scalar_schema(rng):
         {"type": "string", "minLength": rng.randint(0, 4)},
         {"type": "string", "pattern": rng.choice(["^a", "[0-9]$", "^en$"])},
         {"enum": rng.sample([1, 2, "en", "abc", True, None], 3)},
+        {"enum": rng.sample([2 ** 60 + 1, 2 ** 60, 3.0, "é", -0.0], 3)},
         {"multipleOf": rng.choice([2, 3])},
+        {"format": rng.choice(["ipv4", "date-time", "email", "hostname",
+                               "uri", "unknown-format"])},
+        {"type": "integer",
+         "minimum": rng.choice([0, 2 ** 53 + 1, 2 ** 60])},
+        {"const": rng.choice([2 ** 60 + 1, 3.0, "é", True, None])},
         True,
         False,
     ])
