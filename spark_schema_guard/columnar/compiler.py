@@ -997,10 +997,16 @@ class _PlanCompiler:
         "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
         "exclusiveMaximum", "multipleOf", "minLength", "maxLength",
         "pattern", "format",
+        # combinators compose from scalar-subset branches (each branch
+        # recursively compiled to triples; non-scalar branches raise
+        # PlanUnsupported like any other hard keyword)
+        "allOf", "anyOf", "oneOf", "not", "if",
     }
     _VARIANT_ANNOTATIONS = {
         "title", "description", "default", "examples", "$comment",
         "$schema", "$id", "id", "definitions",
+        # consumed by the "if" handler at its keyword position
+        "then", "else",
     }
 
     def _variant_entry_rules(self, definition, name_col, v):
@@ -1243,7 +1249,72 @@ class _PlanCompiler:
                                               anchored=True)
                     out.append(("format", msg(f"must be {fmt}"),
                                 is_str & ~_null_false(match)))
+            elif keyword == "allOf":
+                # reference inlines allOf sub-blocks: inner keywords
+                # surface with their own rules/messages (draft04.py:173)
+                subs = definition["allOf"]
+                if not isinstance(subs, (list, tuple)):
+                    raise SchemaDefinitionError("allOf must be an array")
+                for sub in subs:
+                    out.extend(self._variant_entry_rules(sub, name_col, v))
+            elif keyword == "anyOf":
+                subs = definition["anyOf"]
+                if not isinstance(subs, (list, tuple)):
+                    raise SchemaDefinitionError("anyOf must be an array")
+                any_pass = F.lit(False)
+                for sub in subs:
+                    any_pass = any_pass | self._variant_branch_pass(
+                        sub, name_col, v)
+                out.append(("anyOf",
+                            msg("cannot be validated by any definition"),
+                            ~any_pass))
+            elif keyword == "oneOf":
+                subs = definition["oneOf"]
+                if not isinstance(subs, (list, tuple)):
+                    raise SchemaDefinitionError("oneOf must be an array")
+                count = F.lit(0)
+                for sub in subs:
+                    count = count + self._variant_branch_pass(
+                        sub, name_col, v).cast("int")
+                out.append(("oneOf", F.concat(
+                    name_col,
+                    F.lit(" must be valid exactly by one definition ("),
+                    count.cast("string"), F.lit(" matches found)")),
+                    count != F.lit(1)))
+            elif keyword == "not":
+                sub = definition["not"]
+                if sub is True:
+                    out.append(("not", msg("must not be there"), F.lit(True)))
+                elif sub is False:
+                    pass
+                elif isinstance(sub, dict) and not sub:
+                    out.append(("not",
+                                msg("must NOT match a disallowed definition"),
+                                F.lit(True)))
+                else:
+                    out.append(("not",
+                                msg("must NOT match a disallowed definition"),
+                                self._variant_branch_pass(sub, name_col, v)))
+            elif keyword == "if":
+                if_pass = self._variant_branch_pass(
+                    definition["if"], name_col, v)
+                for rule_id, message, fail in self._variant_entry_rules(
+                        definition.get("then", True), name_col, v):
+                    out.append((rule_id, message,
+                                _null_false(if_pass) & fail))
+                for rule_id, message, fail in self._variant_entry_rules(
+                        definition.get("else", True), name_col, v):
+                    out.append((rule_id, message,
+                                ~_null_false(if_pass) & fail))
         return out
+
+    def _variant_branch_pass(self, sub, name_col, v):
+        """True where a (scalar-subset) subschema accepts the VARIANT
+        value — no triple of the branch fails."""
+        ok = F.lit(True)
+        for _, _, fail in self._variant_entry_rules(sub, name_col, v):
+            ok = ok & ~_null_false(fail)
+        return ok
 
     def _variant_violation(self, triples, name_col):
         """First failing triple as a violation struct (null when none)."""

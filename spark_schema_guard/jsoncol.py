@@ -23,11 +23,14 @@ and falls back to the python engine only on ``PlanUnsupported``):
   messages).  A field-level type mismatch on a DECLARED key parses to a
   NULL field while the key stays visible, so the type rule fires instead
   of a blanket invalid-JSON sentinel; "must be valid JSON" is reserved
-  for text that is not a JSON object at all.  Remaining limit
+  for text that is not a JSON object at all.  Combinators
+  (``anyOf``/``oneOf``/``allOf``/``not``/``if``-``then``-``else``)
+  over scalar branches compose from the same variant rules — exact
+  dynamic-type semantics with byte-parity messages.  Remaining limit
   (documented, raises ``PlanUnsupported`` instead of silently passing):
-  NESTED (object/array/combinator) value schemas over undeclared keys
-  and recursive object ``$ref``s — use ``engine="python"`` (or
-  ``"auto"``) for those.  ``json_types="coerce"`` opts out of the
+  NESTED (object/array) value schemas over undeclared keys and
+  recursive object ``$ref``s — use ``engine="python"`` (or ``"auto"``)
+  for those.  ``json_types="coerce"`` opts out of the
   variant view for a cheaper plan that validates the typed struct parse
   directly (string fields silently absorb numbers/bools — the
   pre-variant behavior, now an explicit choice).

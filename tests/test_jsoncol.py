@@ -340,3 +340,39 @@ def test_bigint_precision_parity_with_python_engine(spark):
             out = validate_json_column(case_df, "props", sch, engine=eng)
             res[eng] = {r["props"]: r["verdict"] for r in out.collect()}
         assert res["python"] == res["columnar"], (sch, res)
+
+
+def test_combinators_on_declared_json_fields(spark):
+    """Combinator schemas (anyOf/oneOf/allOf/not/if-then-else) on
+    DECLARED JSON fields compile over the variant view when every
+    branch is scalar — exact dynamic-type semantics with byte-parity
+    messages (incl. oneOf's dynamic '(N matches found)'), instead of
+    the coercing struct fallback that mis-typed heterogeneous values."""
+    docs = ['{"k": 5}', '{"k": "abc"}', '{"k": true}', '{"k": 5.5}',
+            '{"k": null}', '{}', '{"k": 15}', '{"k": 9}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    cases = [
+        {"type": "object", "properties": {"k": {"anyOf": [
+            {"type": "integer"}, {"type": "boolean"}]}}},
+        {"type": "object", "properties": {"k": {"oneOf": [
+            {"type": "number", "multipleOf": 3},
+            {"type": "number", "multipleOf": 5}]}}},
+        {"type": "object", "properties": {"k": {"not": {"type": "string"}}}},
+        {"type": "object", "properties": {"k": {
+            "if": {"type": "integer"}, "then": {"minimum": 3},
+            "else": {"type": "string"}}}},
+        {"type": "object", "properties": {"k": {"allOf": [
+            {"type": "number"}, {"minimum": 5}]}}},
+        {"type": "object", "properties": {"k": {"not": True}}},
+        {"type": "object", "properties": {"k": {"not": {}}}},
+    ]
+    for sch in cases:
+        res = {}
+        for eng in ("python", "columnar"):
+            out = validate_json_column(df, "props", sch, engine=eng)
+            res[eng] = {
+                r["props"]: (r["verdict"],
+                             [(x["rule"], x["message"])
+                              for x in r["violations"]])
+                for r in out.collect()}
+        assert res["python"] == res["columnar"], (sch, res)
