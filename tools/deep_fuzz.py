@@ -3,7 +3,7 @@ predicate as tests/test_fuzz_differential.py, but with a configurable
 example budget — run before each round snapshot to hunt parity bugs
 deeper than the in-suite 400 examples.
 
-    python tools/deep_fuzz.py [n_examples]
+    python tools/deep_fuzz.py [n_examples] [seed]
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/reference")  # read-only, differential oracle only
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    fuzz_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
 
     from hypothesis import HealthCheck, given, seed, settings
 
@@ -30,7 +31,7 @@ def main():
 
     @settings(max_examples=n, deadline=None, print_blob=False,
               suppress_health_check=list(HealthCheck))
-    @seed(20260817)
+    @seed(fuzz_seed)
     @given(schema=fuzz.schemas, data=fuzz.json_values)
     def run(schema, data):
         theirs = fuzz.run_one(reference, reference.JsonSchemaValueException,
