@@ -149,6 +149,17 @@ def _json_path(key: str) -> str:
     return "$['" + key.replace("'", "\\'") + "']"
 
 
+class _NestedViolation:
+    """Marker in the rule-id slot of a variant-rule triple: the violation
+    struct (name/rule/message) comes pre-built from a nested value's own
+    first-failing rule instead of the enclosing entry's name/message."""
+
+    __slots__ = ("struct",)
+
+    def __init__(self, struct: Column):
+        self.struct = struct
+
+
 class PlanUnsupported(SchemaDefinitionError):
     """A keyword/type combination the columnar compiler cannot express;
     callers may fall back to the row-validator pandas-UDF path."""
@@ -910,9 +921,18 @@ class _PlanCompiler:
                             prop_definition, base.name_col,
                             F.try_element_at(aux, F.lit(key)))
                         for rule_id, message, fail in triples:
-                            rules.append(Rule(
-                                rule_id, base.sname, base.name_col, message,
-                                _null_false(gate) & _null_false(fail)))
+                            if isinstance(rule_id, _NestedViolation):
+                                rules.append(Rule(
+                                    None, base.sname,
+                                    rule_id.struct.getField("name"),
+                                    rule_id.struct.getField("message"),
+                                    _null_false(gate) & _null_false(fail),
+                                    dynamic=rule_id.struct))
+                            else:
+                                rules.append(Rule(
+                                    rule_id, base.sname, base.name_col,
+                                    message,
+                                    _null_false(gate) & _null_false(fail)))
                     except PlanUnsupported:
                         child = _Site(base.expr, base.dtype, base.sname,
                                       base.name_col, base.base_uri,
@@ -1001,12 +1021,24 @@ class _PlanCompiler:
         # recursively compiled to triples; non-scalar branches raise
         # PlanUnsupported like any other hard keyword)
         "allOf", "anyOf", "oneOf", "not", "if",
+        # nested containers: the variant casts to array<variant> /
+        # map<string,variant>, element and member schemas recurse with
+        # per-element names carried via _NestedViolation structs
+        # (uniqueItems stays hard: the reference's freeze canon uses
+        # Python cross-type equality, 1 == 1.0 == True, which variant
+        # equality cannot reproduce)
+        "minItems", "maxItems", "items", "contains",
+        "minProperties", "maxProperties", "required", "dependencies",
+        "properties", "patternProperties", "additionalProperties",
+        "propertyNames",
     }
     _VARIANT_ANNOTATIONS = {
         "title", "description", "default", "examples", "$comment",
         "$schema", "$id", "id", "definitions",
         # consumed by the "if" handler at its keyword position
         "then", "else",
+        # consumed by the "items" handler at its keyword position
+        "additionalItems",
     }
 
     def _variant_entry_rules(self, definition, name_col, v):
@@ -1044,6 +1076,64 @@ class _PlanCompiler:
         lng = F.try_variant_get(v, "$", "long")
         is_str = sov == F.lit("STRING")
         s = F.try_variant_get(v, "$", "string")
+        # nested containers: NULL when the value is not an array/object
+        is_arr = sov.startswith("ARRAY")
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        is_obj = sov.startswith("OBJECT")
+        obj = F.try_variant_get(v, "$", "map<string,variant>")
+        okeys = F.map_keys(obj)
+
+        def nested_value(sub, child_name, child_v, gate):
+            """One triple whose violation struct is the child value's own
+            first-failing rule (name/rule/message all from the child)."""
+            triples = self._variant_entry_rules(sub, child_name, child_v)
+            if not triples:
+                return
+            struct = self._variant_violation(triples, child_name)
+            out.append((_NestedViolation(struct), F.lit(None),
+                        _null_false(gate) & struct.isNotNull()))
+
+        def first_failing_elems(sub, start):
+            """First array element from ``start`` violating the element
+            schema (name ``data...[i]``)."""
+            if not self._variant_entry_rules(sub, name_col, v):
+                return
+
+            def elem_viol(x, i):
+                idx = (i + F.lit(start)).cast("string")
+                ename = F.concat(name_col, F.lit("["), idx, F.lit("]"))
+                triples = self._variant_entry_rules(sub, ename, x)
+                return self._variant_violation(triples, ename)
+
+            tail = F.slice(arr, start + 1,
+                           F.greatest(F.size(arr) - F.lit(start), F.lit(0)))
+            failing = F.filter(F.transform(tail, elem_viol),
+                               lambda y: y.isNotNull())
+            first = F.try_element_at(failing, F.lit(1))
+            out.append((_NestedViolation(first), F.lit(None),
+                        is_arr & _null_false(F.size(failing) > F.lit(0))))
+
+        def first_failing_entry(key_filter, sub, rule_label):
+            """First (key, value) entry passing ``key_filter`` whose value
+            violates ``sub`` (name ``data...key``) — the nested analog of
+            _json_entry_rule."""
+            if not self._variant_entry_rules(sub, name_col, v):
+                return
+
+            def entry_violation(e):
+                k = e.getField("key")
+                ename = F.concat(name_col, F.lit("."), k)
+                triples = self._variant_entry_rules(sub, ename,
+                                                    e.getField("value"))
+                inner = self._variant_violation(triples, ename)
+                return F.when(key_filter(k), inner)
+
+            failing = F.filter(F.transform(F.map_entries(obj),
+                                           entry_violation),
+                               lambda y: y.isNotNull())
+            first = F.try_element_at(failing, F.lit(1))
+            out.append((_NestedViolation(first), F.lit(None),
+                        is_obj & _null_false(F.size(failing) > F.lit(0))))
 
         def type_pass(t):
             if t == "null":
@@ -1306,6 +1396,242 @@ class _PlanCompiler:
                         definition.get("else", True), name_col, v):
                     out.append((rule_id, message,
                                 ~_null_false(if_pass) & fail))
+            elif keyword == "minItems":
+                b = definition["minItems"]
+                if not isinstance(b, (int, float)):
+                    raise SchemaDefinitionError("minItems must be a number")
+                out.append(("minItems",
+                            msg(f"must contain at least {b} items"),
+                            is_arr & (F.size(arr) < F.lit(b))))
+            elif keyword == "maxItems":
+                b = definition["maxItems"]
+                if not isinstance(b, (int, float)):
+                    raise SchemaDefinitionError("maxItems must be a number")
+                out.append(("maxItems",
+                            msg(f"must contain less than or equal to {b} "
+                                "items"),
+                            is_arr & (F.size(arr) > F.lit(b))))
+            elif keyword == "items":
+                items_definition = definition["items"]
+                if items_definition is False:
+                    out.append(("items", msg("must not be there"),
+                                is_arr & (F.size(arr) > F.lit(0))))
+                elif isinstance(items_definition, list):
+                    for idx, idef in enumerate(items_definition):
+                        nested_value(
+                            idef, F.concat(name_col, F.lit(f"[{idx}]")),
+                            F.try_element_at(arr, F.lit(idx + 1)),
+                            is_arr & (F.size(arr) > F.lit(idx)))
+                    n_fixed = len(items_definition)
+                    extra = definition.get("additionalItems")
+                    if extra is False:
+                        out.append(("items",
+                                    msg("must contain only specified items"),
+                                    is_arr & (F.size(arr) > F.lit(n_fixed))))
+                    elif isinstance(extra, (dict, bool)) \
+                            and extra is not True:
+                        first_failing_elems(extra, start=n_fixed)
+                elif items_definition is not True:
+                    first_failing_elems(items_definition, start=0)
+            elif keyword == "contains":
+                cd = definition["contains"]
+                if cd is False:
+                    out.append(("contains", msg("is always invalid"),
+                                is_arr))
+                elif cd is True:
+                    out.append(("contains", msg("must not be empty"),
+                                is_arr & (F.size(arr) == F.lit(0))))
+                else:
+                    def _contains_pass(sub):
+                        # NOTE: HOF lambdas must be unary — PySpark
+                        # inspects the signature, and a default arg makes
+                        # it look like the (element, index) form
+                        return lambda x: self._variant_branch_pass(
+                            sub, name_col, x)
+
+                    elem_pass = _contains_pass(cd)
+                    out.append(("contains",
+                                msg("must contain one of contains "
+                                    "definition"),
+                                is_arr & ~F.exists(arr, elem_pass)))
+            elif keyword == "minProperties":
+                b = definition["minProperties"]
+                if not isinstance(b, (int, float)):
+                    raise SchemaDefinitionError(
+                        "minProperties must be a number")
+                out.append(("minProperties",
+                            msg(f"must contain at least {b} properties"),
+                            is_obj & (F.size(okeys) < F.lit(b))))
+            elif keyword == "maxProperties":
+                b = definition["maxProperties"]
+                if not isinstance(b, (int, float)):
+                    raise SchemaDefinitionError(
+                        "maxProperties must be a number")
+                out.append(("maxProperties",
+                            msg(f"must contain less than or equal to {b} "
+                                "properties"),
+                            is_obj & (F.size(okeys) > F.lit(b))))
+            elif keyword == "required":
+                required = definition["required"]
+                if not isinstance(required, (list, tuple)):
+                    raise SchemaDefinitionError("required must be an array")
+                if len(required) != len(set(required)):
+                    raise SchemaDefinitionError(
+                        "required must contain unique elements")
+                if not definition.get("additionalProperties", True):
+                    patterns = list(definition.get("patternProperties", {}))
+                    impossible = [
+                        key for key in required
+                        if key not in definition.get("properties", {})
+                        and not any(re.search(p, key) for p in patterns)
+                    ]
+                    if impossible:
+                        raise SchemaDefinitionError(
+                            "data: items {} are required but not allowed"
+                            .format(impossible))
+                flags = [
+                    (key,
+                     ~_null_false(F.map_contains_key(obj, F.lit(key))))
+                    for key in required
+                ]
+                any_missing = F.lit(False)
+                for _, flag in flags:
+                    any_missing = any_missing | flag
+                # message lists ONLY the missing keys, sorted
+                # (draft04.py:525-528), like the typed-path rule
+                quoted = F.array_sort(F.filter(
+                    F.array(*[F.when(flag, F.lit(f"'{key}'"))
+                              for key, flag in flags]),
+                    lambda x: x.isNotNull()))
+                out.append(("required", F.concat(
+                    name_col, F.lit(" must contain ["),
+                    F.concat_ws(", ", quoted), F.lit("] properties")),
+                    is_obj & any_missing))
+            elif keyword == "properties":
+                for key, sub in definition["properties"].items():
+                    if not isinstance(sub, (dict, bool)):
+                        clean = re.sub(r"[^a-zA-Z0-9]", "", key)
+                        raise SchemaDefinitionError(
+                            "data[{}] must be object".format(clean))
+                    nested_value(
+                        sub, F.concat(name_col, F.lit("." + key)),
+                        F.try_element_at(obj, F.lit(key)),
+                        is_obj & _null_false(
+                            F.map_contains_key(obj, F.lit(key))))
+            elif keyword == "dependencies":
+                deps = definition["dependencies"]
+                if not isinstance(deps, dict):
+                    raise SchemaDefinitionError(
+                        "dependencies must be an object")
+                for key, req in deps.items():
+                    present = is_obj & _null_false(
+                        F.map_contains_key(obj, F.lit(key)))
+                    if req == [] or req is True:
+                        continue
+                    if req is False:
+                        out.append(("dependencies", F.concat(
+                            F.lit(f"{key} in "), name_col,
+                            F.lit(" must not be there")), present))
+                    elif isinstance(req, (list, tuple)):
+                        for needed in req:
+                            out.append(("dependencies", F.concat(
+                                name_col,
+                                F.lit(f" missing dependency {needed} "
+                                      f"for {key}")),
+                                present & ~_null_false(
+                                    F.map_contains_key(obj,
+                                                       F.lit(needed)))))
+                    else:
+                        for rule_id, message, fail in \
+                                self._variant_entry_rules(req, name_col, v):
+                            out.append((rule_id, message,
+                                        present & _null_false(fail)))
+            elif keyword == "additionalProperties":
+                add_def = definition["additionalProperties"]
+                if add_def is True or add_def == {}:
+                    continue
+                declared = list(definition.get("properties", {}))
+                java_patterns = [
+                    jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", p))
+                    for p in definition.get("patternProperties", {})
+                ]
+
+                def _extra_filter(decl, pats):
+                    # unary closure: see the HOF-lambda signature note
+                    def is_extra(k):
+                        cond = F.lit(True)
+                        for key in decl:
+                            cond = cond & (k != F.lit(key))
+                        for j in pats:
+                            cond = cond & ~k.rlike(j)
+                        return cond
+                    return is_extra
+
+                is_extra = _extra_filter(declared, java_patterns)
+
+                if add_def is False:
+                    extras = F.filter(okeys, is_extra)
+                    shown = F.concat(
+                        F.lit("{"),
+                        F.concat_ws(", ", F.transform(
+                            F.array_sort(extras),
+                            lambda k: F.concat(F.lit("'"), k, F.lit("'")))),
+                        F.lit("}"))
+                    out.append(("additionalProperties", F.concat(
+                        name_col, F.lit(" must not contain "), shown,
+                        F.lit(" properties")),
+                        is_obj & _null_false(F.size(extras) > F.lit(0))))
+                else:
+                    first_failing_entry(is_extra, add_def,
+                                        "additionalProperties")
+            elif keyword == "patternProperties":
+                for pattern, sub in definition["patternProperties"].items():
+                    if sub is True or sub == {}:
+                        continue
+                    java = jvm_pattern(
+                        _UNESCAPED_DOLLAR.sub(r"\\Z", pattern))
+
+                    def _matcher(j):
+                        return lambda k: k.rlike(j)
+
+                    if sub is False:
+                        matching = F.filter(okeys, _matcher(java))
+                        first_k = F.try_element_at(F.array_sort(matching),
+                                                   F.lit(1))
+                        kname = F.concat(name_col, F.lit("."), first_k)
+                        out.append((_NestedViolation(F.struct(
+                            kname.alias("name"),
+                            F.lit(None).cast("string").alias("rule"),
+                            F.concat(kname, F.lit(" must not be there"))
+                            .alias("message"))),
+                            F.lit(None),
+                            is_obj & _null_false(
+                                F.size(matching) > F.lit(0))))
+                    else:
+                        first_failing_entry(_matcher(java), sub,
+                                            "patternProperties")
+            elif keyword == "propertyNames":
+                nd = definition["propertyNames"]
+                if nd is True or nd == {}:
+                    continue
+                if nd is False:
+                    out.append(("propertyNames", msg("must not be there"),
+                                is_obj & (F.size(okeys) > F.lit(0))))
+                else:
+                    def _name_checker(sub):
+                        # unary closure: see the HOF-lambda signature note
+                        def name_pass(k):
+                            site = _Site(k, T.StringType(), "<name>",
+                                         F.lit(""), self.store.root_uri())
+                            return self._pass_expr_for_expr(sub, site)
+                        return name_pass
+
+                    name_pass = _name_checker(nd)
+                    out.append(("propertyNames",
+                                msg("must be named by propertyName "
+                                    "definition"),
+                                is_obj & ~_null_false(
+                                    F.forall(okeys, name_pass))))
         return out
 
     def _variant_branch_pass(self, sub, name_col, v):
@@ -1321,10 +1647,14 @@ class _PlanCompiler:
         expr = F.lit(None).cast(
             "struct<name:string,rule:string,message:string>")
         for rule_id, message, fail in reversed(triples):
-            expr = F.when(_null_false(fail), F.struct(
-                name_col.alias("name"),
-                F.lit(rule_id).alias("rule"),
-                message.alias("message"))).otherwise(expr)
+            if isinstance(rule_id, _NestedViolation):
+                expr = F.when(_null_false(fail),
+                              rule_id.struct).otherwise(expr)
+            else:
+                expr = F.when(_null_false(fail), F.struct(
+                    name_col.alias("name"),
+                    F.lit(rule_id).alias("rule"),
+                    message.alias("message"))).otherwise(expr)
         return expr
 
     def _json_entry_rule(self, site, key_filter, value_definition, rule_label):

@@ -26,11 +26,16 @@ and falls back to the python engine only on ``PlanUnsupported``):
   for text that is not a JSON object at all.  Combinators
   (``anyOf``/``oneOf``/``allOf``/``not``/``if``-``then``-``else``)
   over scalar branches compose from the same variant rules — exact
-  dynamic-type semantics with byte-parity messages.  Remaining limit
-  (documented, raises ``PlanUnsupported`` instead of silently passing):
-  NESTED (object/array) value schemas over undeclared keys and
-  recursive object ``$ref``s — use ``engine="python"`` (or ``"auto"``)
-  for those.  ``json_types="coerce"`` opts out of the
+  dynamic-type semantics with byte-parity messages.  NESTED container
+  value schemas recurse through ``array<variant>`` /
+  ``map<string,variant>`` casts (``items``/``contains``/``min-maxItems``,
+  ``properties``/``required``/``dependencies``/``additionalProperties``/
+  ``patternProperties``/``propertyNames``/``min-maxProperties``), each
+  violation carrying the child's own dotted/indexed name.  Remaining
+  limit (documented, raises ``PlanUnsupported`` instead of silently
+  passing): ``uniqueItems`` under a variant (Python cross-type equality
+  canon) and recursive object ``$ref``s — use ``engine="python"``
+  (or ``"auto"``) for those.  ``json_types="coerce"`` opts out of the
   variant view for a cheaper plan that validates the typed struct parse
   directly (string fields silently absorb numbers/bools — the
   pre-variant behavior, now an explicit choice).

@@ -155,10 +155,8 @@ def test_open_key_full_schema_columnar_matches_python(spark):
 
 def test_open_key_variant_value_schemas(spark):
     """additionalProperties/patternProperties VALUE schemas over
-    undeclared keys: scalar subset supported via variant; nested value
-    schemas still raise PlanUnsupported."""
-    from spark_schema_guard.columnar.compiler import PlanUnsupported
-
+    undeclared keys: scalars AND nested containers compile via variant
+    (array<variant> / map<string,variant> recursion)."""
     add_schema = {"type": "object",
                   "properties": {"k": {"type": "integer"}},
                   "additionalProperties": {"type": "string", "minLength": 2}}
@@ -175,9 +173,21 @@ def test_open_key_variant_value_schemas(spark):
 
     nested = {"type": "object",
               "additionalProperties": {"type": "object",
-                                       "required": ["x"]}}
-    with pytest.raises(PlanUnsupported, match="engine='python'"):
-        validate_json_column(df, "props", nested, engine="columnar")
+                                       "required": ["x"],
+                                       "properties": {
+                                           "x": {"type": "array",
+                                                 "items": {"type": "integer"},
+                                                 "minItems": 1}}}}
+    ndocs = ['{"o": {"x": [1]}}', '{"o": {"x": []}}', '{"o": {"x": ["s"]}}',
+             '{"o": {}}', '{"o": 3}', '{"o": {"x": [1], "y": 0}}', '{}']
+    ndf = spark.createDataFrame([(d,) for d in ndocs], "props string")
+    npy = validate_json_column(ndf, "props", nested, engine="python")
+    ncols = validate_json_column(ndf, "props", nested, engine="columnar")
+    npv = {r["props"]: [(v["rule"], v["message"]) for v in r["violations"]]
+           for r in npy.collect()}
+    ncv = {r["props"]: [(v["rule"], v["message"]) for v in r["violations"]]
+           for r in ncols.collect()}
+    assert npv == ncv
 
 
 def test_open_key_message_parity(spark):

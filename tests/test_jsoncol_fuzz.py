@@ -30,6 +30,12 @@ def _random_value(rng):
         None,
         [1, 2],
         {"in": 1},
+        # container values that exercise the variant-nested compiler
+        rng.choice([[], ["ab", "x"], [1, "x", True], [0, -3, 2 ** 60],
+                    [None], [1.5, 3.0], ["en", "en", "abc", "x", "y"]]),
+        rng.choice([{}, {"in": "s"}, {"in": 2, "other": None},
+                    {"a": 1, "b": 2, "c": 3}, {"in": [1]},
+                    {"in": {"deep": 1}}]),
         # adversarial numerics/strings: past-2^53 ints (rounded double
         # views once moved these across bounds/enum members), integral
         # doubles, long-range edges, unicode incl. astral + quotes
@@ -67,19 +73,52 @@ def _scalar_schema(rng):
     ])
 
 
+def _container_schema(rng):
+    """Array/object value schemas exercising the variant-nested container
+    compiler (items/contains/min-maxItems, properties/required/
+    additionalProperties over map<string,variant>)."""
+    r = rng.random()
+    if r < 0.25:
+        return {"type": "array", "items": _scalar_schema(rng),
+                "minItems": rng.randint(0, 2)}
+    if r < 0.4:
+        return {"type": "array",
+                "items": [_scalar_schema(rng), _scalar_schema(rng)],
+                "additionalItems": rng.choice([True, False,
+                                               _scalar_schema(rng)])}
+    if r < 0.55:
+        return {"contains": _scalar_schema(rng),
+                "maxItems": rng.randint(1, 4)}
+    if r < 0.8:
+        return {"type": "object",
+                "properties": {"in": _scalar_schema(rng)},
+                "required": rng.choice([[], ["in"]]),
+                "minProperties": rng.randint(0, 1)}
+    return {"type": "object",
+            "additionalProperties": _scalar_schema(rng),
+            "maxProperties": rng.randint(1, 3)}
+
+
+def _value_schema(rng):
+    return (_container_schema(rng) if rng.random() < 0.35
+            else _scalar_schema(rng))
+
+
 def _random_open_schema(rng):
     schema = {"type": "object",
               "properties": {"k": {"type": "integer", "minimum": 0},
                              "s": {"type": "string"}}}
+    if rng.random() < 0.4:
+        schema["properties"]["n"] = _container_schema(rng)
     if rng.random() < 0.5:
         schema["required"] = rng.sample(["k", "s"], rng.randint(1, 2))
     r = rng.random()
     if r < 0.4:
         schema["additionalProperties"] = False
     elif r < 0.7:
-        schema["additionalProperties"] = _scalar_schema(rng)
+        schema["additionalProperties"] = _value_schema(rng)
     if rng.random() < 0.5:
-        schema["patternProperties"] = {"^x_": _scalar_schema(rng)}
+        schema["patternProperties"] = {"^x_": _value_schema(rng)}
     if rng.random() < 0.4:
         schema["propertyNames"] = {"maxLength": rng.randint(1, 8)}
     if rng.random() < 0.3:
