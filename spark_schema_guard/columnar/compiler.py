@@ -1041,6 +1041,67 @@ class _PlanCompiler:
         "additionalItems",
     }
 
+    def _variant_member_match(self, v, m):
+        """Predicate: VARIANT value ``v`` equals the compile-time enum /
+        const member ``m`` under the reference's type-strict deep equality
+        (draft04.py:120-155 _enum_value_matches): bool is identity, numbers
+        compare across int/float but never bool, dicts need the exact key
+        set with recursively-matching values, lists need exact length with
+        element-wise matches.  The member is a literal, so the whole
+        comparison unrolls to a static Column tree — no runtime deep
+        compare needed."""
+        sov = F.schema_of_variant(v)
+        if m is None:
+            return F.is_variant_null(v)
+        if isinstance(m, bool):
+            return ((sov == F.lit("BOOLEAN"))
+                    & (F.try_variant_get(v, "$", "boolean") == F.lit(m)))
+        if isinstance(m, (int, float)):
+            is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
+                      | sov.startswith("DECIMAL"))
+            is_bigint = sov == F.lit("BIGINT")
+            num = F.try_variant_get(v, "$", "double")
+            if (isinstance(m, int) or float(m).is_integer()) \
+                    and -2 ** 63 <= int(m) <= 2 ** 63 - 1:
+                # integral member: Python compares exactly, so the double
+                # view must not decide — BIGINT values match as longs;
+                # DOUBLE values match iff integral, inside long range
+                # (the cast would clamp, not null, on overflow) and
+                # exactly equal after the cast
+                mi = int(m)
+                lng = F.try_variant_get(v, "$", "long")
+                dbl = (is_num & ~is_bigint
+                       & ((num % F.lit(1.0)) == F.lit(0.0))
+                       & (num >= F.lit(float(-2 ** 63)))
+                       & (num < F.lit(float(2 ** 63)))
+                       & (num.cast("long") == F.lit(mi)))
+                return (is_bigint & (lng == F.lit(mi))) | dbl
+            # non-integral member: an integral-valued double (incl. the
+            # rounded view of any BIGINT) can never equal it
+            return is_num & (num == F.lit(float(m)))
+        if isinstance(m, str):
+            return ((sov == F.lit("STRING"))
+                    & (F.try_variant_get(v, "$", "string") == F.lit(m)))
+        if isinstance(m, dict):
+            is_obj = sov.startswith("OBJECT")
+            obj = F.try_variant_get(v, "$", "map<string,variant>")
+            ok = is_obj & (F.size(obj) == F.lit(len(m)))
+            for k, item in m.items():
+                ok = ok & F.map_contains_key(obj, F.lit(k)) \
+                    & self._variant_member_match(
+                        F.try_element_at(obj, F.lit(k)), item)
+            return ok
+        if isinstance(m, (list, tuple)):
+            is_arr = sov.startswith("ARRAY")
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            ok = is_arr & (F.size(arr) == F.lit(len(m)))
+            for i, item in enumerate(m):
+                ok = ok & self._variant_member_match(
+                    F.try_element_at(arr, F.lit(i + 1)), item)
+            return ok
+        raise SchemaDefinitionError(
+            f"enum/const member of unsupported type: {type(m).__name__}")
+
     def _variant_entry_rules(self, definition, name_col, v):
         """(rule_id, message Column, fail Column) triples validating one
         VARIANT value against a scalar-subset schema, in dialect keyword
@@ -1157,34 +1218,10 @@ class _PlanCompiler:
             raise SchemaDefinitionError("Unknown type")
 
         def member_pass(m):
-            if m is None:
-                return F.is_variant_null(v)
-            if isinstance(m, bool):
-                return ((sov == F.lit("BOOLEAN"))
-                        & (F.try_variant_get(v, "$", "boolean") == F.lit(m)))
-            if isinstance(m, (int, float)):
-                if (isinstance(m, int) or float(m).is_integer()) \
-                        and -2 ** 63 <= int(m) <= 2 ** 63 - 1:
-                    # integral member: Python compares exactly, so the
-                    # double view must not decide — BIGINT values match
-                    # as longs; DOUBLE values match iff integral, inside
-                    # long range (the cast would clamp, not null, on
-                    # overflow) and exactly equal after the cast
-                    mi = int(m)
-                    dbl = (is_num & ~is_bigint
-                           & ((num % F.lit(1.0)) == F.lit(0.0))
-                           & (num >= F.lit(float(-2 ** 63)))
-                           & (num < F.lit(float(2 ** 63)))
-                           & (num.cast("long") == F.lit(mi)))
-                    return (is_bigint & (lng == F.lit(mi))) | dbl
-                # non-integral member: an integral-valued double (incl.
-                # the rounded view of any BIGINT) can never equal it
-                return is_num & (num == F.lit(float(m)))
-            if isinstance(m, str):
-                return is_str & (s == F.lit(m))
-            raise PlanUnsupported(
-                "array/object enum or const members over dynamically-typed "
-                "undeclared keys need deep compare; use engine='python'")
+            # full type-strict deep equality, containers included — the
+            # member is a compile-time literal so the comparison unrolls
+            # statically (see _variant_member_match)
+            return self._variant_member_match(v, m)
 
         def msg(text):
             return F.concat(name_col, F.lit(" " + text))

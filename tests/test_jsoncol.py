@@ -190,6 +190,55 @@ def test_open_key_variant_value_schemas(spark):
     assert npv == ncv
 
 
+def test_variant_deep_enum_const(spark):
+    """enum/const members that are arrays/objects compare with the
+    reference's type-strict deep equality (draft04.py:120-155) over the
+    variant view: bool is identity, 1 == 1.0 but never True, dicts need
+    the exact key set, lists exact length — all unrolled statically."""
+    schema = {"type": "object",
+              "properties": {"k": {"type": "integer"}},
+              "additionalProperties": {
+                  "enum": [[1, 2], {"a": 1, "b": [True, None]}, "x", 3,
+                           [], {}, {"a": True}]}}
+    docs = ['{"k":1,"z":[1,2]}', '{"k":1,"z":[1,2,3]}',
+            '{"k":1,"z":[1.0,2]}', '{"k":1,"z":[true,2]}',
+            '{"k":1,"z":{"a":1,"b":[true,null]}}',
+            '{"k":1,"z":{"a":1,"b":[true,0]}}',
+            '{"k":1,"z":{"a":1.0,"b":[true,null]}}',
+            '{"k":1,"z":{"a":true}}', '{"k":1,"z":{"a":1}}',
+            '{"k":1,"z":[]}', '{"k":1,"z":{}}', '{"k":1,"z":"x"}',
+            '{"k":1,"z":3}', '{"k":1,"z":3.5}', '{"k":1,"z":null}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    py = {r["props"]: (r["verdict"],
+                       [(v["rule"], v["message"]) for v in r["violations"]])
+          for r in validate_json_column(df, "props", schema,
+                                        engine="python").collect()}
+    co = {r["props"]: (r["verdict"],
+                       [(v["rule"], v["message"]) for v in r["violations"]])
+          for r in validate_json_column(df, "props", schema,
+                                        engine="columnar").collect()}
+    assert py == co
+    assert py['{"k":1,"z":[1.0,2]}'][0] is True       # 1.0 == 1
+    assert py['{"k":1,"z":[true,2]}'][0] is False     # True is not 1
+
+    const_schema = {"type": "object",
+                    "additionalProperties": {"const": {"a": [1, "x"]}}}
+    cdocs = ['{"z":{"a":[1,"x"]}}', '{"z":{"a":[1,"y"]}}',
+             '{"z":{"a":[1,"x"],"b":1}}', '{"z":{"a":[1.0,"x"]}}']
+    cdf = spark.createDataFrame([(d,) for d in cdocs], "props string")
+    cpy = {r["props"]: (r["verdict"],
+                        [(v["rule"], v["message"]) for v in r["violations"]])
+           for r in validate_json_column(cdf, "props", const_schema,
+                                         engine="python").collect()}
+    cco = {r["props"]: (r["verdict"],
+                        [(v["rule"], v["message"]) for v in r["violations"]])
+           for r in validate_json_column(cdf, "props", const_schema,
+                                         engine="columnar").collect()}
+    assert cpy == cco
+    assert cpy['{"z":{"a":[1,"x"]}}'][0] is True
+    assert cpy['{"z":{"a":[1.0,"x"]}}'][0] is True
+
+
 def test_open_key_message_parity(spark):
     """Byte parity of the open-key violation messages vs the reference
     row validator."""

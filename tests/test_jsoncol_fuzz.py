@@ -68,6 +68,14 @@ def _scalar_schema(rng):
         {"type": "integer",
          "minimum": rng.choice([0, 2 ** 53 + 1, 2 ** 60])},
         {"const": rng.choice([2 ** 60 + 1, 3.0, "é", True, None])},
+        # container members: type-strict deep equality unrolled statically
+        # by _variant_member_match (bool identity, 1 == 1.0, exact key set)
+        {"enum": rng.sample([[1, 2], {"in": 1}, ["ab", "x"], [], {},
+                             {"in": 2, "other": None}, [1.0, 2],
+                             {"in": True}, [None], 1, "en"], 3)},
+        {"const": rng.choice([[1, 2], {"in": 1}, [], {}, [1, "x", True],
+                              {"in": [1]}, {"in": {"deep": 1}},
+                              [2 ** 60 + 1, 3.0]])},
         True,
         False,
     ])
