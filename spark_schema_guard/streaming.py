@@ -9,6 +9,9 @@ This module adds the streaming-specific conveniences:
 * :func:`violation_rate_by_window` — watermarked event-time windows of
   verdict/violation counts (late data handled by the watermark, state
   bounded);
+* :func:`stream_drift_chisq` — watermarked windowed chi-square
+  goodness-of-fit of a categorical histogram (``lang``) against a fixed
+  baseline, one stateful aggregation per window;
 * :func:`stream_to_audit` — foreachBatch sink appending per-batch metric
   rows to the same audit table the batch runner uses, so a streaming job
   is resumable/observable identically.
@@ -71,6 +74,72 @@ def stream_unique(
     return (
         stream_df.withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def stream_drift_chisq(
+    stream_df: DataFrame,
+    value_col: str,
+    baseline,
+    *,
+    time_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed chi-square goodness-of-fit drift of a categorical column
+    (``lang`` histograms, north rule) against a FIXED baseline
+    distribution — the streaming analog of
+    :func:`operators.drift.chi_square_drift`, which tests homogeneity
+    across batch buckets.
+
+    ``baseline`` is a ``dict`` value -> share or a tiny DataFrame with
+    ``value``/``share`` columns (collected driver-side once; shares are
+    normalized).  The baseline category set is known at plan time, so
+    each window reduces to ONE stateful aggregation of conditional
+    counts (k+1 longs per window — append-mode safe, map-side
+    combinable, state bounded by windows-in-horizon × (k+1)).  Emits per
+    closed window: ``statistic`` = Σ (obs_i − n·p_i)²/(n·p_i) over
+    baseline categories, ``dof`` = k−1, plus ``novel_rows`` — rows whose
+    value has no baseline mass (expected 0 makes the statistic
+    degenerate, so novelty is reported as its own count instead of an
+    infinity).  High-cardinality columns belong in the batch operator;
+    this one is for histogram-sized category sets.
+    """
+    if isinstance(baseline, DataFrame):
+        shares = {r["value"]: float(r["share"]) for r in baseline.collect()}
+    else:
+        shares = {k: float(v) for k, v in baseline.items()}
+    shares = {k: v for k, v in shares.items() if v > 0.0}
+    if not shares:
+        raise ValueError("baseline must contain at least one positive share")
+    total = sum(shares.values())
+    cats = sorted(shares)
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    val = F.col(value_col)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for i, cat in enumerate(cats):
+        aggs.append(F.sum(val.eqNullSafe(F.lit(cat)).cast("long"))
+                    .alias(f"_c{i}"))
+    agg = (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win")).agg(*aggs)
+    )
+    n = F.col("rows")
+    stat = F.lit(0.0)
+    known = F.lit(0).cast("long")
+    for i, cat in enumerate(cats):
+        expected = n * F.lit(shares[cat] / total)
+        stat = stat + F.pow(F.col(f"_c{i}") - expected, 2) / expected
+        known = known + F.col(f"_c{i}")
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "rows",
+        (n - known).alias("novel_rows"),
+        stat.alias("statistic"),
+        F.lit(len(cats) - 1).cast("long").alias("dof"),
     )
 
 

@@ -181,6 +181,38 @@ def test_stream_unique_within_watermark(spark, tmp_path):
     assert sorted(r["url"] for r in got) == ["u1", "u2", "u3"]
 
 
+def test_stream_drift_chisq_windowed(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_drift_chisq
+
+    src = str(tmp_path / "drift_src")
+    # window 1 (00:00-01:00): 6 en, 2 de, 2 novel ("xx")
+    # sentinel far in the future closes window 1 past the watermark
+    rows = ([("en", "2024-03-01 00:10:00")] * 6 +
+            [("de", "2024-03-01 00:20:00")] * 2 +
+            [("xx", "2024-03-01 00:30:00")] * 2 +
+            [("en", "2024-03-02 12:00:00")])
+    df = spark.createDataFrame(rows, "lang string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    drift = stream_drift_chisq(
+        stream, "lang", {"en": 0.5, "de": 0.5},
+        time_col="ts", window="1 hour", watermark="30 minutes")
+    q = (drift.writeStream.format("memory").queryName("drift")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM drift").collect()}
+    row = got["2024-03-01 00:00:00"]
+    # n=10, expected 5/5; obs en=6, de=2; novel xx=2
+    # stat = (6-5)^2/5 + (2-5)^2/5 = 0.2 + 1.8 = 2.0
+    assert row["rows"] == 10
+    assert row["novel_rows"] == 2
+    assert row["dof"] == 1
+    assert abs(row["statistic"] - 2.0) < 1e-9
+
+
 def test_violation_streaks_stateful(spark, tmp_path):
     from spark_schema_guard.streaming import violation_streaks
 
