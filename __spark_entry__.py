@@ -214,6 +214,31 @@ def q_web_duplicate_urls(spark, sf_dir):
         "url", F.col("dup_count").cast("long").alias("dup_count"))
 
 
+def q_web_url_normalize(spark, sf_dir):
+    """URL canonicalization round trip: deterministically messy variants
+    (uppercased scheme+host on doc_id%7, explicit :443 on doc_id%11,
+    #fragment on doc_id%13) must all normalize back to the original
+    crawl url (operators/urlnorm.py — pure Column regexp normalization,
+    zero shuffle)."""
+    from spark_schema_guard.operators import normalize_url
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    sh = F.expr("split_part(url, '/page/', 1)")
+    tail = F.expr("split_part(url, '/page/', 2)")
+    sh = F.when(F.col("doc_id") % 7 == 0, F.upper(sh)).otherwise(sh)
+    sh = F.when(F.col("doc_id") % 11 == 0,
+                F.concat(sh, F.lit(":443"))).otherwise(sh)
+    messy = F.concat(
+        sh, F.lit("/page/"), tail,
+        F.when(F.col("doc_id") % 13 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    out = web.select(
+        "url", messy.alias("messy"), normalize_url(messy).alias("norm"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("messy") != F.col("url")).cast("long")).alias("n_messied"),
+        F.sum((F.col("norm") == F.col("url")).cast("long")).alias("n_roundtrip"),
+    )
+
+
 def q_web_uniqueness_summary(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     return uniqueness_report(web, "url")
@@ -543,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_verdicts_agg": q_web_verdicts_agg,
         "web_violation_rows": q_web_violation_rows,
         "web_duplicate_urls": q_web_duplicate_urls,
+        "web_url_normalize": q_web_url_normalize,
         "web_uniqueness_summary": q_web_uniqueness_summary,
         "fk_orders_customer": q_fk_orders_customer,
         "fk_web_lang": q_fk_web_lang,
@@ -637,6 +663,58 @@ def oracle_sql() -> dict[str, str]:
             WITH {WEB_CTE}
             SELECT url, COUNT(*) AS dup_count FROM web
             GROUP BY url HAVING COUNT(*) > 1
+        """,
+        "web_url_normalize": f"""
+            WITH {WEB_CTE}, messy AS (
+              SELECT url,
+                     (CASE WHEN doc_id % 11 = 0
+                           THEN (CASE WHEN doc_id % 7 = 0
+                                      THEN upper(split_part(url, '/page/', 1))
+                                      ELSE split_part(url, '/page/', 1) END)
+                                || ':443'
+                           ELSE (CASE WHEN doc_id % 7 = 0
+                                      THEN upper(split_part(url, '/page/', 1))
+                                      ELSE split_part(url, '/page/', 1) END)
+                      END)
+                     || '/page/' || split_part(url, '/page/', 2)
+                     || (CASE WHEN doc_id % 13 = 0 THEN '#frag' ELSE '' END)
+                       AS m
+              FROM web
+            ), parts AS (
+              SELECT url, m,
+                     regexp_extract(m, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)
+                       AS scheme,
+                     regexp_extract(m, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+                       AS authority,
+                     regexp_extract(m,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(m, '^[^#?]*(\\?[^#]*)', 1) AS query
+              FROM messy
+            ), norm AS (
+              SELECT url, m,
+                     CASE WHEN scheme = '' THEN m ELSE
+                       lower(scheme) || '://'
+                       || lower(regexp_extract(authority, '^([^:]*)', 1))
+                       || (CASE WHEN regexp_extract(authority, ':([0-9]+)$', 1)
+                                     <> ''
+                                 AND NOT (
+                                   (lower(scheme) = 'http'  AND regexp_extract(authority, ':([0-9]+)$', 1) = '80') OR
+                                   (lower(scheme) = 'https' AND regexp_extract(authority, ':([0-9]+)$', 1) = '443') OR
+                                   (lower(scheme) = 'ws'    AND regexp_extract(authority, ':([0-9]+)$', 1) = '80') OR
+                                   (lower(scheme) = 'wss'   AND regexp_extract(authority, ':([0-9]+)$', 1) = '443'))
+                            THEN ':' || regexp_extract(authority, ':([0-9]+)$', 1)
+                            ELSE '' END)
+                       || (CASE WHEN path = '' THEN '/' ELSE path END)
+                       || query
+                     END AS n
+              FROM parts
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN m <> url THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_messied,
+                   CAST(SUM(CASE WHEN n = url THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_roundtrip
+            FROM norm
         """,
         "web_uniqueness_summary": f"""
             WITH {WEB_CTE}, c AS (SELECT url, COUNT(*) AS n FROM web GROUP BY url)

@@ -4,6 +4,7 @@ from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import chi_square_drift, ks_drift
 from .sampling import downsample, stratified_sample
+from .urlnorm import duplicate_urls_normalized, normalize_url
 
 __all__ = [
     "column_profile",
@@ -19,4 +20,6 @@ __all__ = [
     "ks_drift",
     "downsample",
     "stratified_sample",
+    "duplicate_urls_normalized",
+    "normalize_url",
 ]

@@ -276,6 +276,46 @@ def test_duplicate_clusters_end_to_end_exact(spark):
     assert canon == [1, 2, 5]
 
 
+def test_normalize_url(spark):
+    from spark_schema_guard.operators import normalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://Example.COM/A/b?Q=1#frag", "https://example.com/A/b?Q=1"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("https://host", "https://host/"),
+        ("https://host?q=2", "https://host/?q=2"),
+        ("https://host#only-frag", "https://host/"),
+        ("https://host/p?a=1&B=2", "https://host/p?a=1&B=2"),  # query kept
+        ("wss://Host:443/s", "wss://host/s"),
+        ("not a url at all", "not a url at all"),              # passthrough
+        ("ftp://Host:21/f", "ftp://host:21/f"),                # unknown default
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = {r["url"]: r["norm"] for r in
+           df.select("url", normalize_url("url").alias("norm")).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, f"{raw!r}: got {got[raw]!r}, want {want!r}"
+    # pure projection: no exchange, no Python
+    plan = df.select(normalize_url("url"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_duplicate_urls_normalized(spark):
+    from spark_schema_guard.operators import duplicate_urls_normalized
+
+    rows = [("https://a.com/x",), ("HTTPS://A.com:443/x#f",),
+            ("https://a.com/y",), ("https://b.com/",), ("https://b.com",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["norm_url"]: r["dup_count"]
+           for r in duplicate_urls_normalized(df).collect()}
+    assert got == {"https://a.com/x": 2, "https://b.com/": 2}
+
+
 def test_heavy_hitters(spark):
     from spark_schema_guard.operators import heavy_hitters
 
