@@ -156,6 +156,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timed("web_stats", lambda: column_profile(
         web, ["url", "text", "lang"]).collect())
     timed("web_uniqueness", lambda: uniqueness_report(web, "url").collect())
+    from spark_schema_guard.operators import normalize_url
+    timed("web_url_normalize", lambda: web.agg(
+        F.sum(F.length(normalize_url("url")))).collect())
     timed("drift_chisq", lambda: chi_square_drift(
         web, "lang", (F.col("source") == "src3")).collect())
     timed("drift_ks_grid", lambda: ks_drift(
