@@ -31,7 +31,7 @@ def cmd_plan(args) -> int:
     schema = _load_schema(args.schema)
     if args.table:
         spark = build_session(cores=args.cores)
-        df_schema = spark.read.parquet(args.table).schema
+        df_schema = _read_table(spark, args.table, "parquet").schema
     else:
         # no table: row-validator compile only (definition check + keyword list)
         ssg.compile(schema)
@@ -47,12 +47,11 @@ def cmd_plan(args) -> int:
 
 
 def _read_table(spark, path: str, fmt: str):
-    reader = spark.read
-    if fmt == "csv":
-        return reader.option("header", "true").option("inferSchema", "true").csv(path)
-    if fmt == "json":
-        return reader.json(path)
-    return reader.parquet(path)
+    # path OR catalog identifier (e.g. iceberg.prod.web_pages) — io.py
+    # routes catalog refs through spark.read.table.
+    from spark_schema_guard.io import read_table
+
+    return read_table(spark, path, fmt)
 
 
 def cmd_validate(args) -> int:

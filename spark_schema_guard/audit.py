@@ -9,8 +9,13 @@ and cluster sizes, unlike partition ids.  A run:
 2. validates the remaining files, aggregating per-file metrics (rows,
    valid, violations, per-rule counts) in the same pass as the verdicts;
 3. appends per-file metric rows + lineage (run id, schema hash, wall time)
-   to the audit table (parquet dir locally; an Iceberg table on a real
-   cluster — append semantics are identical).
+   to the audit table.
+
+Every location (input, audit, violations) is a table reference
+(``io.py``): a parquet path locally, or a catalog identifier such as
+``iceberg.prod.audit`` on a cluster — catalog refs go through the V2
+``writeTo(...).append()`` API, so on Iceberg each audit append is one
+atomic snapshot commit and resume-after-crash sees only whole units.
 
 Crash mid-run ⇒ files whose metrics were not appended are re-validated on
 the next run; completed files are never recomputed.  Violation-row output
@@ -28,6 +33,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_schema_guard.io import append_table, read_table, try_read_table
+
 AUDIT_COLUMNS = [
     "run_id", "unit", "schema_hash", "rows", "valid_rows", "violation_count",
     "rule_counts", "started_at", "finished_at", "wall_ms",
@@ -40,9 +47,8 @@ def schema_hash(definition) -> str:
 
 
 def _completed_units(spark: SparkSession, audit_path: str, s_hash: str):
-    try:
-        audit = spark.read.parquet(audit_path)
-    except Exception:
+    audit = try_read_table(spark, audit_path)
+    if audit is None:
         return None
     return audit.where(F.col("schema_hash") == s_hash).select("unit").distinct()
 
@@ -60,7 +66,10 @@ class AuditedRun:
         self.s_hash = schema_hash(plan.schema_definition)
 
     def pending_input(self) -> DataFrame:
-        df = self.spark.read.parquet(self.input_path).withColumn(
+        # input_file_name() names the underlying data file for any
+        # file-backed source — parquet dirs and Iceberg scans alike — so
+        # the unit of resume is stable across catalogs and cluster sizes.
+        df = read_table(self.spark, self.input_path).withColumn(
             "__unit", F.input_file_name())
         done = _completed_units(self.spark, self.audit_path, self.s_hash)
         if done is not None:
@@ -105,14 +114,15 @@ class AuditedRun:
         )
 
         if violations_path:
-            (applied.where(~F.col("verdict"))
-             .select("__unit", "violations", *[c for c in pending.columns
-                                               if c != "__unit"])
-             .write.mode("append").parquet(violations_path))
+            violation_rows = (
+                applied.where(~F.col("verdict"))
+                .select("__unit", "violations", *[c for c in pending.columns
+                                                  if c != "__unit"]))
+            append_table(violation_rows, violations_path)
 
-        finished_rows.select(*AUDIT_COLUMNS).write.mode("append").parquet(self.audit_path)
+        append_table(finished_rows.select(*AUDIT_COLUMNS), self.audit_path)
 
-        audit = self.spark.read.parquet(self.audit_path)
+        audit = read_table(self.spark, self.audit_path)
         mine = audit.where(F.col("run_id") == self.run_id)
         agg = mine.agg(F.count(F.lit(1)).alias("units"),
                        F.sum("rows").alias("rows"),

@@ -37,6 +37,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # session-catalog warehouse for catalog-table refs (io.py); on a
+        # real deployment the Iceberg catalog conf replaces this, e.g.
+        #   spark.sql.catalog.iceberg=org.apache.iceberg.spark.SparkCatalog
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                                            "ssg-warehouse")))
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)

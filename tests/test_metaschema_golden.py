@@ -1,0 +1,118 @@
+"""Golden real-world workload: validate *schema documents* against the
+official draft metaschemas (shipped with the reference at
+tests/json_schema/metaschemas — recursive `$ref "#"`, dependencies,
+positional items, enum/format, the whole object keyword family).
+
+Differential oracle: the reference validator compiled on the same
+metaschema must agree verdict-for-verdict and message-for-message, both
+driver-side and through the DataFrame python-engine path (schema
+documents as a JSON string column — "validate a corpus of user-submitted
+schemas at scale").
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+import spark_schema_guard as ssg
+from spark_schema_guard.jsoncol import validate_json_column
+
+META_DIR = Path("/root/reference/tests/json_schema/metaschemas")
+
+DRAFTS = {
+    "draft-04": META_DIR / "draft-04" / "schema.json",
+    "draft-06": META_DIR / "draft-06" / "schema.json",
+    "draft-07": META_DIR / "draft-07" / "schema.json",
+}
+
+# A corpus of schema documents — plausible user submissions, valid and
+# subtly broken per the metaschema's own constraints.
+SCHEMA_DOCS = [
+    {},  # empty schema is a schema
+    {"type": "object", "properties": {"a": {"type": "string"}},
+     "required": ["a"]},
+    {"type": ["string", "null"], "minLength": 2},
+    {"type": "integer", "multipleOf": 3, "maximum": 10},
+    {"allOf": [{"type": "number"}, {"minimum": 0}]},
+    {"items": [{"type": "string"}, {"type": "integer"}],
+     "additionalItems": False},
+    {"enum": [1, "two", [3], {"four": 4}]},
+    {"pattern": "^[a-z]+$", "maxLength": 64},
+    {"definitions": {"leaf": {"type": "string"}},
+     "properties": {"x": {"$ref": "#/definitions/leaf"}}},
+    {"dependencies": {"credit_card": ["billing_address"]}},
+    # --- invalid per the metaschema ---
+    {"type": 1},                               # type must be string/array
+    {"type": "objekt"},                        # not one of the simple types (enum)
+    {"type": []},                              # minItems 1
+    {"type": ["string", "string"]},            # uniqueItems
+    {"minLength": -1},                         # negative (minimum 0)
+    {"minLength": 1.5},                        # not an integer
+    {"multipleOf": 0},                         # exclusiveMinimum (draft-04 bool form)
+    {"required": []},                          # draft-04: minItems 1
+    {"required": ["a", "a"]},                  # uniqueItems
+    {"properties": {"a": {"type": 42}}},       # nested schema invalid ($ref "#")
+    {"items": "not-a-schema"},                 # neither schema nor array
+    {"enum": []},                              # minItems 1
+    {"pattern": 42},                           # format "regex" applies to strings only; type string
+    {"maxLength": "long"},                     # not an integer
+    {"dependencies": {"a": 5}},                # neither schema nor string-array (draft-04)
+    {"exclusiveMinimum": "yes"},               # bool in draft-04 / number in 06+
+]
+
+
+def _row(exc):
+    return (exc is None, None if exc is None else exc.message)
+
+
+@pytest.mark.parametrize("draft", sorted(DRAFTS))
+def test_metaschema_differential_driver(draft, reference):
+    meta = json.loads(DRAFTS[draft].read_text())
+    ours = ssg.compile(meta)
+    theirs = reference.compile(meta)
+    for doc in SCHEMA_DOCS:
+        try:
+            theirs(json.loads(json.dumps(doc)))
+            ref_out = (True, None)
+        except reference.JsonSchemaValueException as e:
+            ref_out = (False, e.message)
+        try:
+            ours(json.loads(json.dumps(doc)))
+            our_out = (True, None)
+        except ssg.JsonSchemaValueException as e:
+            our_out = (False, e.message)
+        assert our_out == ref_out, (draft, doc)
+
+
+def test_metaschema_dataframe_corpus(spark, reference):
+    """Schema documents as a JSON column, validated against draft-04's
+    metaschema on executors; reference verdicts computed driver-side."""
+    meta = json.loads(DRAFTS["draft-04"].read_text())
+    theirs = reference.compile(meta)
+
+    docs = [json.dumps(d, sort_keys=True) for d in SCHEMA_DOCS]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)],
+                               "i INT, schema_doc STRING")
+    out = validate_json_column(df, "schema_doc", meta, engine="python")
+    got = {r["i"]: (r["verdict"], [v["message"] for v in r["violations"]])
+           for r in out.select("i", "verdict", "violations").collect()}
+
+    for i, s in enumerate(docs):
+        try:
+            theirs(json.loads(s))
+            assert got[i][0] is True, (i, s, got[i])
+        except reference.JsonSchemaValueException as e:
+            assert got[i][0] is False, (i, s)
+            # collect-all mode: the reference's fast-fail error is the first
+            assert got[i][1][0] == e.message, (i, s, got[i][1], e.message)
+
+
+def test_metaschema_self_validates(reference):
+    """Each draft metaschema validates itself (the canonical smoke test)
+    under both validators."""
+    for draft, path in DRAFTS.items():
+        meta = json.loads(path.read_text())
+        ssg.validate(meta, json.loads(path.read_text()))
+        reference.validate(meta, json.loads(path.read_text()))
