@@ -34,8 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import spark_schema_guard as ssg  # noqa: E402
 from spark_schema_guard.jsoncol import validate_json_column  # noqa: E402
 from spark_schema_guard.operators import (  # noqa: E402
-    chi_square_drift, column_profile, duplicate_keys, ks_drift,
-    null_fractions, orphan_rows, uniqueness_report,
+    chi_square_by_unit, chi_square_drift, column_profile, duplicate_keys,
+    ks_drift, null_fractions, orphan_rows, uniqueness_report,
 )
 from spark_schema_guard.operators.dedup import (  # noqa: E402
     exact_duplicates, minhash_candidates, minhash_signatures,
@@ -301,6 +301,20 @@ def q_drift_events_value_ks(spark, sf_dir):
                    mode="exact")
     return out.select(F.round("statistic", 6).alias("statistic"),
                       "n_left", "n_right")
+
+
+def q_drift_lang_by_unit(spark, sf_dir):
+    """Per-unit drift verdicts (north rule: drift across partitions with
+    per-partition outcomes): chi-square goodness-of-fit of each unit's
+    lang mix against the pooled corpus.  The unit here is a
+    deterministic doc_id bucket so the SQL oracle can reproduce it; the
+    production default (``unit_col=None``) units by input_file_name()
+    — covered by tests/test_operators.py on a multi-file table."""
+    docs = _read(spark, sf_dir, "documents")
+    out = chi_square_by_unit(docs, "lang", F.col("doc_id") % 8)
+    return out.select("unit", "n_rows",
+                      F.round("statistic", 6).alias("statistic"),
+                      "dof").orderBy("unit")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -577,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lang_chisq": q_drift_lang_chisq,
         "drift_ts_ks": q_drift_ts_ks,
         "drift_events_value_ks": q_drift_events_value_ks,
+        "drift_lang_by_unit": q_drift_lang_by_unit,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -826,6 +841,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tl) AS BIGINT) AS n_left,
                    CAST(MAX(tr) AS BIGINT) AS n_right
             FROM cum, tot
+        """,
+        "drift_lang_by_unit": """
+            WITH cells AS (
+              SELECT doc_id % 8 AS unit, lang AS value, COUNT(*) AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+            col_tot AS (SELECT value, SUM(n) AS col_n FROM cells GROUP BY value),
+            grand AS (SELECT SUM(col_n) AS g, COUNT(*) AS n_values FROM col_tot)
+            -- same reduced algebra as chi_square_by_unit:
+            -- sum_all (n-e)^2/e  =  (sum_obs n^2/p)/row_n - row_n
+            SELECT unit,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   round(SUM(pow(n, 2) / (col_n * 1.0 / g)) / SUM(n) - SUM(n),
+                         6) AS statistic,
+                   CAST(MAX(n_values) - 1 AS BIGINT) AS dof
+            FROM cells JOIN col_tot USING (value), grand
+            GROUP BY unit ORDER BY unit
         """,
         "drift_events_value_ks": """
             WITH tagged AS (SELECT value AS v, (event_type = 'error') AS g

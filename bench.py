@@ -161,6 +161,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         F.sum(F.length(normalize_url("url")))).collect())
     timed("drift_chisq", lambda: chi_square_drift(
         web, "lang", (F.col("source") == "src3")).collect())
+    from spark_schema_guard.operators import chi_square_by_unit
+    timed("drift_by_unit", lambda: chi_square_by_unit(
+        web, "lang", F.col("doc_id") % 64).collect())
     timed("drift_ks_grid", lambda: ks_drift(
         web.select(F.unix_timestamp("warc_ts").cast("double").alias("e"),
                    (F.col("source") == "src3").alias("g")),

@@ -61,6 +61,63 @@ def chi_square_drift(
     )
 
 
+def chi_square_by_unit(
+    df: DataFrame,
+    value_col: str,
+    unit_col: Column | str | None = None,
+) -> DataFrame:
+    """Per-unit drift verdicts (north rule: drift across partitions):
+    one row per unit — ``unit, n_rows, statistic, dof`` — where
+    ``statistic`` is the chi-square goodness-of-fit of the unit's
+    ``value_col`` distribution against the POOLED corpus distribution.
+    ``unit_col=None`` units by ``input_file_name()``, the same stable
+    work unit the audit table uses, so a monitoring job can point at
+    the exact files whose language mix (or any categorical) drifted.
+
+    Missing cells (values a unit never saw) are folded in algebraically
+    instead of materializing the unit × value cross product:
+    ``Σ_all (n−e)²/e  =  Σ_observed (n−e)²/e + (row_n − Σ_observed e)``
+    since each missing cell contributes exactly its expectation.  The
+    whole computation is two aggregations over |units|·|values| cells —
+    at 10^12 rows the shuffled state is the contingency table, not the
+    data.
+    """
+    if unit_col is None:
+        unit = F.input_file_name()
+    elif isinstance(unit_col, str):
+        unit = F.col(unit_col)
+    else:
+        unit = unit_col
+    value = F.col(value_col)
+    cells = (
+        df.where(value.isNotNull())
+        .groupBy(unit.alias("unit"), value.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    col_tot = cells.groupBy("value").agg(F.sum("n").alias("col_n"))
+    grand = col_tot.agg(F.sum("col_n").alias("grand"),
+                        F.count(F.lit(1)).alias("n_values"))
+    per_cell = (
+        cells.join(F.broadcast(col_tot), "value")
+        .crossJoin(F.broadcast(grand))
+    )
+    # Σ_all (n−e)²/e with e = row_n·p_v reduces to (Σ_obs n²/p_v)/row_n
+    # − row_n: the cross terms collapse (Σ_obs n = row_n) and the missing
+    # cells contribute exactly row_n − Σ_obs e.
+    per_unit = (
+        per_cell.groupBy("unit")
+        .agg(F.sum("n").alias("n_rows"),
+             F.sum(F.pow(F.col("n"), 2)
+                   / (F.col("col_n") / F.col("grand"))).alias("_nsq_over_p"),
+             F.max("n_values").alias("_n_values"))
+    )
+    return per_unit.select(
+        "unit", "n_rows",
+        (F.col("_nsq_over_p") / F.col("n_rows") - F.col("n_rows"))
+        .alias("statistic"),
+        (F.col("_n_values") - 1).alias("dof"))
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,

@@ -86,6 +86,51 @@ def test_chi_square_manual(spark):
     assert out["dof"] == 1
 
 
+def test_chi_square_by_unit_manual_and_missing_cells(spark):
+    """Per-unit GoF vs the pooled distribution, incl. a unit that never
+    saw one of the values (the algebraic missing-cell fold)."""
+    from spark_schema_guard.operators import chi_square_by_unit
+
+    rows = ([("u1", "x")] * 30 + [("u1", "y")] * 10
+            + [("u2", "x")] * 20 + [("u2", "y")] * 40
+            + [("u3", "x")] * 25)  # u3 never sees "y"
+    df = spark.createDataFrame(rows, "unit string, v string")
+    got = {r["unit"]: r for r in
+           chi_square_by_unit(df, "v", "unit").collect()}
+    # pooled: x=75, y=50, N=125
+    p = {"x": 75 / 125, "y": 50 / 125}
+    obs = {"u1": {"x": 30, "y": 10}, "u2": {"x": 20, "y": 40},
+           "u3": {"x": 25, "y": 0}}
+    for unit, o in obs.items():
+        n = sum(o.values())
+        expected = sum((o[v] - n * p[v]) ** 2 / (n * p[v]) for v in p)
+        assert got[unit]["statistic"] == pytest.approx(expected), unit
+        assert got[unit]["n_rows"] == n
+        assert got[unit]["dof"] == 1
+
+
+def test_chi_square_by_unit_file_default(spark, tmp_path):
+    """Default unit = input_file_name(): one verdict row per parquet
+    file, findable by path."""
+    from spark_schema_guard.operators import chi_square_by_unit
+
+    a = spark.createDataFrame([("en",)] * 100 + [("de",)] * 100, "lang string")
+    b = spark.createDataFrame([("en",)] * 95 + [("de",)] * 5, "lang string")
+    a.coalesce(1).write.parquet(str(tmp_path / "t"), mode="overwrite")
+    b.coalesce(1).write.mode("append").parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    out = chi_square_by_unit(df, "lang").collect()
+    assert len(out) == 2
+    assert all(r["unit"].startswith("file:") for r in out)
+    assert {r["n_rows"] for r in out} == {200, 100}
+    # with unequal unit sizes the small skewed file drifts harder from
+    # the pooled mix (en 195/300): 39.56 vs 19.78
+    by_n = {r["n_rows"]: r["statistic"] for r in out}
+    assert by_n[100] == pytest.approx(39.56, abs=0.01)
+    assert by_n[200] == pytest.approx(19.78, abs=0.01)
+    assert all(r["dof"] == 1 for r in out)
+
+
 def test_ks_exact_and_grid(spark):
     left = [(float(i), True) for i in range(1000)]
     right = [(float(i) + 300.0, False) for i in range(1000)]
