@@ -35,7 +35,7 @@ import spark_schema_guard as ssg  # noqa: E402
 from spark_schema_guard.jsoncol import validate_json_column  # noqa: E402
 from spark_schema_guard.operators import (  # noqa: E402
     chi_square_by_unit, chi_square_drift, column_profile, duplicate_keys,
-    ks_drift, null_fractions, orphan_rows, uniqueness_report,
+    ks_drift, null_fractions, orphan_rows, psi_by_unit, uniqueness_report,
 )
 from spark_schema_guard.operators.dedup import (  # noqa: E402
     exact_duplicates, minhash_candidates, minhash_signatures,
@@ -317,6 +317,16 @@ def q_drift_lang_by_unit(spark, sf_dir):
                       "dof").orderBy("unit")
 
 
+def q_drift_lang_psi(spark, sf_dir):
+    """PSI per unit (ML-monitoring drift score) of the lang mix vs the
+    pooled corpus, deterministic doc_id buckets as units (production
+    default is input_file_name())."""
+    docs = _read(spark, sf_dir, "documents")
+    out = psi_by_unit(docs, "lang", F.col("doc_id") % 8)
+    return out.select("unit", "n_rows",
+                      F.round("psi", 6).alias("psi")).orderBy("unit")
+
+
 def q_dedup_exact(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     return exact_duplicates(web, "doc_id", "text").select(
@@ -592,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ts_ks": q_drift_ts_ks,
         "drift_events_value_ks": q_drift_events_value_ks,
         "drift_lang_by_unit": q_drift_lang_by_unit,
+        "drift_lang_psi": q_drift_lang_psi,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -857,6 +868,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_values) - 1 AS BIGINT) AS dof
             FROM cells JOIN col_tot USING (value), grand
             GROUP BY unit ORDER BY unit
+        """,
+        "drift_lang_psi": """
+            WITH cells AS (
+              SELECT doc_id % 8 AS unit, lang AS value, COUNT(*) AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+            col_tot AS (SELECT value, SUM(n) AS col_n FROM cells GROUP BY value),
+            grand AS (SELECT SUM(col_n) AS g FROM col_tot),
+            row_tot AS (SELECT unit, SUM(n) AS row_n FROM cells GROUP BY unit),
+            grid AS (
+              SELECT r.unit, r.row_n, c.value, c.col_n,
+                     COALESCE(x.n, 0) AS n, g
+              FROM row_tot r CROSS JOIN col_tot c
+              LEFT JOIN cells x ON x.unit = r.unit AND x.value = c.value,
+              grand)
+            SELECT unit, CAST(MAX(row_n) AS BIGINT) AS n_rows,
+                   round(SUM((greatest(n * 1.0 / row_n, 1e-6)
+                              - greatest(col_n * 1.0 / g, 1e-6))
+                             * ln(greatest(n * 1.0 / row_n, 1e-6)
+                                  / greatest(col_n * 1.0 / g, 1e-6))), 6)
+                     AS psi
+            FROM grid GROUP BY unit ORDER BY unit
         """,
         "drift_events_value_ks": """
             WITH tagged AS (SELECT value AS v, (event_type = 'error') AS g

@@ -2,7 +2,7 @@ from .stats import (column_profile, domain_skew, heavy_hitters,
                     null_fractions, partition_verdicts)
 from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
-from .drift import chi_square_by_unit, chi_square_drift, ks_drift
+from .drift import chi_square_by_unit, chi_square_drift, ks_drift, psi_by_unit
 from .sampling import downsample, stratified_sample
 from .urlnorm import duplicate_urls_normalized, normalize_url
 
@@ -19,6 +19,7 @@ __all__ = [
     "chi_square_by_unit",
     "chi_square_drift",
     "ks_drift",
+    "psi_by_unit",
     "downsample",
     "stratified_sample",
     "duplicate_urls_normalized",

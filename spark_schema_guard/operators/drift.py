@@ -118,6 +118,57 @@ def chi_square_by_unit(
         (F.col("_n_values") - 1).alias("dof"))
 
 
+def psi_by_unit(
+    df: DataFrame,
+    value_col: str,
+    unit_col: Column | str | None = None,
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per unit — the standard ML-monitoring
+    drift score: ``PSI_u = Σ_v (p_uv − p_v)·ln(p_uv / p_v)`` of the
+    unit's ``value_col`` share vector against the pooled corpus shares.
+    Returns ``unit, n_rows, psi`` (one row per unit; PSI ≥ 0.2 is the
+    conventional "significant shift" threshold).
+
+    Categories a unit never saw still contribute, so the unit × value
+    grid IS materialized — but it is |units|·|values| rows built from
+    two tiny aggregates (a broadcast of the value totals), never from
+    the data.  Zero shares are clamped to ``eps`` (documented,
+    engine-portable — the oracle applies the identical clamp).
+    ``value_col`` is categorical; bin continuous columns first.
+    """
+    if unit_col is None:
+        unit = F.input_file_name()
+    elif isinstance(unit_col, str):
+        unit = F.col(unit_col)
+    else:
+        unit = unit_col
+    value = F.col(value_col)
+    cells = (
+        df.where(value.isNotNull())
+        .groupBy(unit.alias("unit"), value.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    col_tot = cells.groupBy("value").agg(F.sum("n").alias("col_n"))
+    grand = col_tot.agg(F.sum("col_n").alias("grand"))
+    row_tot = cells.groupBy("unit").agg(F.sum("n").alias("row_n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(cells, ["unit", "value"], "left")
+        .crossJoin(F.broadcast(grand))
+    )
+    p_unit = F.greatest(F.coalesce(F.col("n"), F.lit(0)) / F.col("row_n"),
+                        F.lit(eps))
+    p_pool = F.greatest(F.col("col_n") / F.col("grand"), F.lit(eps))
+    contrib = (p_unit - p_pool) * F.log(p_unit / p_pool)
+    return (
+        grid.groupBy("unit")
+        .agg(F.max("row_n").alias("n_rows"),
+             F.sum(contrib).alias("psi"))
+    )
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,

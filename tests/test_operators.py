@@ -131,6 +131,28 @@ def test_chi_square_by_unit_file_default(spark, tmp_path):
     assert all(r["dof"] == 1 for r in out)
 
 
+def test_psi_by_unit_manual(spark):
+    """PSI against the pooled mix, incl. a never-seen value clamped to
+    eps."""
+    import math
+
+    from spark_schema_guard.operators import psi_by_unit
+
+    rows = ([("u1", "x")] * 60 + [("u1", "y")] * 40
+            + [("u2", "x")] * 90 + [("u2", "y")] * 9 + [("u2", "z")] * 1)
+    df = spark.createDataFrame(rows, "unit string, v string")
+    got = {r["unit"]: r for r in psi_by_unit(df, "v", "unit").collect()}
+    pool = {"x": 150 / 200, "y": 49 / 200, "z": 1 / 200}
+    obs = {"u1": {"x": 60, "y": 40, "z": 0}, "u2": {"x": 90, "y": 9, "z": 1}}
+    for unit, o in obs.items():
+        n = sum(o.values())
+        psi = sum((max(o[v] / n, 1e-6) - max(pool[v], 1e-6))
+                  * math.log(max(o[v] / n, 1e-6) / max(pool[v], 1e-6))
+                  for v in pool)
+        assert got[unit]["psi"] == pytest.approx(psi), unit
+        assert got[unit]["n_rows"] == n
+
+
 def test_ks_exact_and_grid(spark):
     left = [(float(i), True) for i in range(1000)]
     right = [(float(i) + 300.0, False) for i in range(1000)]
