@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 
 import spark_schema_guard as ssg
 from spark_schema_guard.operators import (
-    chi_square_drift, column_profile, domain_skew, stratified_sample,
-    uniqueness_report,
+    chi_square_by_unit, chi_square_drift, column_profile, domain_skew,
+    psi_by_unit, stratified_sample, uniqueness_report,
 )
 from spark_schema_guard.operators.dedup import (
     duplicate_clusters, minhash_candidates,
@@ -69,6 +69,15 @@ def main():
         for r in domain_skew(web, "url", k=3).collect()]
     drift = chi_square_drift(web, "lang", (F.col("source") == "src3")).collect()[0]
     report["lang_drift_chisq"] = round(drift["statistic"], 2)
+    # per-unit drift verdicts: which slice of the corpus shifted, by
+    # chi-square GoF and PSI against the pooled lang mix (production
+    # jobs unit by input_file_name(); doc_id buckets keep the demo tiny)
+    by_unit = chi_square_by_unit(web, "lang", F.col("doc_id") % 4).collect()
+    report["lang_drift_by_unit"] = {
+        str(r["unit"]): round(r["statistic"], 2) for r in by_unit}
+    psi = psi_by_unit(web, "lang", F.col("doc_id") % 4).collect()
+    report["lang_psi_by_unit"] = {
+        str(r["unit"]): round(r["psi"], 4) for r in psi}
 
     # -- 3. dedup: candidates -> clusters -> canonical only ---------------
     clean = validated.where(F.col("verdict"))
