@@ -261,3 +261,65 @@ def test_cli_package_builds_importable_pyfiles_zip(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert probe.returncode == 0, probe.stderr
     assert probe.stdout.strip() == "required"
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """The north-rule invocation mode for real: `spark-submit --py-files
+    engine.zip job.py` in a FRESH JVM with the repo absent from the job's
+    import path — the engine must reach the driver via the zip, and the
+    executors via the shipped closure of the python-engine UDF."""
+    import os
+    import subprocess
+    import sys
+
+    zip_path = tmp_path / "engine.zip"
+    r = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "package",
+         "--out", str(zip_path)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json\n"
+        "from pyspark.sql import SparkSession, functions as F\n"
+        "import spark_schema_guard as ssg\n"                # from --py-files
+        "from spark_schema_guard.jsoncol import validate_json_column\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')\n"
+        "plan = ssg.compile_plan({'type': 'object',\n"
+        "                         'required': ['doc_id', 'text'],\n"
+        "                         'properties': {'n_chars': {'minimum': 0}}},\n"
+        "                        docs.schema)\n"
+        "out = plan.apply(docs)\n"
+        "jvm_valid = out.agg(F.sum(F.col('verdict').cast('long')))"
+        ".collect()[0][0]\n"
+        "# executor-side import: the python engine's pandas UDF unpickles\n"
+        "# rowcheck closures on workers, which resolve via the shipped zip\n"
+        "j = docs.select(F.to_json(F.struct('doc_id', 'lang')).alias('js'))\n"
+        "checked = validate_json_column(\n"
+        "    j, 'js', {'type': 'object', 'required': ['doc_id', 'lang'],\n"
+        "              'properties': {'lang': {'minLength': 2}}},\n"
+        "    engine='python')\n"
+        "py_valid = checked.agg(F.sum(F.col('verdict').cast('long')))"
+        ".collect()[0][0]\n"
+        "print(json.dumps({'rows': docs.count(),\n"
+        "                  'jvm_valid': int(jvm_valid),\n"
+        "                  'py_valid': int(py_valid)}))\n"
+        "spark.stop()\n")
+
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.abspath(__import__("pyspark").__file__)),
+        "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path), str(job)],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path))  # cwd WITHOUT the repo: only the zip provides it
+    assert r.returncode == 0, r.stderr[-4000:]
+    got = json.loads(r.stdout.strip().splitlines()[-1])
+    assert got["rows"] == 500
+    assert got["jvm_valid"] == 500
+    assert got["py_valid"] > 0
