@@ -35,7 +35,8 @@ import spark_schema_guard as ssg  # noqa: E402
 from spark_schema_guard.jsoncol import validate_json_column  # noqa: E402
 from spark_schema_guard.operators import (  # noqa: E402
     chi_square_by_unit, chi_square_drift, column_profile, duplicate_keys,
-    ks_drift, null_fractions, orphan_rows, psi_by_unit, uniqueness_report,
+    ks_by_unit, ks_drift, null_fractions, orphan_rows, psi_by_unit,
+    uniqueness_report,
 )
 from spark_schema_guard.operators.dedup import (  # noqa: E402
     exact_duplicates, minhash_candidates, minhash_signatures,
@@ -327,6 +328,21 @@ def q_drift_lang_psi(spark, sf_dir):
                       F.round("psi", 6).alias("psi")).orderBy("unit")
 
 
+KS_UNIT_GRID = [5.0, 10.0, 20.0, 40.0, 60.0, 80.0]
+
+
+def q_drift_value_ks_by_unit(spark, sf_dir):
+    """Per-unit KS drift of events.value vs the pooled distribution on an
+    explicit engine-portable grid (production default derives the grid
+    from one percentile_approx pass)."""
+    events = _read(spark, sf_dir, "events")
+    out = ks_by_unit(events, "value", F.col("event_id") % 8,
+                     grid=KS_UNIT_GRID)
+    return out.select("unit", "n_rows",
+                      F.round("statistic", 6).alias("statistic")
+                      ).orderBy("unit")
+
+
 def q_dedup_exact(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     return exact_duplicates(web, "doc_id", "text").select(
@@ -603,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_value_ks": q_drift_events_value_ks,
         "drift_lang_by_unit": q_drift_lang_by_unit,
         "drift_lang_psi": q_drift_lang_psi,
+        "drift_value_ks_by_unit": q_drift_value_ks_by_unit,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -889,6 +906,36 @@ def oracle_sql() -> dict[str, str]:
                                   / greatest(col_n * 1.0 / g, 1e-6))), 6)
                      AS psi
             FROM grid GROUP BY unit ORDER BY unit
+        """,
+        "drift_value_ks_by_unit": """
+            WITH tagged AS (
+              SELECT event_id % 8 AS unit, value AS v FROM events
+              WHERE value IS NOT NULL),
+            binned AS (
+              SELECT unit,
+                     len(list_filter([5.0, 10.0, 20.0, 40.0, 60.0, 80.0],
+                                     q -> q <= v)) AS b,
+                     COUNT(*) AS n
+              FROM tagged GROUP BY 1, 2),
+            buckets AS (SELECT DISTINCT b FROM binned),
+            units AS (SELECT unit, SUM(n) AS row_n FROM binned GROUP BY unit),
+            full_grid AS (
+              SELECT u.unit, u.row_n, k.b, COALESCE(x.n, 0) AS n
+              FROM units u CROSS JOIN buckets k
+              LEFT JOIN binned x ON x.unit = u.unit AND x.b = k.b),
+            pooled AS (SELECT b, SUM(n) AS pn FROM binned GROUP BY b),
+            pooled_cum AS (
+              SELECT b, SUM(pn) OVER (ORDER BY b) AS pcum FROM pooled),
+            grand AS (SELECT SUM(pn) AS g FROM pooled),
+            cum AS (
+              SELECT unit, row_n, f.b,
+                     SUM(n) OVER (PARTITION BY unit ORDER BY f.b) AS c,
+                     pcum
+              FROM full_grid f JOIN pooled_cum USING (b))
+            SELECT unit, CAST(MAX(row_n) AS BIGINT) AS n_rows,
+                   round(MAX(abs(c * 1.0 / row_n - pcum * 1.0 / g)), 6)
+                     AS statistic
+            FROM cum, grand GROUP BY unit ORDER BY unit
         """,
         "drift_events_value_ks": """
             WITH tagged AS (SELECT value AS v, (event_type = 'error') AS g

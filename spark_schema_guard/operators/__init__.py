@@ -2,7 +2,8 @@ from .stats import (column_profile, domain_skew, heavy_hitters,
                     null_fractions, partition_verdicts)
 from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
-from .drift import chi_square_by_unit, chi_square_drift, ks_drift, psi_by_unit
+from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
+                    ks_drift, psi_by_unit)
 from .sampling import downsample, stratified_sample
 from .urlnorm import duplicate_urls_normalized, normalize_url
 
@@ -18,6 +19,7 @@ __all__ = [
     "referential_report",
     "chi_square_by_unit",
     "chi_square_drift",
+    "ks_by_unit",
     "ks_drift",
     "psi_by_unit",
     "downsample",

@@ -118,6 +118,69 @@ def chi_square_by_unit(
         (F.col("_n_values") - 1).alias("dof"))
 
 
+def ks_by_unit(
+    df: DataFrame,
+    value_col: str,
+    unit_col: Column | str | None = None,
+    *,
+    grid: list[float] | None = None,
+    grid_size: int = 64,
+) -> DataFrame:
+    """Per-unit KS drift for continuous columns: one row per unit —
+    ``unit, n_rows, statistic`` — where ``statistic`` is the max CDF gap
+    between the unit and the POOLED corpus, evaluated on a shared grid
+    (the same binned-KS contract as ``ks_drift(mode="grid")``: error ≤
+    1/|grid| + sketch error).  ``grid=None`` derives it from one pooled
+    ``percentile_approx`` pass; pass an explicit grid for
+    engine-portable reproducibility (the oracle mode).
+
+    Every unit's CDF is evaluated at every observed bucket (a
+    |units| × |grid| frame built from the binned aggregate, not the
+    data), because the pooled CDF moves where a unit's doesn't.
+    """
+    if unit_col is None:
+        unit = F.input_file_name()
+    elif isinstance(unit_col, str):
+        unit = F.col(unit_col)
+    else:
+        unit = unit_col
+    value = F.col(value_col).cast("double")
+    tagged = df.select(unit.alias("unit"), value.alias("v")).where(
+        F.col("v").isNotNull())
+    if grid is None:
+        probs = [i / grid_size for i in range(1, grid_size)]
+        row = tagged.agg(
+            F.percentile_approx("v", probs, 1000).alias("grid")).collect()[0]
+        grid = sorted(set(row["grid"] or []))
+    if not grid:
+        return tagged.groupBy("unit").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(0.0).alias("statistic"))
+    grid_array = F.array(*[F.lit(float(q)) for q in grid])
+    bucket = F.size(F.filter(grid_array, lambda q: q <= F.col("v")))
+    binned = (tagged.groupBy("unit", bucket.alias("b"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    buckets = binned.select("b").distinct()
+    units = binned.groupBy("unit").agg(F.sum("n").alias("row_n"))
+    full = (units.crossJoin(F.broadcast(buckets))
+            .join(binned, ["unit", "b"], "left")
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    w_u = Window.partitionBy("unit").orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    pooled = binned.groupBy("b").agg(F.sum("n").alias("pn"))
+    w_p = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pooled_cum = pooled.withColumn("pcum", F.sum("pn").over(w_p))
+    grand = pooled.agg(F.sum("pn").alias("grand"))
+    cum = (full.withColumn("cum", F.sum("n").over(w_u))
+           .join(F.broadcast(pooled_cum.select("b", "pcum")), "b")
+           .crossJoin(F.broadcast(grand)))
+    return (cum.groupBy("unit")
+            .agg(F.max("row_n").alias("n_rows"),
+                 F.max(F.abs(F.col("cum") / F.col("row_n")
+                             - F.col("pcum") / F.col("grand")))
+                 .alias("statistic")))
+
+
 def psi_by_unit(
     df: DataFrame,
     value_col: str,

@@ -153,6 +153,37 @@ def test_psi_by_unit_manual(spark):
         assert got[unit]["n_rows"] == n
 
 
+def test_ks_by_unit_manual(spark):
+    """Per-unit binned KS vs the pooled CDF on an explicit grid; the
+    shifted unit's statistic is the known CDF gap."""
+    from spark_schema_guard.operators import ks_by_unit
+
+    rows = ([("u1", float(i % 10)) for i in range(100)]         # uniform 0-9
+            + [("u2", float(i % 10) + 5.0) for i in range(100)])  # shifted +5
+    df = spark.createDataFrame(rows, "unit string, v double")
+    grid = [2.5, 5.0, 7.5, 10.0, 12.5]
+    got = {r["unit"]: r for r in
+           ks_by_unit(df, "v", "unit", grid=grid).collect()}
+    # manual: bucket = #grid points <= v; cdf per unit and pooled
+    from collections import Counter
+
+    def cdf(vals):
+        c = Counter(sum(1 for q in grid if q <= v) for v in vals)
+        out, acc = {}, 0
+        for b in range(len(grid) + 1):
+            acc += c.get(b, 0)
+            out[b] = acc / len(vals)
+        return out
+
+    u1 = [float(i % 10) for i in range(100)]
+    u2 = [float(i % 10) + 5.0 for i in range(100)]
+    pool = cdf(u1 + u2)
+    for unit, vals in (("u1", u1), ("u2", u2)):
+        expected = max(abs(cdf(vals)[b] - pool[b]) for b in pool)
+        assert got[unit]["statistic"] == pytest.approx(expected), unit
+        assert got[unit]["n_rows"] == 100
+
+
 def test_ks_exact_and_grid(spark):
     left = [(float(i), True) for i in range(1000)]
     right = [(float(i) + 300.0, False) for i in range(1000)]
