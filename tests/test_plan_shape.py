@@ -160,3 +160,29 @@ def test_open_key_json_plan_stays_jvm(spark):
     assert "Exchange" not in text
     # one struct parse + one shared variant-map helper column
     assert text.count("from_json") <= 2
+
+
+def test_per_unit_drift_windows_are_partitioned(spark, sf_dir):
+    """chi_square_by_unit / psi_by_unit have NO window at all; ks_by_unit's
+    per-unit cumulative window partitions by unit.  The one unpartitioned
+    window (pooled CDF) runs over <= |grid| rows — assert it is the only
+    one."""
+    from spark_schema_guard.operators import (chi_square_by_unit, ks_by_unit,
+                                              psi_by_unit)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    unit = F.col("doc_id") % 8
+    for op in (chi_square_by_unit, psi_by_unit):
+        text = _physical(op(docs, "lang", unit))
+        assert "Window" not in text, op.__name__
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    text = _physical(ks_by_unit(events, "value", F.col("event_id") % 8,
+                                grid=[10.0, 40.0, 80.0]))
+    # exactly one unpartitioned window spec: the <=|grid|-row pooled CDF
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    unpartitioned = [s for s in specs if s.strip().startswith("b")
+                     and "unit" not in s]
+    partitioned = [s for s in specs if "unit" in s]
+    assert partitioned, text[:2000]
+    assert len(set(unpartitioned)) <= 1
