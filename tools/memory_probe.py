@@ -61,6 +61,9 @@ def main():
     timed("domain_skew", lambda: domain_skew(web, "url", k=10).collect())
     timed("dedup_exact", lambda: exact_duplicates(
         web, "doc_id", "text").count())
+    from spark_schema_guard.operators import chi_square_by_unit
+    timed("drift_by_unit", lambda: chi_square_by_unit(
+        web, "lang", F.col("doc_id") % 64).collect())
     spark.stop()
 
     docs_per_sec = round(n_rows / timings["web_validate"], 1)
