@@ -35,8 +35,8 @@ import spark_schema_guard as ssg  # noqa: E402
 from spark_schema_guard.jsoncol import validate_json_column  # noqa: E402
 from spark_schema_guard.operators import (  # noqa: E402
     chi_square_by_unit, chi_square_drift, column_profile, duplicate_keys,
-    ks_by_unit, ks_drift, null_fractions, orphan_rows, psi_by_unit,
-    uniqueness_report,
+    ks_by_unit, ks_drift, ngram_decontaminate, null_fractions, orphan_rows,
+    psi_by_unit, uniqueness_report,
 )
 from spark_schema_guard.operators.dedup import (  # noqa: E402
     exact_duplicates, minhash_candidates, minhash_signatures,
@@ -46,7 +46,7 @@ from spark_schema_guard.operators.multimodal import attach_media_metadata  # noq
 from spark_schema_guard.operators.similarity import cosine_topk  # noqa: E402
 from spark_schema_guard.operators.textstats import (  # noqa: E402
     bpe_ish_token_count, fingerprint, language_guess, quality_features,
-    token_count,
+    repetition_features, token_count,
 )
 from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, languages, web_pages  # noqa: E402
 
@@ -495,6 +495,20 @@ def q_text_fingerprints(spark, sf_dir):
     return fingerprint(docs, "doc_id", "text")
 
 
+def q_text_repetition(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text", ns=(2, 3))
+
+
+def q_decontaminate(spark, sf_dir):
+    # benchmark corpus = a deterministic slice of the same table (docs
+    # whose id is divisible by 97); n=4 so the sf0.01 gate exercises
+    # cross-document matches, not just the bench docs matching themselves
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=4)
+
+
 def q_events_json_verdicts(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     out = validate_json_column(events, "props", PROPS_SCHEMA, engine="columnar")
@@ -637,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -1133,6 +1149,66 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality": _text_quality_sql(),
+        "text_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+              WHERE len(t) >= 2
+              UNION ALL
+              SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+              WHERE len(t) >= 3),
+            counts AS (
+              SELECT doc_id, n, gram, count(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3),
+            per_n AS (
+              SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS total,
+                     count(*) AS n_distinct
+              FROM counts GROUP BY 1, 2)
+            SELECT d.doc_id,
+                   CASE WHEN length(trim(d.text)) = 0 THEN 0
+                        ELSE array_length(
+                            regexp_split_to_array(trim(d.text), '\s+'))
+                   END AS n_tokens,
+                   round(coalesce(max(CASE WHEN n = 2
+                         THEN top_cnt * 1.0 / total END), 0.0), 4)
+                     AS top2gram_frac,
+                   round(coalesce(max(CASE WHEN n = 2
+                         THEN 1.0 - n_distinct * 1.0 / total END), 0.0), 4)
+                     AS dup2gram_frac,
+                   round(coalesce(max(CASE WHEN n = 3
+                         THEN top_cnt * 1.0 / total END), 0.0), 4)
+                     AS top3gram_frac,
+                   round(coalesce(max(CASE WHEN n = 3
+                         THEN 1.0 - n_distinct * 1.0 / total END), 0.0), 4)
+                     AS dup3gram_frac
+            FROM documents d LEFT JOIN per_n p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+            doc_grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+              WHERE len(t) >= 4),
+            bench_grams AS (
+              SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 97 = 0),
+            matched AS (
+              SELECT dg.doc_id, count(*) AS n_matched_ngrams
+              FROM doc_grams dg JOIN bench_grams USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(m.n_matched_ngrams, 0) AS BIGINT)
+                     AS n_matched_ngrams,
+                   coalesce(m.n_matched_ngrams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN matched m USING (doc_id)
+        """,
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,

@@ -213,6 +213,16 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         docs, "doc_id", "text", bits=32, max_hamming=3).count())
     timed("text_quality", lambda: quality_features(docs, "doc_id", "text").agg(
         F.sum("quality_score")).collect())
+    from spark_schema_guard.operators import ngram_decontaminate
+    from spark_schema_guard.operators.textstats import repetition_features
+    timed("text_repetition", lambda: repetition_features(
+        docs, "doc_id", "text").agg(
+        F.sum("top2gram_frac"), F.sum("dup3gram_frac")).collect())
+    timed("decontaminate", lambda: ngram_decontaminate(
+        docs, "doc_id", "text", docs.where(F.col("doc_id") % 97 == 0),
+        "text", n=8).agg(
+        F.sum(F.col("contaminated").cast("long")),
+        F.sum("n_matched_ngrams")).collect())
 
     docs_per_sec = round(n_docs / timings["web_validate"], 1)
     spark.stop()

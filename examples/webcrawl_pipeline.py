@@ -6,7 +6,8 @@ a production crawl-ingest job would use them.
 Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
 
 1. schema validation  — compiled plan, verdict + violations columns
-2. quality gates      — per-column stats, url uniqueness, lang drift
+2. quality gates      — per-column stats, url uniqueness, lang drift,
+                        repetition signals, benchmark decontamination
 3. dedup              — MinHash LSH candidates -> connected components ->
                         keep canonical doc per cluster
 4. data mixing        — deterministic per-lang sampling
@@ -29,8 +30,9 @@ from pyspark.sql import functions as F
 import spark_schema_guard as ssg
 from spark_schema_guard.operators import (
     chi_square_by_unit, chi_square_drift, column_profile, domain_skew,
-    psi_by_unit, stratified_sample, uniqueness_report,
+    ngram_decontaminate, psi_by_unit, stratified_sample, uniqueness_report,
 )
+from spark_schema_guard.operators.textstats import repetition_features
 from spark_schema_guard.operators.dedup import (
     duplicate_clusters, minhash_candidates,
 )
@@ -79,8 +81,23 @@ def main():
     report["lang_psi_by_unit"] = {
         str(r["unit"]): round(r["psi"], 4) for r in psi}
 
+    # repetition gate (Gopher-style): drop keyword-stuffed / boilerplate
+    # pages whose most frequent bigram takes over half the text
+    rep = repetition_features(web, "doc_id", "text")
+    repetitive = rep.where(F.col("top2gram_frac") > 0.5)
+    report["repetition_gate"] = {"flagged": repetitive.count()}
+
+    # benchmark decontamination: quarantine pages sharing 8-grams with
+    # the held-out eval slice (demo bench = deterministic doc_id slice)
+    bench = web.where(F.col("doc_id") % 97 == 0)
+    contam = ngram_decontaminate(web, "doc_id", "text", bench, "text", n=8)
+    report["decontamination"] = {
+        "contaminated": contam.where("contaminated").count()}
+
     # -- 3. dedup: candidates -> clusters -> canonical only ---------------
-    clean = validated.where(F.col("verdict"))
+    clean = validated.where(F.col("verdict")) \
+        .join(contam.where(~F.col("contaminated")).select("doc_id"),
+              "doc_id", "left_semi")
     edges = minhash_candidates(clean, "doc_id", "text",
                                num_hashes=8, bands=4, shingle_k=8)
     clustered = duplicate_clusters(clean, "doc_id", edges)

@@ -6,6 +6,7 @@ from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
 from .sampling import downsample, stratified_sample
 from .urlnorm import duplicate_urls_normalized, normalize_url
+from .decontam import ngram_decontaminate
 
 __all__ = [
     "column_profile",
@@ -26,4 +27,5 @@ __all__ = [
     "stratified_sample",
     "duplicate_urls_normalized",
     "normalize_url",
+    "ngram_decontaminate",
 ]

@@ -1,0 +1,63 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark corpus.
+
+The standard LLM-pipeline hygiene step (GPT-3 appendix C, PaLM §7,
+Llama 2 §A.6 all describe n-gram–overlap decontamination): a document
+whose text contains any length-``n`` word n-gram that also appears in a
+held-out benchmark is quarantined so eval scores stay honest.
+
+Scale shape: the benchmark side is SMALL (eval suites are thousands of
+rows, not billions) — its distinct n-gram set is broadcast, so the
+training-corpus side stays a map-side hash join on the same scan that
+produced the grams.  The doc side explodes per-doc DISTINCT grams
+(bounded by doc length), then one groupBy(id) counts matches.  No
+all-pairs comparison anywhere; at n>=8 grams are near-unique so the
+join key carries no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens, word_ngrams
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination verdicts against a benchmark corpus.
+
+    Returns one row per input document: ``n_matched_ngrams`` (how many of
+    the doc's distinct word n-grams appear anywhere in the benchmark) and
+    ``contaminated`` (any match).  Tokenization is lowercase whitespace
+    splitting on both sides, so the check is symmetric and
+    engine-portable (the DuckDB oracle reproduces it verbatim).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            word_ngrams(_tokens(F.lower(F.col(text_col))), n))).alias("gram"),
+    )
+    bench_grams = bench.select(
+        F.explode(F.array_distinct(
+            word_ngrams(_tokens(F.lower(F.col(bench_text_col))),
+                        n))).alias("gram"),
+    ).distinct()
+    matched = doc_grams.join(F.broadcast(bench_grams), "gram") \
+        .groupBy(id_col).agg(F.count("*").alias("n_matched_ngrams"))
+    return df.select(id_col).join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_matched_ngrams"), F.lit(0)).cast("long")
+            .alias("n_matched_ngrams"),
+        (F.coalesce(F.col("n_matched_ngrams"), F.lit(0)) > 0)
+            .alias("contaminated"),
+    )

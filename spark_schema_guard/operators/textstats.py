@@ -99,6 +99,76 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram strings (space-joined) from a token array; empty array
+    when the doc has fewer than ``n`` tokens.  Built with transform over
+    an index sequence so the gram array is a pure Column expression; the
+    consumers explode it (explode + groupBy beats HOF folds here — the
+    measured invariant from the minhash/simhash A/B)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str,
+                        *, ns: tuple = (2, 3)) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1): for each n in ``ns`` the
+    fraction of all word n-grams taken by the single most frequent one
+    (``top{n}gram_frac``) and the fraction of n-gram occurrences that are
+    repeats of an already-seen gram (``dup{n}gram_frac``).  High values
+    flag boilerplate / keyword-stuffed pages a training pipeline drops.
+
+    Scale shape: one explode of the per-doc gram arrays -> groupBy
+    (id, n, gram) with map-side partial aggregation -> per-doc rollup.
+    Shuffle volume is bounded by distinct grams per doc (same shape as
+    minhash shingling, dedup.py); no window over the corpus, no driver
+    collection.  Docs shorter than n tokens report 0.0 fractions.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _tagged(n: int) -> Column:
+        # one-arg lambda only: a second lambda parameter would make
+        # F.transform pass the ELEMENT INDEX into it
+        return F.transform(
+            word_ngrams(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")))
+
+    gram_arrays = [_tagged(n) for n in ns]
+    stack = df.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    per_n = stack.groupBy(id_col, "n", "gram") \
+        .agg(F.count("*").alias("cnt")) \
+        .groupBy(id_col, "n").agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("n_distinct"),
+        )
+    frac_cols = []
+    for n in ns:
+        is_n = F.col("n") == n
+        frac_cols.append(F.round(F.coalesce(
+            F.max(F.when(is_n, F.col("top_cnt") / F.col("total"))),
+            F.lit(0.0)), 4).alias(f"top{n}gram_frac"))
+        frac_cols.append(F.round(F.coalesce(
+            F.max(F.when(is_n,
+                         1.0 - F.col("n_distinct") / F.col("total"))),
+            F.lit(0.0)), 4).alias(f"dup{n}gram_frac"))
+    per_doc = per_n.groupBy(id_col).agg(*frac_cols)
+    out_cols = [F.col(id_col),
+                token_count(F.col(text_col)).alias("n_tokens")]
+    for n in ns:
+        for stem in (f"top{n}gram_frac", f"dup{n}gram_frac"):
+            out_cols.append(
+                F.coalesce(F.col(stem), F.lit(0.0)).alias(stem))
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .join(per_doc, id_col, "left").select(*out_cols)
+
+
 def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-frequency language id: the language whose marker words hit
     most often; deterministic tie-break by language code."""

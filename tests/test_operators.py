@@ -561,3 +561,100 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
                                      k=5, n_centroids=16,
                                      nprobe=16).collect()}
     assert full == brute
+
+
+def test_repetition_features_hand_computed(spark):
+    from spark_schema_guard.operators.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, ""), (4, "u v w u v")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r.asDict()
+            for r in repetition_features(df, "doc_id", "text").collect()}
+    # doc 1 bigrams: [ab, ba, ab, ba] -> top 2/4, dup 1 - 2/4
+    assert rows[1]["top2gram_frac"] == 0.5
+    assert rows[1]["dup2gram_frac"] == 0.5
+    # doc 1 trigrams: [aba, bab, aba] -> top 2/3, dup 1 - 2/3
+    assert rows[1]["top3gram_frac"] == round(2 / 3, 4)
+    assert rows[1]["dup3gram_frac"] == round(1 - 2 / 3, 4)
+    # doc 4 bigrams: [uv, vw, wu, uv] -> top 2/4, dup 1 - 3/4
+    assert rows[4]["top2gram_frac"] == 0.5
+    assert rows[4]["dup2gram_frac"] == 0.25
+    # too short / blank docs report zeros, not nulls
+    for d in (2, 3):
+        assert rows[d]["top2gram_frac"] == 0.0
+        assert rows[d]["dup3gram_frac"] == 0.0
+    assert rows[1]["n_tokens"] == 5 and rows[3]["n_tokens"] == 0
+
+
+def test_repetition_features_python_oracle(spark, sf_dir):
+    from collections import Counter
+
+    from spark_schema_guard.operators.textstats import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_features(docs, "doc_id", "text").collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row["text"].strip().lower().split()
+        for n in (2, 3):
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = max(c.values()) / len(grams) if grams else 0.0
+            dup = 1 - len(c) / len(grams) if grams else 0.0
+            # Spark rounds half-up; Python round() is half-even
+            assert got[row["doc_id"]][f"top{n}gram_frac"] == \
+                pytest.approx(top, abs=5.1e-5)
+            assert got[row["doc_id"]][f"dup{n}gram_frac"] == \
+                pytest.approx(dup, abs=5.1e-5)
+
+
+def test_ngram_decontaminate(spark):
+    from spark_schema_guard.operators import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "p q r s t u v w x y")], ["bid", "text"])
+    docs = spark.createDataFrame(
+        [(1, "zz p q r s t u v w x yy"),   # shares two 8-grams
+         (2, "none of these words overlap the benchmark corpus at all ok"),
+         (3, "p q r s t u v")],            # 7 tokens: too short for n=8
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in ngram_decontaminate(
+               docs, "doc_id", "text", bench, "text", n=8).collect()}
+    assert out[1] == {"doc_id": 1, "n_matched_ngrams": 2,
+                      "contaminated": True}
+    assert out[2]["n_matched_ngrams"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_matched_ngrams"] == 0 and not out[3]["contaminated"]
+    # case-insensitive on both sides
+    up = spark.createDataFrame([(9, "P Q R S T U V W X y")], ["bid", "text"])
+    out_up = ngram_decontaminate(
+        docs, "doc_id", "text", up, "text", n=8).collect()
+    assert {r["doc_id"] for r in out_up if r["contaminated"]} == {1}
+    with pytest.raises(ValueError):
+        ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=0)
+
+
+def test_ngram_decontaminate_self_corpus(spark, sf_dir):
+    """Every benchmark doc with >= n tokens must flag itself; docs sharing
+    no n-gram with the bench slice stay clean (plain-Python oracle)."""
+    from spark_schema_guard.operators import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = {r["doc_id"]: r for r in ngram_decontaminate(
+        docs, "doc_id", "text", bench, "text", n=4).collect()}
+
+    bench_rows = bench.select("doc_id", "text").collect()
+    bench_grams = set()
+    for r in bench_rows:
+        toks = r["text"].strip().lower().split()
+        bench_grams |= {" ".join(toks[i:i + 4])
+                        for i in range(len(toks) - 3)}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].strip().lower().split()
+        mine = {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+        expect = len(mine & bench_grams)
+        assert out[r["doc_id"]]["n_matched_ngrams"] == expect
+        assert out[r["doc_id"]]["contaminated"] is (expect > 0)

@@ -186,3 +186,23 @@ def test_per_unit_drift_windows_are_partitioned(spark, sf_dir):
     partitioned = [s for s in specs if "unit" in s]
     assert partitioned, text[:2000]
     assert len(set(unpartitioned)) <= 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The gram join must broadcast the (small) benchmark side — never a
+    sort-merge shuffle of the full training corpus, never a cartesian
+    product — and the whole pipeline stays JVM-side."""
+    from spark_schema_guard.operators import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=4)
+    text = _physical(out)
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text
+    # the corpus-side gram join must not shuffle-sort the big side: the
+    # only SortMergeJoin allowed is the final per-doc left join back to
+    # ids (AQE may plan either); the inner gram match must be broadcast
+    gram_joins = [ln for ln in text.splitlines() if "Join Inner" in ln]
+    assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
