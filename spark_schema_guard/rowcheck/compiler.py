@@ -1119,10 +1119,14 @@ class RowValidator:
     function.  ``collect(data)`` is the engine-facing API: returns the list
     of violations without raising — the natural vectorized mode."""
 
-    # Closure dispatch costs ~5 Python frames per data-nesting level (the
-    # reference's flat generated code costs ~2); raise the limit during
-    # validation so ~1500-level documents (FHIR-scale) still validate.
-    _RECURSION_HEADROOM = 8000
+    # Closure dispatch costs up to ~8 Python frames per data-nesting level
+    # for combinator-heavy recursive schemas (the reference's flat generated
+    # code costs ~2); raise the limit during validation so 2000-level
+    # documents (FHIR-scale and beyond) still validate.  CPython >=3.11
+    # keeps interpreter frames off the C stack, so 20k Python frames is
+    # safe; genuinely unbounded data still raises RecursionError, which the
+    # Spark engine maps to a "too deeply nested" violation (jsoncol.py).
+    _RECURSION_HEADROOM = 20000
 
     def __init__(self, node_fn, fast_fail: bool):
         self._fn = node_fn

@@ -64,6 +64,32 @@ def test_deep_data_no_crash():
     assert validator(deep) is deep
 
 
+def test_deep_recursive_ref_1000_levels():
+    """1000-level data through a combinator-heavy recursive $ref schema —
+    the worst frames-per-level shape (~8 frames/level) — must validate;
+    the reference RecursionErrors on this at its default limit, and so
+    did we before raising _RECURSION_HEADROOM past 8k."""
+    schema = {
+        "$ref": "#/definitions/node",
+        "definitions": {"node": {
+            "type": "object",
+            "properties": {"a": {"anyOf": [{"type": "null"},
+                                           {"$ref": "#/definitions/node"}]}},
+        }},
+    }
+    validator = ssg.compile(schema)
+    deep = current = {"a": None}
+    for _ in range(999):
+        current["a"] = {"a": None}
+        current = current["a"]
+    assert validator(deep) is deep
+    assert validator.collect(deep) == []
+    # invalid leaf deep down still reports, not crashes
+    current["a"] = 5
+    errs = validator.collect(deep)
+    assert errs and errs[0].rule == "anyOf"
+
+
 def test_draft_dialect_differences(reference):
     import copy
 
