@@ -101,15 +101,52 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram strings (space-joined) from a token array; empty array
-    when the doc has fewer than ``n`` tokens.  Built with transform over
-    an index sequence so the gram array is a pure Column expression; the
-    consumers explode it (explode + groupBy beats HOF folds here — the
-    measured invariant from the minhash/simhash A/B)."""
+    when the doc has fewer than ``n`` tokens.  A pure Column expression
+    (transform over an index sequence) — use only where an ARRAY is
+    required; for exploded per-gram processing prefer :func:`word_ngram_stack`,
+    which builds grams via a per-doc lead() window and measures ~10x
+    faster (HOF transforms are CodegenFallback, interpreted per gram)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
+                     ns: tuple) -> DataFrame:
+    """One row per (doc, n, gram) for every word n-gram, n in ``ns`` —
+    lowercase whitespace tokens, grams space-joined.
+
+    Built as posexplode(tokens) -> per-doc lead(tok, j) window ->
+    concat_ws, NOT a transform-HOF over an index sequence: HOFs are
+    CodegenFallback and measure ~10x slower per gram (see SCALE.md).
+    The window partitions by doc id, so its sort is per-document
+    (bounded by doc length) — no corpus-wide window; at 10^12 docs the
+    token shuffle is the same volume the gram groupBys carry anyway.
+    """
+    from pyspark.sql.window import Window
+
+    max_n = max(ns)
+    toks = _tokens(F.lower(F.col(text_col)))
+    st = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(w).alias(f"_l{j}")
+                 for j in range(1, max_n)]
+    st = st.select(F.col(id_col), F.col("tok"), *lead_cols)
+
+    def _gram(n: int) -> Column:
+        parts = [F.col("tok")] + [F.col(f"_l{j}") for j in range(1, n)]
+        tail_ok = F.lit(True) if n == 1 else F.col(f"_l{n-1}").isNotNull()
+        return F.when(tail_ok, F.concat_ws(" ", *parts))
+
+    gram_structs = [F.struct(F.lit(n).alias("n"), _gram(n).alias("gram"))
+                    for n in ns]
+    return st.select(
+        F.col(id_col),
+        F.explode(F.array(*gram_structs)).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")) \
+        .where(F.col("gram").isNotNull())
 
 
 def repetition_features(df: DataFrame, id_col: str, text_col: str,
@@ -127,38 +164,27 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str,
     minhash shingling, dedup.py); no window over the corpus, no driver
     collection.  Docs shorter than n tokens report 0.0 fractions.
     """
-    toks = _tokens(F.lower(F.col(text_col)))
-
-    def _tagged(n: int) -> Column:
-        # one-arg lambda only: a second lambda parameter would make
-        # F.transform pass the ELEMENT INDEX into it
-        return F.transform(
-            word_ngrams(toks, n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")))
-
-    gram_arrays = [_tagged(n) for n in ns]
-    stack = df.select(
-        F.col(id_col),
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("t"),
-    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-    per_n = stack.groupBy(id_col, "n", "gram") \
-        .agg(F.count("*").alias("cnt")) \
-        .groupBy(id_col, "n").agg(
-            F.max("cnt").alias("top_cnt"),
-            F.sum("cnt").alias("total"),
-            F.count("*").alias("n_distinct"),
-        )
-    frac_cols = []
+    stack = word_ngram_stack(df, id_col, text_col, ns)
+    # single per-doc rollup with conditional aggregates: hash partitioning
+    # on (id, n, gram) does not co-locate (id, n), so a groupBy(id, n)
+    # middle stage would be a second full shuffle — fold it away
+    counts = stack.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    aggs = []
     for n in ns:
         is_n = F.col("n") == n
+        aggs += [F.max(F.when(is_n, F.col("cnt"))).alias(f"_top{n}"),
+                 F.sum(F.when(is_n, F.col("cnt"))).alias(f"_tot{n}"),
+                 F.count(F.when(is_n, F.lit(1))).alias(f"_dis{n}")]
+    frac_cols = []
+    for n in ns:
         frac_cols.append(F.round(F.coalesce(
-            F.max(F.when(is_n, F.col("top_cnt") / F.col("total"))),
-            F.lit(0.0)), 4).alias(f"top{n}gram_frac"))
+            F.col(f"_top{n}") / F.col(f"_tot{n}"), F.lit(0.0)), 4)
+            .alias(f"top{n}gram_frac"))
         frac_cols.append(F.round(F.coalesce(
-            F.max(F.when(is_n,
-                         1.0 - F.col("n_distinct") / F.col("total"))),
-            F.lit(0.0)), 4).alias(f"dup{n}gram_frac"))
-    per_doc = per_n.groupBy(id_col).agg(*frac_cols)
+            1.0 - F.col(f"_dis{n}") / F.col(f"_tot{n}"), F.lit(0.0)), 4)
+            .alias(f"dup{n}gram_frac"))
+    per_doc = counts.groupBy(id_col).agg(*aggs) \
+        .select(F.col(id_col), *frac_cols)
     out_cols = [F.col(id_col),
                 token_count(F.col(text_col)).alias("n_tokens")]
     for n in ns:
