@@ -127,6 +127,8 @@ def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql.window import Window
 
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty with every n >= 1, got {ns}")
     max_n = max(ns)
     toks = _tokens(F.lower(F.col(text_col)))
     st = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))

@@ -585,6 +585,16 @@ def test_repetition_features_hand_computed(spark):
         assert rows[d]["top2gram_frac"] == 0.0
         assert rows[d]["dup3gram_frac"] == 0.0
     assert rows[1]["n_tokens"] == 5 and rows[3]["n_tokens"] == 0
+    # unigrams work (n=1 has no lead column); bad ns raise
+    uni = {r["doc_id"]: r.asDict()
+           for r in repetition_features(df, "doc_id", "text",
+                                        ns=(1,)).collect()}
+    assert uni[1]["top1gram_frac"] == 0.6    # "a" 3 of 5
+    assert uni[1]["dup1gram_frac"] == 0.6    # 1 - 2/5
+    with pytest.raises(ValueError):
+        repetition_features(df, "doc_id", "text", ns=())
+    with pytest.raises(ValueError):
+        repetition_features(df, "doc_id", "text", ns=(0, 2))
 
 
 def test_repetition_features_python_oracle(spark, sf_dir):
