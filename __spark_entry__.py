@@ -455,7 +455,8 @@ def q_ann_topk_lsh(spark, sf_dir):
              for r in emb.where(F.col("vec_id") < 3).collect()}
     queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
     return cosine_topk_lsh(emb, "vec_id", "embedding", queries, k=5,
-                           n_planes=3, multiprobe=0).select(
+                           n_planes=3, multiprobe=0,
+                           max_bucket=10000).select(
         "query_id", "rank", "neighbor_id")
 
 
@@ -471,7 +472,8 @@ def q_ann_topk_ivf(spark, sf_dir):
              for r in emb.where(F.col("vec_id") < 3).collect()}
     queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
     return cosine_topk_ivf(emb, "vec_id", "embedding", queries, k=5,
-                           n_centroids=16, nprobe=4).select(
+                           n_centroids=16, nprobe=4,
+                           max_bucket=10000).select(
         "query_id", "rank", "neighbor_id")
 
 
@@ -1124,8 +1126,9 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.2
         """,
         "ann_near_dups_blocked": _ann_blocked_sql(block_bits=4, threshold=0.2),
-        "ann_topk_lsh": _ann_lsh_sql(k=5, n_planes=3),
-        "ann_topk_ivf": _ann_ivf_sql(k=5, n_centroids=16, nprobe=4),
+        "ann_topk_lsh": _ann_lsh_sql(k=5, n_planes=3, max_bucket=10000),
+        "ann_topk_ivf": _ann_ivf_sql(k=5, n_centroids=16, nprobe=4,
+                                     max_bucket=10000),
         "simhash": f"WITH {_simhash_md5_cte()} SELECT doc_id, simhash FROM sh",
         "simhash_near_dups": f"""
             WITH {_simhash_md5_cte()}
@@ -1330,10 +1333,13 @@ def _ann_blocked_sql(*, block_bits: int, threshold: float) -> str:
     """
 
 
-def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64) -> str:
+def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64,
+                 max_bucket: int = 10000) -> str:
     """Hyperplane-LSH top-k oracle: the seed-deterministic planes are
     embedded as literal arrays, buckets computed identically to
-    operators/similarity.py::lsh_bucket_column (multiprobe=0)."""
+    operators/similarity.py::lsh_bucket_column (multiprobe=0), and the
+    data side drops buckets larger than ``max_bucket`` exactly like the
+    engine's ``_cap_buckets`` (query probes stay uncapped)."""
     from spark_schema_guard.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes, 42)
@@ -1348,13 +1354,17 @@ def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64) -> str:
     return f"""
         WITH data AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         db AS (SELECT vec_id, v, ({bucket}) AS bucket FROM data),
+        capped AS (SELECT db.* FROM db
+                   JOIN (SELECT bucket, COUNT(*) AS bn FROM db GROUP BY bucket) s
+                     ON s.bucket = db.bucket
+                   WHERE s.bn <= {max_bucket}),
         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
               FROM db WHERE vec_id < 3),
         scored AS (SELECT q.query_id, d.vec_id AS neighbor_id,
                           list_dot_product(q.qv, d.v)
                           / (sqrt(list_dot_product(q.qv, q.qv))
                              * sqrt(list_dot_product(d.v, d.v))) AS cosine
-                   FROM q JOIN db d
+                   FROM q JOIN capped d
                      ON d.bucket = q.qb AND d.vec_id <> q.query_id),
         ranked AS (SELECT query_id, neighbor_id,
                           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1365,11 +1375,13 @@ def _ann_lsh_sql(*, k: int, n_planes: int, dim: int = 64) -> str:
     """
 
 
-def _ann_ivf_sql(*, k: int, n_centroids: int, nprobe: int) -> str:
+def _ann_ivf_sql(*, k: int, n_centroids: int, nprobe: int,
+                 max_bucket: int = 10000) -> str:
     """IVF top-k oracle: md5-ordered centroid seeding, argmax-cosine
     cell assignment (ties to the smaller cell), nprobe-cell probing —
     mirroring operators/similarity.py::cosine_topk_ivf at
-    iterations=0."""
+    iterations=0, with the engine's ``max_bucket`` cell cap on the
+    data side."""
     cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
     return f"""
@@ -1400,10 +1412,16 @@ def _ann_ivf_sql(*, k: int, n_centroids: int, nprobe: int) -> str:
             WHERE d.vec_id < 3)
           WHERE rn <= {nprobe}
         ),
+        capped AS (
+          SELECT db.* FROM db
+          JOIN (SELECT cell, COUNT(*) AS bn FROM db GROUP BY cell) s
+            ON s.cell = db.cell
+          WHERE s.bn <= {max_bucket}
+        ),
         scored AS (
           SELECT q.query_id, d.vec_id AS neighbor_id,
                  {cos.format(a="q.qv", b="d.v")} AS cosine
-          FROM qprobe q JOIN db d ON d.cell = q.cell
+          FROM qprobe q JOIN capped d ON d.cell = q.cell
           WHERE d.vec_id <> q.query_id
         ),
         ranked AS (

@@ -188,6 +188,39 @@ def test_per_unit_drift_windows_are_partitioned(spark, sf_dir):
     assert len(set(unpartitioned)) <= 1
 
 
+def test_ann_rank_stage_is_two_stage(spark, sf_dir):
+    """VERDICT-r02 #1: no ANN query may rank a query's full candidate
+    set in one window partition.  The plan must prune per-partition
+    first (MapInPandas running top-k) and only then window over the
+    bounded k·P merge frame — so the single Window node sits ABOVE the
+    prune in every ann plan."""
+    from spark_schema_guard.operators.similarity import (
+        cosine_topk, cosine_topk_ivf, cosine_topk_lsh)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(r["vec_id"], r["embedding"])
+               for r in emb.where(F.col("vec_id") < 2).collect()]
+    frames = {
+        "brute": cosine_topk(emb, "vec_id", "embedding", queries, k=3),
+        "lsh": cosine_topk_lsh(emb, "vec_id", "embedding", queries, k=3,
+                               n_planes=3, multiprobe=0, max_bucket=10000),
+        "ivf": cosine_topk_ivf(emb, "vec_id", "embedding", queries, k=3,
+                               n_centroids=4, nprobe=2, max_bucket=10000),
+    }
+    for name, df in frames.items():
+        lines = _physical(df).splitlines()
+        # "Window [" is the rank exec node; WindowGroupLimit nodes are
+        # Spark's own partial/final top-k pushdown (bounded, welcome)
+        windows = [i for i, ln in enumerate(lines) if "Window [" in ln]
+        prunes = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+        assert len(windows) == 1, (name, lines)
+        assert prunes, (name, lines)
+        # treeString prints parents above children: the window must be
+        # an ancestor of the prune, i.e. rank only pruned rows
+        assert windows[0] < prunes[0], (name, lines)
+        assert not any("CartesianProduct" in ln for ln in lines), name
+
+
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     """The gram join must broadcast the (small) benchmark side — never a
     sort-merge shuffle of the full training corpus, never a cartesian
