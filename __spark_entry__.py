@@ -751,24 +751,32 @@ def oracle_sql() -> dict[str, str]:
                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
                      regexp_extract(m, '^[^#?]*(\\?[^#]*)', 1) AS query
               FROM messy
+            ), hp2 AS (
+              -- userinfo@ kept verbatim; IP-literal hosts matched by the
+              -- alternation (flat regexes, mirroring normalize_url)
+              SELECT *,
+                     regexp_extract(authority, '^([^@]*@)', 1) AS userinfo,
+                     regexp_extract(authority,
+                       '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1) AS host,
+                     regexp_extract(authority, ':([0-9]+)$', 1) AS port
+              FROM parts
             ), norm AS (
               SELECT url, m,
                      CASE WHEN scheme = '' THEN m ELSE
-                       lower(scheme) || '://'
-                       || lower(regexp_extract(authority, '^([^:]*)', 1))
-                       || (CASE WHEN regexp_extract(authority, ':([0-9]+)$', 1)
-                                     <> ''
+                       lower(scheme) || '://' || userinfo
+                       || lower(host)
+                       || (CASE WHEN port <> ''
                                  AND NOT (
-                                   (lower(scheme) = 'http'  AND regexp_extract(authority, ':([0-9]+)$', 1) = '80') OR
-                                   (lower(scheme) = 'https' AND regexp_extract(authority, ':([0-9]+)$', 1) = '443') OR
-                                   (lower(scheme) = 'ws'    AND regexp_extract(authority, ':([0-9]+)$', 1) = '80') OR
-                                   (lower(scheme) = 'wss'   AND regexp_extract(authority, ':([0-9]+)$', 1) = '443'))
-                            THEN ':' || regexp_extract(authority, ':([0-9]+)$', 1)
+                                   (lower(scheme) = 'http'  AND port = '80') OR
+                                   (lower(scheme) = 'https' AND port = '443') OR
+                                   (lower(scheme) = 'ws'    AND port = '80') OR
+                                   (lower(scheme) = 'wss'   AND port = '443'))
+                            THEN ':' || port
                             ELSE '' END)
                        || (CASE WHEN path = '' THEN '/' ELSE path END)
                        || query
                      END AS n
-              FROM parts
+              FROM hp2
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CASE WHEN m <> url THEN 1 ELSE 0 END) AS BIGINT)

@@ -1,8 +1,10 @@
 """Checkpointed, resumable validation runs with a per-unit audit table
 (SURVEY.md §2.7, north-rule requirement).
 
-Unit of work = input file (``input_file_name()``): stable across retries
-and cluster sizes, unlike partition ids.  A run:
+Unit of work = input file (``_metadata.file_path`` when the source
+exposes it, ``input_file_name()`` as fallback — an empty unit raises
+rather than silently collapsing all rows into one resumable ''):
+stable across retries and cluster sizes, unlike partition ids.  A run:
 
 1. anti-joins the input's file list against the audit table's completed
    units (resume = skip everything already validated);
@@ -66,11 +68,28 @@ class AuditedRun:
         self.s_hash = schema_hash(plan.schema_definition)
 
     def pending_input(self) -> DataFrame:
-        # input_file_name() names the underlying data file for any
-        # file-backed source — parquet dirs and Iceberg scans alike — so
-        # the unit of resume is stable across catalogs and cluster sizes.
-        df = read_table(self.spark, self.input_path).withColumn(
-            "__unit", F.input_file_name())
+        # Unit = underlying data file.  Prefer the source's hidden
+        # metadata column (``_metadata.file_path`` — defined for file
+        # sources and Iceberg/DSv2 scans); ``input_file_name()`` is only
+        # the fallback, because DSv2 scans commonly return '' from it.
+        # An EMPTY unit fails LOUDLY at evaluation time: if '' ever
+        # reached the audit table, the next resume's anti-join would
+        # silently skip ALL new data — the exact inversion of the
+        # crash-consistency contract.
+        src = read_table(self.spark, self.input_path)
+        try:
+            src.select(F.col("_metadata.file_path"))
+            raw_unit = F.col("_metadata.file_path")
+        except Exception:
+            raw_unit = F.input_file_name()
+        df = src.withColumn(
+            "__unit",
+            F.when(F.length(raw_unit) > 0, raw_unit).otherwise(
+                F.raise_error(F.lit(
+                    "audit unit is empty: this source exposes neither "
+                    "_metadata.file_path nor input_file_name(); resume "
+                    "would silently skip data — pass a file-backed input "
+                    "or a catalog table with file metadata"))))
         done = _completed_units(self.spark, self.audit_path, self.s_hash)
         if done is not None:
             df = df.join(

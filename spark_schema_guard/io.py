@@ -35,17 +35,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 _IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}$")
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+# bare names with a data-file suffix read as paths, not `db.table`
+_FILE_EXTS = (".parquet", ".csv", ".json", ".jsonl", ".orc", ".avro", ".txt")
 
 
 def is_catalog_ref(ref: str) -> bool:
-    """True when ``ref`` should be treated as a catalog table identifier."""
+    """True when ``ref`` should be treated as a catalog table identifier.
+
+    The classification is a PURE function of the string — never of the
+    working directory's contents (an ``os.path.exists`` probe would let
+    the same reference silently flip interpretation between runs).  A
+    bare identifier is a catalog table; a filesystem reading of a bare
+    name must be requested explicitly (``path:`` prefix, ``./name``, a
+    slash, a URI scheme, or a data-file extension)."""
     if ref.startswith("table:"):
         return True
     if ref.startswith("path:"):
         return False
     if _URI_SCHEME.match(ref) or os.sep in ref or ref.startswith("."):
         return False
-    if os.path.exists(ref):  # a bare filename in cwd
+    if ref.lower().endswith(_FILE_EXTS):
         return False
     return bool(_IDENTIFIER.match(ref))
 
@@ -81,6 +90,24 @@ def try_read_table(spark: SparkSession, ref: str, fmt: str = "parquet"):
         return None
 
 
+def _is_v1_write_rejection(exc: Exception) -> bool:
+    """True when a V2 ``writeTo(...).append()`` was rejected because the
+    target is a V1 session-catalog table.  Keyed on the exception class
+    + error condition (``_LEGACY_ERROR_TEMP_1012`` = "Cannot write into
+    v1 table"), not on message text; the message substring is only the
+    fallback for Sparks without the condition API."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - ancient pyspark
+        return "v1 table" in str(exc)
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+    if cond is not None:
+        return cond == "_LEGACY_ERROR_TEMP_1012"
+    return "v1 table" in str(exc)
+
+
 def append_table(df: DataFrame, ref: str, fmt: str = "parquet",
                  partition_by: list[str] | None = None) -> None:
     """Append ``df`` to the referenced dataset, creating it if absent.
@@ -100,7 +127,7 @@ def append_table(df: DataFrame, ref: str, fmt: str = "parquet",
             except Exception as exc:  # v1 session-catalog tables (local
                 # fallback only) reject the V2 append; Iceberg/Delta
                 # catalogs — the deployment target — take the branch above.
-                if "v1 table" not in str(exc):
+                if not _is_v1_write_rejection(exc):
                     raise
                 df.write.format(fmt).mode("append").saveAsTable(name)
             return

@@ -282,6 +282,7 @@ def connected_components(
     max_iter: int = 25,
     strict: bool = True,
     driver_max_edges: int = 2_000_000,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list:
     ``(id, component)`` with component = MIN node id in the component.
@@ -315,18 +316,29 @@ def connected_components(
     extra edges so labels hop along label chains (label(label(u))
     reachable in one round).  Rounds are O(log d) in practice for dedup
     graphs (near-clique components); each round is one shuffled
-    groupBy-min + join, AQE-safe.  ``localCheckpoint`` truncates lineage
-    every round — without it the iterative plan grows exponentially and
-    Catalyst analysis time dominates.  Convergence is detected with the
-    same single action that materializes the round (sum of labels is
-    strictly decreasing until fixpoint).
+    groupBy-min + join, AQE-safe.  Convergence is detected with one
+    small aggregate over the just-materialized round.
 
-    Storage hygiene at 10^12-row scale: the symmetric edge list is
-    persisted once (otherwise every round recomputes the entire upstream
-    candidate-pair pipeline — LSH shingle/band included) and released on
-    exit, and each round's checkpoint blocks are dropped as soon as the
-    next round materializes, so executor storage holds at most two
-    label snapshots + the edges regardless of round count.
+    Round materialization (public API only, no ``_jsc`` bookkeeping):
+    each round's label table is WRITTEN to parquet and read back — this
+    truncates the logical lineage (without truncation the self-joining
+    plan grows exponentially and Catalyst analysis dominates) and,
+    unlike ``localCheckpoint``, is fault-tolerant: on a 1000-executor
+    cluster losing one executor mid-round does not kill the whole loop.
+    Rounds alternate between TWO fixed directories, so round ``r``'s
+    ``mode("overwrite")`` write reclaims round ``r-2``'s files through
+    Spark's own committer — a hard 2-snapshot storage ceiling on any
+    filesystem, with no private persistent-RDD bridge.  The returned
+    frame is a single ``localCheckpoint`` of the final round (caller-
+    owned, like any cached result), letting the work dirs be removed.
+
+    ``work_dir`` must be cluster-visible shared storage on multi-node
+    deployments (e.g. an object-store scratch prefix); it defaults to
+    the context's checkpoint dir when one is set, else a driver-local
+    temp dir (correct for ``local[*]``).  The symmetric edge list is
+    persisted once (otherwise every round recomputes the entire
+    upstream candidate-pair pipeline — LSH shingle/band included) and
+    released on exit.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -342,30 +354,31 @@ def connected_components(
                 [(r["a"], r["b"]) for r in probe], id_type, spark)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
-    def _persistent_ids():
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
+    import shutil
+    import tempfile
+    import uuid
 
-    def _release(ids):
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in ids:
-            jrdd = jmap.get(rid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+    own_base = False
+    base = work_dir
+    if base is None:
+        ckdir = spark.sparkContext.getCheckpointDir()
+        if ckdir:
+            base = f"{ckdir.rstrip('/')}/ssg_cc_{uuid.uuid4().hex[:12]}"
+        else:
+            base = tempfile.mkdtemp(prefix="ssg_cc_")
+            own_base = True
 
-    # Materialize the edge cache first (the one pass that pays the full
-    # upstream pipeline) so the id-diff below sees only checkpoint RDDs.
-    sym.count()
-    before = _persistent_ids()
-    labels = (
+    def _materialize(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{base}/labels_{rnd % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    labels = _materialize(
         sym.select(F.col("a").alias("id")).distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    prev_ck_ids = _persistent_ids() - before
+        .select("id", F.col("id").alias("label")), 0)
     changed = None  # None = fixpoint never confirmed (e.g. max_iter=0)
     try:
-        for _ in range(max_iter):
+        for rnd in range(1, max_iter + 1):
             links = labels.where(F.col("id") != F.col("label"))
             hop = links.select(F.col("id").alias("a"), F.col("label").alias("b"))
             all_edges = sym.union(hop).union(
@@ -376,31 +389,30 @@ def connected_components(
                     "b")
                 .groupBy("a").agg(F.min("nl").alias("nl"))
             )
-            before = _persistent_ids()
-            new_labels = (
+            new_labels = _materialize(
                 labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
                 .select(labels["id"],
                         F.least(labels["label"], F.col("nl")).alias("label"),
-                        labels["label"].alias("_old"))
-                .localCheckpoint(eager=True)
-            )
-            new_ck_ids = _persistent_ids() - before
+                        labels["label"].alias("_old")), rnd)
             changed = new_labels.agg(
                 F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
             ).collect()[0]["n"] or 0  # sum over an empty graph is NULL = 0 changes
-            _release(prev_ck_ids)
-            prev_ck_ids = new_ck_ids
             labels = new_labels.drop("_old")
             if not changed:
                 break
+        # one caller-owned snapshot so the round dirs can be reclaimed
+        out = labels.select("id", F.col("label").alias("component")) \
+                    .localCheckpoint(eager=True)
     finally:
         sym.unpersist()
+        if own_base:
+            shutil.rmtree(base, ignore_errors=True)
     if strict and changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed or 'unknown'} labels still changing); raise max_iter "
             "or pass strict=False to accept the partial refinement")
-    return labels.select("id", F.col("label").alias("component"))
+    return out
 
 
 def duplicate_clusters(

@@ -132,6 +132,10 @@ def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
     max_n = max(ns)
     toks = _tokens(F.lower(F.col(text_col)))
     st = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    # blank/whitespace-only text splits to [''] — drop that phantom token
+    # so n=1 honors the "docs shorter than n tokens yield no grams"
+    # contract (a blank doc must not produce gram '')
+    st = st.where(F.col("tok") != "")
     w = Window.partitionBy(id_col).orderBy("pos")
     lead_cols = [F.lead("tok", j).over(w).alias(f"_l{j}")
                  for j in range(1, max_n)]

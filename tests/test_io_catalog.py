@@ -25,16 +25,22 @@ def test_ref_classification(tmp_path):
     assert not is_catalog_ref("./audit")
     assert not is_catalog_ref("s3://bucket/audit")
     assert not is_catalog_ref("a.b.c.d")  # too many parts for cat.db.table
-    # a bare name that exists on disk is a path, not a table
+    # ADVICE-r02: classification is a pure function of the string —
+    # a bare identifier is a catalog table REGARDLESS of cwd contents
     existing = tmp_path / "localfile"
     existing.write_text("x")
     import os
     cwd = os.getcwd()
     os.chdir(tmp_path)
     try:
-        assert not is_catalog_ref("localfile")
+        assert is_catalog_ref("localfile")  # never flips with the cwd
+        assert not is_catalog_ref("path:localfile")  # explicit opt-out
     finally:
         os.chdir(cwd)
+    # data-file extensions read as paths without needing a prefix
+    assert not is_catalog_ref("data.parquet")
+    assert not is_catalog_ref("events.JSON")
+    assert is_catalog_ref("db.audit")  # .audit is not a data extension
 
 
 def _unique_table():
