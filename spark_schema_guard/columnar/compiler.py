@@ -105,10 +105,12 @@ class _Site:
         return self.expr.isNotNull()
 
     def object_variant_map(self) -> Column:
-        """map<string,variant> view of this JSON object's entries."""
+        """map<string,variant> view of this JSON object's entries
+        (try_parse_json + "$" cast — the native variant parser measures
+        ~16x cheaper than from_json(map<string,variant>))."""
         if self.variant_expr is None:
-            vm = F.from_json(self.json_expr,
-                             T.MapType(T.StringType(), T.VariantType()))
+            vm = F.try_variant_get(F.try_parse_json(self.json_expr),
+                                   "$", "map<string,variant>")
             if self.compiler is not None:
                 vm = self.compiler._materialize("vmap", vm)
             self.variant_expr = vm
@@ -188,10 +190,19 @@ class _PlanCompiler:
         # instead of once per consulting rule (from_json/get_json_object
         # are CodegenFallback: every inline copy re-parses the text)
         self.aux_cols: list[tuple[str, Column]] = []
+        self._aux_memo: dict = {}
 
     def _materialize(self, hint: str, col: Column) -> Column:
+        # memoized on the expression fingerprint: combinator branches
+        # re-request the same typed projection of the same variant —
+        # they must share one helper column, not stack duplicates
+        key = (hint, str(col))
+        cached = self._aux_memo.get(key)
+        if cached is not None:
+            return F.col(cached)
         name = f"__aux{len(self.aux_cols)}_{hint}__"
         self.aux_cols.append((name, col))
+        self._aux_memo[key] = name
         return F.col(name)
 
     # ------------------------------------------------------------------
@@ -917,9 +928,19 @@ class _PlanCompiler:
                         if not self.exact_json_types:
                             raise PlanUnsupported("coerce mode")
                         aux = site.object_variant_map()
+                        # materialize the per-key variant AND its type tag
+                        # once per row: variant_get/schema_of_variant are
+                        # CodegenFallback, and every keyword rule of this
+                        # property would otherwise re-run the map lookup +
+                        # type recovery (A/B: ~25% off the events_json
+                        # exact-mode bench query)
+                        vcol = self._materialize(
+                            "vkey", F.try_element_at(aux, F.lit(key)))
+                        sovcol = self._materialize(
+                            "sov", F.schema_of_variant(vcol))
                         triples = self._variant_entry_rules(
-                            prop_definition, base.name_col,
-                            F.try_element_at(aux, F.lit(key)))
+                            prop_definition, base.name_col, vcol,
+                            sov_col=sovcol)
                         for rule_id, message, fail in triples:
                             if isinstance(rule_id, _NestedViolation):
                                 rules.append(Rule(
@@ -1102,10 +1123,13 @@ class _PlanCompiler:
         raise SchemaDefinitionError(
             f"enum/const member of unsupported type: {type(m).__name__}")
 
-    def _variant_entry_rules(self, definition, name_col, v):
+    def _variant_entry_rules(self, definition, name_col, v, *, sov_col=None):
         """(rule_id, message Column, fail Column) triples validating one
         VARIANT value against a scalar-subset schema, in dialect keyword
-        order with reference-parity messages."""
+        order with reference-parity messages.  ``sov_col`` lets callers
+        with a materialized ``schema_of_variant(v)`` helper column share
+        it across all of this value's rules (only valid when ``v`` is a
+        plain column, never a HOF lambda variable)."""
         if definition is True or definition == {}:
             return []
         if definition is False:
@@ -1121,13 +1145,17 @@ class _PlanCompiler:
                 "keywords are expressible over dynamically-typed undeclared "
                 "keys; use engine='python'")
 
-        sov = F.schema_of_variant(v)
+        sov = sov_col if sov_col is not None else F.schema_of_variant(v)
         is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
                   | sov.startswith("DECIMAL"))
         # the reference inherits Python's bool-is-int for the NUMERIC
         # keywords (True counts as 1 for minimum/maximum/multipleOf)
         # while `type` and `enum` stay bool-strict — mirror exactly
         is_numlike = is_num | (sov == F.lit("BOOLEAN"))
+        # (A/B note: materializing these typed projections as helper
+        # columns measured SLOWER than inline copies — the extra
+        # projection evaluates for every row while inline copies sit
+        # behind their type guards; only vkey + sov pay off.)
         num = F.try_variant_get(v, "$", "double")
         # BIGINT-typed values also project exactly as longs: the double
         # view rounds magnitudes past 2^53, silently moving them across
@@ -1383,7 +1411,8 @@ class _PlanCompiler:
                 if not isinstance(subs, (list, tuple)):
                     raise SchemaDefinitionError("allOf must be an array")
                 for sub in subs:
-                    out.extend(self._variant_entry_rules(sub, name_col, v))
+                    out.extend(self._variant_entry_rules(sub, name_col, v,
+                                                         sov_col=sov))
             elif keyword == "anyOf":
                 subs = definition["anyOf"]
                 if not isinstance(subs, (list, tuple)):
@@ -1391,7 +1420,7 @@ class _PlanCompiler:
                 any_pass = F.lit(False)
                 for sub in subs:
                     any_pass = any_pass | self._variant_branch_pass(
-                        sub, name_col, v)
+                        sub, name_col, v, sov_col=sov)
                 out.append(("anyOf",
                             msg("cannot be validated by any definition"),
                             ~any_pass))
@@ -1402,7 +1431,7 @@ class _PlanCompiler:
                 count = F.lit(0)
                 for sub in subs:
                     count = count + self._variant_branch_pass(
-                        sub, name_col, v).cast("int")
+                        sub, name_col, v, sov_col=sov).cast("int")
                 out.append(("oneOf", F.concat(
                     name_col,
                     F.lit(" must be valid exactly by one definition ("),
@@ -1421,16 +1450,19 @@ class _PlanCompiler:
                 else:
                     out.append(("not",
                                 msg("must NOT match a disallowed definition"),
-                                self._variant_branch_pass(sub, name_col, v)))
+                                self._variant_branch_pass(sub, name_col, v,
+                                                          sov_col=sov)))
             elif keyword == "if":
                 if_pass = self._variant_branch_pass(
-                    definition["if"], name_col, v)
+                    definition["if"], name_col, v, sov_col=sov)
                 for rule_id, message, fail in self._variant_entry_rules(
-                        definition.get("then", True), name_col, v):
+                        definition.get("then", True), name_col, v,
+                        sov_col=sov):
                     out.append((rule_id, message,
                                 _null_false(if_pass) & fail))
                 for rule_id, message, fail in self._variant_entry_rules(
-                        definition.get("else", True), name_col, v):
+                        definition.get("else", True), name_col, v,
+                        sov_col=sov):
                     out.append((rule_id, message,
                                 ~_null_false(if_pass) & fail))
             elif keyword == "minItems":
@@ -1671,11 +1703,12 @@ class _PlanCompiler:
                                     F.forall(okeys, name_pass))))
         return out
 
-    def _variant_branch_pass(self, sub, name_col, v):
+    def _variant_branch_pass(self, sub, name_col, v, *, sov_col=None):
         """True where a (scalar-subset) subschema accepts the VARIANT
         value — no triple of the branch fails."""
         ok = F.lit(True)
-        for _, _, fail in self._variant_entry_rules(sub, name_col, v):
+        for _, _, fail in self._variant_entry_rules(sub, name_col, v,
+                                                    sov_col=sov_col):
             ok = ok & ~_null_false(fail)
         return ok
 

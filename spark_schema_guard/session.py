@@ -37,6 +37,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the JSON-column exact path parses via the native variant
+        # parser; json.loads (the reference) is last-key-wins on
+        # duplicate keys, so the variant builder must be too
+        .config("spark.sql.variant.allowDuplicateKeys", "true")
         # session-catalog warehouse for catalog-table refs (io.py); on a
         # real deployment the Iceberg catalog conf replaces this, e.g.
         #   spark.sql.catalog.iceberg=org.apache.iceberg.spark.SparkCatalog

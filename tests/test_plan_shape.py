@@ -101,10 +101,10 @@ def test_validation_plan_has_no_shuffle(spark, sf_dir):
 
 
 def test_jsoncol_parses_json_once(spark, sf_dir):
-    # every rule reads the same MATERIALIZED parses: at most two
-    # from_json per plan (the schema-typed struct + the variant-map
-    # helper column), never one per rule — from_json is CodegenFallback,
-    # inline copies would re-parse the text per rule
+    # every rule reads the same MATERIALIZED parse: exactly ONE
+    # parseJson (the native variant parser, codegen-able via
+    # static_invoke) per plan, ZERO from_json (CodegenFallback) — never
+    # one parse per rule
     from spark_schema_guard.jsoncol import validate_json_column
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -116,8 +116,10 @@ def test_jsoncol_parses_json_once(spark, sf_dir):
     text = _physical(out)
     # scalar-only schema: every rule compiles against the variant view
     # and presence reads its key array, so Catalyst prunes the typed
-    # struct parse — exactly ONE parse per row
-    assert text.count("from_json") == 1
+    # struct parse — exactly ONE parse per row, and it is the native
+    # variant parser, which stays inside whole-stage codegen
+    assert text.count("parseJson") == 1
+    assert text.count("from_json") == 0
     assert "Exchange" not in text
 
 
@@ -136,10 +138,12 @@ def test_nested_jsoncol_materializes_parses(spark):
     out = validate_json_column(df, "props", schema, engine="columnar")
     text = _physical(out)
     assert "BatchEvalPython" not in text and "Exchange" not in text
-    # root struct + root variant map + nested-site variant map
-    assert text.count("from_json") <= 3
-    # the nested text slice is materialized once, referenced thereafter
-    assert text.count("get_json_object") <= 2
+    # nested object value schemas recurse through the SAME variant
+    # parse (array<variant>/map<string,variant> casts) — one parseJson
+    # per row, no struct re-parse, no text slicing
+    assert text.count("parseJson") == 1
+    assert text.count("from_json") == 0
+    assert text.count("get_json_object") == 0
 
 
 def test_open_key_json_plan_stays_jvm(spark):
@@ -158,8 +162,9 @@ def test_open_key_json_plan_stays_jvm(spark):
     assert "BatchEvalPython" not in text
     assert "ArrowEvalPython" not in text
     assert "Exchange" not in text
-    # one struct parse + one shared variant-map helper column
-    assert text.count("from_json") <= 2
+    # one shared native variant parse, struct parse pruned
+    assert text.count("parseJson") == 1
+    assert text.count("from_json") == 0
 
 
 def test_per_unit_drift_windows_are_partitioned(spark, sf_dir):

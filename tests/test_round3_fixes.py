@@ -162,6 +162,37 @@ def test_audit_unit_prefers_metadata_and_rejects_empty(spark, tmp_path):
     spark.catalog.dropTempView("ssg_r3_no_files")
 
 
+# --- VERDICT #5: one native variant parse; duplicate-key parity --------------
+
+
+def test_jsoncol_duplicate_keys_last_wins(spark, reference):
+    """The exact path's variant parse must treat duplicate JSON keys as
+    last-key-wins, exactly like the reference's json.loads — the native
+    variant builder rejects them unless allowDuplicateKeys is set."""
+    import json
+
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer",
+                                   "minimum": 0, "maximum": 80}}}
+    rows = ['{"k": 99, "k": 2}', '{"k": 2, "k": 99}', '{"k": 99}']
+    ref = reference.compile(schema)
+
+    def ref_ok(txt):
+        try:
+            ref(json.loads(txt))
+            return True
+        except Exception:
+            return False
+
+    df = spark.createDataFrame([(r,) for r in rows], "props string")
+    out = validate_json_column(df, "props", schema, engine="columnar")
+    got = {r["props"]: r["verdict"] for r in out.collect()}
+    assert got == {r: ref_ok(r) for r in rows}
+    assert got['{"k": 99, "k": 2}'] is True  # last key wins, 2 <= 80
+
+
 # --- VERDICT #8: public-API round materialization in CC ----------------------
 
 
