@@ -52,6 +52,8 @@ from ..rowcheck.compiler import (
 )
 from . import typemap
 from .plan import Rule, ValidationPlan
+from .varsql import _NestedSQL, _VariantSQLMixin, _Views
+from .varsql import sqlstr as _sqlstr
 
 _ISO_TS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 _ISO_DATE = "yyyy-MM-dd"
@@ -79,6 +81,9 @@ class _Site:
     # column, so the parse happens once per row — from_json is
     # CodegenFallback and would re-evaluate per inline copy).
     variant_expr: Column | None = None
+    # COLUMN NAME of variant_expr when it is a named (helper) column —
+    # the anchor the SQL-text rule world (varsql) hangs off.
+    variant_name: str | None = None
     # Pre-materialized json_object_keys(json_expr) (same reasoning: the
     # JSON expressions re-parse per inline occurrence, and several object
     # keywords consult the key set).
@@ -112,9 +117,20 @@ class _Site:
             vm = F.try_variant_get(F.try_parse_json(self.json_expr),
                                    "$", "map<string,variant>")
             if self.compiler is not None:
-                vm = self.compiler._materialize("vmap", vm)
+                vm, self.variant_name = self.compiler._materialize2(
+                    "vmap", vm)
             self.variant_expr = vm
         return self.variant_expr
+
+    def object_variant_map_sql(self) -> str:
+        """The variant-map view as SQL text (a quoted helper-column
+        name) — the anchor for the text-mode rule compiler."""
+        self.object_variant_map()
+        if self.variant_name is None:
+            # variant view exists but is unnamed: pin it to a helper
+            self.variant_expr, self.variant_name = \
+                self.compiler._materialize2("vmap", self.variant_expr)
+        return f"`{self.variant_name}`"
 
     def child(self, expr, dtype, suffix_static, name_col=None,
               json_expr=None) -> "_Site":
@@ -151,23 +167,22 @@ def _json_path(key: str) -> str:
     return "$['" + key.replace("'", "\\'") + "']"
 
 
-class _NestedViolation:
-    """Marker in the rule-id slot of a variant-rule triple: the violation
-    struct (name/rule/message) comes pre-built from a nested value's own
-    first-failing rule instead of the enclosing entry's name/message."""
-
-    __slots__ = ("struct",)
-
-    def __init__(self, struct: Column):
-        self.struct = struct
-
-
 class PlanUnsupported(SchemaDefinitionError):
     """A keyword/type combination the columnar compiler cannot express;
     callers may fall back to the row-validator pandas-UDF path."""
 
 
-class _PlanCompiler:
+class PlanTooLarge(PlanUnsupported):
+    """The compiled plan would exceed the expression-size budget —
+    recursion-unrolled combinator-heavy schemas (e.g. the draft
+    metaschemas, ~10 self-refs per level) produce multi-MB expression
+    trees that Catalyst analyzes in minutes.  The python engine's
+    compiled-closure validator is the right tool there; raise
+    ``plan_text_budget`` / ``ref_unroll_budget`` to force the columnar
+    attempt anyway."""
+
+
+class _PlanCompiler(_VariantSQLMixin):
     def __init__(self, store: SchemaStore, dialect: str, options: dict):
         self.store = store
         self.dialect = dialect
@@ -183,6 +198,45 @@ class _PlanCompiler:
         # schemas via VariantType; False = legacy coercing struct parse
         # (faster, documented string-coercion caveat)
         self.exact_json_types = options.get("exact_json_types", True)
+        # recursive $ref over JSON/variant values: per-path unroll depth
+        # (each canonical ref may repeat this many times along one
+        # compile path — the reference compiles recursion to recursive
+        # FUNCTIONS, generator.py:192-217; expressions must unroll).
+        # Data nested deeper than the bound is handled per
+        # on_depth_exceeded: "error" raises at evaluation time (never a
+        # silently wrong verdict), "violation" emits a distinguishable
+        # violation row (documented divergence, mirrors the python
+        # engine's RecursionError sentinel).
+        self.ref_unroll_depth = int(options.get("ref_unroll_depth", 3))
+        self.on_depth_exceeded = options.get("on_depth_exceeded", "error")
+        if self.on_depth_exceeded not in ("error", "violation"):
+            raise SchemaDefinitionError(
+                f"on_depth_exceeded must be 'error' or 'violation', got "
+                f"{self.on_depth_exceeded!r}")
+        # uniqueItems freeze canonicalization recursion bound (containers
+        # nested deeper raise at evaluation time).  The canon tree has a
+        # 2-way branch per level (array + object), so cost is ~2^depth
+        # PER uniqueItems site (~60KB of SQL text at depth 5, built once
+        # as a memoized template) — 5 covers the reference's own deepest
+        # uniqueItems suite cases with headroom; raise per-call for
+        # deeper-container corpora.
+        self.canon_depth = int(options.get("canon_depth", 5))
+        # runaway guards for recursive-$ref unrolling: expansion count
+        # and generated-SQL size; exceeding either raises PlanUnsupported
+        # AT COMPILE TIME (engine="auto" falls back to the python engine)
+        # instead of stalling the driver on an intractable plan
+        # defaults calibrated on measured spends: FHIR-like recursive
+        # schemas cost 0.03-1.1M chars at depths 3-5 (compile in ms, run
+        # JVM-only); the draft-04 metaschema costs 3.9M at depth 1 and
+        # ~2 min of Catalyst analysis — the python engine is the right
+        # tool there, so the default budget draws the line between them
+        self._vref_budget = int(options.get("ref_unroll_budget", 4000))
+        self._vsql_char_budget = int(
+            options.get("plan_text_budget", 2_000_000))
+        self._vsql_chars = 0
+        self._vsql_n = 0
+        self._vref_stack: list[str] = []
+        self._v_base_uri: str | None = None
         self.defaults: list[tuple[str, object]] = []  # top-level column defaults
         self._ref_stack: list[tuple[str, str]] = []
         # helper columns (name, expr) the plan must project before rule
@@ -193,17 +247,22 @@ class _PlanCompiler:
         self._aux_memo: dict = {}
 
     def _materialize(self, hint: str, col: Column) -> Column:
+        return self._materialize2(hint, col)[0]
+
+    def _materialize2(self, hint: str, col: Column) -> tuple[Column, str]:
         # memoized on the expression fingerprint: combinator branches
         # re-request the same typed projection of the same variant —
-        # they must share one helper column, not stack duplicates
+        # they must share one helper column, not stack duplicates.
+        # Returns (column, name): the NAME anchors the SQL-text rule
+        # world (varsql) to the materialized helper.
         key = (hint, str(col))
         cached = self._aux_memo.get(key)
         if cached is not None:
-            return F.col(cached)
+            return F.col(cached), cached
         name = f"__aux{len(self.aux_cols)}_{hint}__"
         self.aux_cols.append((name, col))
         self._aux_memo[key] = name
-        return F.col(name)
+        return F.col(name), name
 
     # ------------------------------------------------------------------
     def compile_root(self, definition, df_schema: T.StructType) -> list[Rule]:
@@ -243,6 +302,7 @@ class _PlanCompiler:
                                  null_is_value=site.null_is_value,
                                  json_expr=site.json_expr,
                                  variant_expr=site.variant_expr,
+                                 variant_name=site.variant_name,
                                  keys_expr=site.keys_expr,
                                  compiler=site.compiler)
                 return self.compile_value(target, sub_site)
@@ -632,6 +692,16 @@ class _PlanCompiler:
     def _kw_unique_items(self, definition, site):
         if not definition["uniqueItems"] or not self._array_guard(site):
             return []
+        if isinstance(site.dtype, T.ArrayType) \
+                and isinstance(site.dtype.elementType, T.VariantType):
+            # variant-typed arrays: the reference's freeze canon
+            # (cross-type 1 == 1.0, bool -> "True"/"False" collision,
+            # draft04.py:412-421) via canonical strings
+            canons = F.transform(
+                site.expr, lambda x: self._variant_canon(x, self.canon_depth))
+            return [self._rule(
+                site, "uniqueItems", "must contain unique items",
+                F.size(F.array_distinct(canons)) < F.size(site.expr))]
         # Typed arrays are homogeneous, so the reference's freeze
         # canonicalization (bool→str etc., draft04.py:412-419) is a no-op
         # and array_distinct is exact.
@@ -927,33 +997,56 @@ class _PlanCompiler:
                     try:
                         if not self.exact_json_types:
                             raise PlanUnsupported("coerce mode")
-                        aux = site.object_variant_map()
+                        aux_sql = site.object_variant_map_sql()
                         # materialize the per-key variant AND its type tag
                         # once per row: variant_get/schema_of_variant are
                         # CodegenFallback, and every keyword rule of this
                         # property would otherwise re-run the map lookup +
                         # type recovery (A/B: ~25% off the events_json
                         # exact-mode bench query)
-                        vcol = self._materialize(
-                            "vkey", F.try_element_at(aux, F.lit(key)))
-                        sovcol = self._materialize(
+                        vcol, vname = self._materialize2(
+                            "vkey", F.expr(
+                                f"try_element_at({aux_sql}, "
+                                f"{_sqlstr(key)})"))
+                        _, sovname = self._materialize2(
                             "sov", F.schema_of_variant(vcol))
-                        triples = self._variant_entry_rules(
-                            prop_definition, base.name_col, vcol,
-                            sov_col=sovcol)
+                        # rule bodies compile as SQL TEXT (varsql): one
+                        # py4j round-trip per finished rule instead of
+                        # one per expression node — the difference
+                        # between 270s and <5s on recursion-unrolled
+                        # schemas like the draft metaschemas
+                        views = _Views(f"`{vname}`",
+                                       sov_sql=f"`{sovname}`")
+                        saved_base = self._v_base_uri
+                        self._v_base_uri = base.base_uri
+                        try:
+                            triples = self._entry_triples_sql(
+                                prop_definition, _sqlstr(base.sname),
+                                views)
+                        finally:
+                            self._v_base_uri = saved_base
                         for rule_id, message, fail in triples:
-                            if isinstance(rule_id, _NestedViolation):
+                            if isinstance(rule_id, _NestedSQL):
+                                struct = F.expr(rule_id.struct_sql)
                                 rules.append(Rule(
                                     None, base.sname,
-                                    rule_id.struct.getField("name"),
-                                    rule_id.struct.getField("message"),
-                                    _null_false(gate) & _null_false(fail),
-                                    dynamic=rule_id.struct))
+                                    struct.getField("name"),
+                                    struct.getField("message"),
+                                    _null_false(gate)
+                                    & _null_false(F.expr(fail)),
+                                    dynamic=struct))
                             else:
                                 rules.append(Rule(
                                     rule_id, base.sname, base.name_col,
-                                    message,
-                                    _null_false(gate) & _null_false(fail)))
+                                    F.expr(message),
+                                    _null_false(gate)
+                                    & _null_false(F.expr(fail))))
+                    except PlanTooLarge:
+                        # too-large is a final verdict for the columnar
+                        # engine (the struct fallback would re-raise a
+                        # misleading secondary error); engine="auto"
+                        # routes it to the python engine
+                        raise
                     except PlanUnsupported:
                         child = _Site(base.expr, base.dtype, base.sname,
                                       base.name_col, base.base_uri,
@@ -1031,8 +1124,9 @@ class _PlanCompiler:
     # schemas are evaluated over Spark 4 VariantType: the raw text parses
     # once as map<string,variant>, `schema_of_variant` recovers the exact
     # JSON type per value, and `try_variant_get` projects typed views.
-    # Scalar keywords only — nested object/array/combinator value schemas
-    # raise PlanUnsupported (engine="python" is the exact path there).
+    # Keywords the variant rule world (varsql text compiler) expresses;
+    # anything else raises PlanUnsupported (engine="python" is the exact
+    # path there).
 
     _VARIANT_SUPPORTED = {
         "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
@@ -1044,11 +1138,12 @@ class _PlanCompiler:
         "allOf", "anyOf", "oneOf", "not", "if",
         # nested containers: the variant casts to array<variant> /
         # map<string,variant>, element and member schemas recurse with
-        # per-element names carried via _NestedViolation structs
-        # (uniqueItems stays hard: the reference's freeze canon uses
-        # Python cross-type equality, 1 == 1.0 == True, which variant
-        # equality cannot reproduce)
-        "minItems", "maxItems", "items", "contains",
+        # per-element names carried via _NestedSQL structs; uniqueItems
+        # reproduces the reference's freeze canon (cross-type 1 == 1.0,
+        # bool -> "True"/"False" string collision) via canonical strings
+        "minItems", "maxItems", "items", "contains", "uniqueItems",
+        # recursion: depth-bounded unroll, handled before this table
+        "$ref",
         "minProperties", "maxProperties", "required", "dependencies",
         "properties", "patternProperties", "additionalProperties",
         "propertyNames",
@@ -1062,695 +1157,125 @@ class _PlanCompiler:
         "additionalItems",
     }
 
-    def _variant_member_match(self, v, m):
-        """Predicate: VARIANT value ``v`` equals the compile-time enum /
-        const member ``m`` under the reference's type-strict deep equality
-        (draft04.py:120-155 _enum_value_matches): bool is identity, numbers
-        compare across int/float but never bool, dicts need the exact key
-        set with recursively-matching values, lists need exact length with
-        element-wise matches.  The member is a literal, so the whole
-        comparison unrolls to a static Column tree — no runtime deep
-        compare needed."""
+
+
+    def _variant_canon(self, v, depth: int):
+        """Column-mode twin of varsql._variant_canon_tpl, kept ONLY for
+        uniqueItems over TYPED variant-array sites (``array<variant>``
+        columns/map values a user supplies directly): their value
+        expressions may be HOF lambda variables with pyspark-generated
+        names, which the text world cannot reference.  The JSON-column
+        path uses the text template (one expr parse instead of ~1k py4j
+        calls per use).
+
+        The reference's uniqueItems freeze canonicalization
+        (draft04.py:412-421) as a canonical STRING of a VARIANT value:
+        two values render equal iff the reference's ``fn`` makes them
+        equal set members —
+
+        * bool -> ``str(var)`` ("True"/"False"), deliberately COLLIDING
+          with the equal strings;
+        * numbers compare cross-type (1 == 1.0 == 1.00): integral values
+          render their exact integer digits (long for |v| < 2^63,
+          decimal(38,0) beyond, double repr past 1e38 where every JSON
+          number is a double anyway), non-integral ones their double
+          repr;
+        * strings are length-prefixed (collision-proof against the
+          container separators);
+        * dict -> frozenset ⇒ sorted key=canon entries; list -> tuple ⇒
+          ordered element canons.
+
+        Containers nested past ``depth`` raise at evaluation time
+        (loud, never a silently wrong verdict)."""
         sov = F.schema_of_variant(v)
-        if m is None:
-            return F.is_variant_null(v)
-        if isinstance(m, bool):
-            return ((sov == F.lit("BOOLEAN"))
-                    & (F.try_variant_get(v, "$", "boolean") == F.lit(m)))
-        if isinstance(m, (int, float)):
-            is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
-                      | sov.startswith("DECIMAL"))
-            is_bigint = sov == F.lit("BIGINT")
-            num = F.try_variant_get(v, "$", "double")
-            if (isinstance(m, int) or float(m).is_integer()) \
-                    and -2 ** 63 <= int(m) <= 2 ** 63 - 1:
-                # integral member: Python compares exactly, so the double
-                # view must not decide — BIGINT values match as longs;
-                # DOUBLE values match iff integral, inside long range
-                # (the cast would clamp, not null, on overflow) and
-                # exactly equal after the cast
-                mi = int(m)
-                lng = F.try_variant_get(v, "$", "long")
-                dbl = (is_num & ~is_bigint
-                       & ((num % F.lit(1.0)) == F.lit(0.0))
-                       & (num >= F.lit(float(-2 ** 63)))
-                       & (num < F.lit(float(2 ** 63)))
-                       & (num.cast("long") == F.lit(mi)))
-                return (is_bigint & (lng == F.lit(mi))) | dbl
-            # non-integral member: an integral-valued double (incl. the
-            # rounded view of any BIGINT) can never equal it
-            return is_num & (num == F.lit(float(m)))
-        if isinstance(m, str):
-            return ((sov == F.lit("STRING"))
-                    & (F.try_variant_get(v, "$", "string") == F.lit(m)))
-        if isinstance(m, dict):
-            is_obj = sov.startswith("OBJECT")
-            obj = F.try_variant_get(v, "$", "map<string,variant>")
-            ok = is_obj & (F.size(obj) == F.lit(len(m)))
-            for k, item in m.items():
-                ok = ok & F.map_contains_key(obj, F.lit(k)) \
-                    & self._variant_member_match(
-                        F.try_element_at(obj, F.lit(k)), item)
-            return ok
-        if isinstance(m, (list, tuple)):
-            is_arr = sov.startswith("ARRAY")
-            arr = F.try_variant_get(v, "$", "array<variant>")
-            ok = is_arr & (F.size(arr) == F.lit(len(m)))
-            for i, item in enumerate(m):
-                ok = ok & self._variant_member_match(
-                    F.try_element_at(arr, F.lit(i + 1)), item)
-            return ok
-        raise SchemaDefinitionError(
-            f"enum/const member of unsupported type: {type(m).__name__}")
-
-    def _variant_entry_rules(self, definition, name_col, v, *, sov_col=None):
-        """(rule_id, message Column, fail Column) triples validating one
-        VARIANT value against a scalar-subset schema, in dialect keyword
-        order with reference-parity messages.  ``sov_col`` lets callers
-        with a materialized ``schema_of_variant(v)`` helper column share
-        it across all of this value's rules (only valid when ``v`` is a
-        plain column, never a HOF lambda variable)."""
-        if definition is True or definition == {}:
-            return []
-        if definition is False:
-            return [(None, F.concat(name_col, F.lit(" must not be there")),
-                     F.lit(True))]
-        if not isinstance(definition, dict):
-            raise SchemaDefinitionError("definition must be an object")
-        hard = [k for k in definition if k not in self._VARIANT_SUPPORTED
-                and k not in self._VARIANT_ANNOTATIONS]
-        if hard:
-            raise PlanUnsupported(
-                f"open-key value schema uses {sorted(hard)} — only scalar "
-                "keywords are expressible over dynamically-typed undeclared "
-                "keys; use engine='python'")
-
-        sov = sov_col if sov_col is not None else F.schema_of_variant(v)
         is_num = ((sov == F.lit("BIGINT")) | (sov == F.lit("DOUBLE"))
                   | sov.startswith("DECIMAL"))
-        # the reference inherits Python's bool-is-int for the NUMERIC
-        # keywords (True counts as 1 for minimum/maximum/multipleOf)
-        # while `type` and `enum` stay bool-strict — mirror exactly
-        is_numlike = is_num | (sov == F.lit("BOOLEAN"))
-        # (A/B note: materializing these typed projections as helper
-        # columns measured SLOWER than inline copies — the extra
-        # projection evaluates for every row while inline copies sit
-        # behind their type guards; only vkey + sov pay off.)
         num = F.try_variant_get(v, "$", "double")
-        # BIGINT-typed values also project exactly as longs: the double
-        # view rounds magnitudes past 2^53, silently moving them across
-        # bounds / onto enum members (the reference compares Python ints
-        # exactly) — numeric keywords branch on the variant type
-        is_bigint = sov == F.lit("BIGINT")
         lng = F.try_variant_get(v, "$", "long")
-        is_str = sov == F.lit("STRING")
         s = F.try_variant_get(v, "$", "string")
-        # nested containers: NULL when the value is not an array/object
-        is_arr = sov.startswith("ARRAY")
+        b = F.try_variant_get(v, "$", "boolean")
+        inf = float("inf")
+        integral = (~F.isnan(num) & (F.abs(num) != F.lit(inf))
+                    & ((num % F.lit(1.0)) == F.lit(0.0)))
+        exact_digits = F.coalesce(
+            F.when(sov == F.lit("BIGINT"), lng.cast("string")),
+            F.when(F.abs(num) < F.lit(float(2 ** 63)),
+                   num.cast("long").cast("string")),
+            num.try_cast(T.DecimalType(38, 0)).cast("string"),
+            num.cast("string"))
+        num_canon = F.concat(
+            F.lit("n:"),
+            F.when(_null_false(integral), exact_digits)
+            .otherwise(num.cast("string")))
+        str_canon = F.concat(F.lit("s:"), F.length(s).cast("string"),
+                             F.lit(":"), s)
+        bool_canon = F.when(b, F.lit("s:4:True")).otherwise(F.lit("s:5:False"))
+        canon = (
+            F.when(F.is_variant_null(v), F.lit("z"))
+            .when(sov == F.lit("BOOLEAN"), bool_canon)
+            .when(sov == F.lit("STRING"), str_canon)
+            .when(is_num, num_canon))
+        if depth <= 0:
+            deep = F.raise_error(F.lit(
+                "uniqueItems value nests deeper than the canonicalization "
+                f"bound ({self.canon_depth}); raise canon_depth or use "
+                "engine='python'"))
+            return canon.otherwise(deep.cast("string"))
         arr = F.try_variant_get(v, "$", "array<variant>")
-        is_obj = sov.startswith("OBJECT")
+        arr_canon = F.concat(
+            F.lit("a:["),
+            F.concat_ws("\x1f", F.transform(
+                arr, lambda x: self._variant_canon(x, depth - 1))),
+            F.lit("]"))
         obj = F.try_variant_get(v, "$", "map<string,variant>")
-        okeys = F.map_keys(obj)
+        entries = F.transform(
+            F.map_entries(obj),
+            lambda e: F.concat(
+                F.lit("k:"), F.length(e.getField("key")).cast("string"),
+                F.lit(":"), e.getField("key"), F.lit("="),
+                self._variant_canon(e.getField("value"), depth - 1)))
+        obj_canon = F.concat(
+            F.lit("o:{"), F.concat_ws("\x1f", F.array_sort(entries)),
+            F.lit("}"))
+        return (canon
+                .when(sov.startswith("ARRAY"), arr_canon)
+                .when(sov.startswith("OBJECT"), obj_canon)
+                .otherwise(F.concat(F.lit("?"), sov)))
 
-        def nested_value(sub, child_name, child_v, gate):
-            """One triple whose violation struct is the child value's own
-            first-failing rule (name/rule/message all from the child)."""
-            triples = self._variant_entry_rules(sub, child_name, child_v)
-            if not triples:
-                return
-            struct = self._variant_violation(triples, child_name)
-            out.append((_NestedViolation(struct), F.lit(None),
-                        _null_false(gate) & struct.isNotNull()))
 
-        def first_failing_elems(sub, start):
-            """First array element from ``start`` violating the element
-            schema (name ``data...[i]``)."""
-            if not self._variant_entry_rules(sub, name_col, v):
-                return
-
-            def elem_viol(x, i):
-                idx = (i + F.lit(start)).cast("string")
-                ename = F.concat(name_col, F.lit("["), idx, F.lit("]"))
-                triples = self._variant_entry_rules(sub, ename, x)
-                return self._variant_violation(triples, ename)
-
-            tail = F.slice(arr, start + 1,
-                           F.greatest(F.size(arr) - F.lit(start), F.lit(0)))
-            failing = F.filter(F.transform(tail, elem_viol),
-                               lambda y: y.isNotNull())
-            first = F.try_element_at(failing, F.lit(1))
-            out.append((_NestedViolation(first), F.lit(None),
-                        is_arr & _null_false(F.size(failing) > F.lit(0))))
-
-        def first_failing_entry(key_filter, sub, rule_label):
-            """First (key, value) entry passing ``key_filter`` whose value
-            violates ``sub`` (name ``data...key``) — the nested analog of
-            _json_entry_rule."""
-            if not self._variant_entry_rules(sub, name_col, v):
-                return
-
-            def entry_violation(e):
-                k = e.getField("key")
-                ename = F.concat(name_col, F.lit("."), k)
-                triples = self._variant_entry_rules(sub, ename,
-                                                    e.getField("value"))
-                inner = self._variant_violation(triples, ename)
-                return F.when(key_filter(k), inner)
-
-            failing = F.filter(F.transform(F.map_entries(obj),
-                                           entry_violation),
-                               lambda y: y.isNotNull())
-            first = F.try_element_at(failing, F.lit(1))
-            out.append((_NestedViolation(first), F.lit(None),
-                        is_obj & _null_false(F.size(failing) > F.lit(0))))
-
-        def type_pass(t):
-            if t == "null":
-                return F.is_variant_null(v)
-            if t == "boolean":
-                return sov == F.lit("BOOLEAN")
-            if t == "string":
-                return is_str
-            if t == "integer":
-                if self.integral_float_is_int:
-                    # modulo, not floor(): floor(double) -> LONG overflows
-                    # past 2^63 (1e308 is integral in the reference)
-                    return is_num & ((num % F.lit(1.0)) == F.lit(0.0))
-                return (sov == F.lit("BIGINT")) | sov.rlike(r"^DECIMAL\(\d+,0\)$")
-            if t == "number":
-                return is_num
-            if t == "array":
-                return sov.startswith("ARRAY")
-            if t == "object":
-                return sov.startswith("OBJECT")
-            raise SchemaDefinitionError("Unknown type")
-
-        def member_pass(m):
-            # full type-strict deep equality, containers included — the
-            # member is a compile-time literal so the comparison unrolls
-            # statically (see _variant_member_match)
-            return self._variant_member_match(v, m)
-
-        def msg(text):
-            return F.concat(name_col, F.lit(" " + text))
-
-        _BOUND_OPS = {
-            # fail-op, integer-edge transform (for an integer value v:
-            # v < b ⟺ v < ceil(b); v ≤ b ⟺ v ≤ floor(b);
-            # v > b ⟺ v > floor(b); v ≥ b ⟺ v ≥ ceil(b))
-            "lt": (lambda c, x: c < x, math.ceil),
-            "le": (lambda c, x: c <= x, math.floor),
-            "gt": (lambda c, x: c > x, math.floor),
-            "ge": (lambda c, x: c >= x, math.ceil),
-        }
-
-        def bound(keyword, kind, template):
-            b = definition[keyword]
-            if not isinstance(b, (int, float, Decimal)):
-                raise SchemaDefinitionError(f"{keyword} must be a number")
-            op, edge = _BOUND_OPS[kind]
-            lit_b = F.lit(int(b) if isinstance(b, bool) else b)
-            dbl_fail = is_numlike & ~is_bigint & op(num, lit_b)
-            # exact long-side comparison for BIGINT values — the double
-            # view rounds 2^53+ magnitudes across the bound
-            try:
-                bi = int(edge(b))
-            except (OverflowError, ValueError):  # infinite bound
-                bi = None
-            if bi is not None and -2 ** 63 <= bi <= 2 ** 63 - 1:
-                big_fail = is_bigint & op(lng, F.lit(bi))
-            else:
-                # bound beyond long range: every long sits on one side
-                high = b > 0
-                const = high if kind in ("lt", "le") else not high
-                big_fail = is_bigint & F.lit(const)
-            return (keyword, msg(template.format(b)), dbl_fail | big_fail)
-
-        out = []
-        for keyword in self.keyword_order:
-            if keyword not in definition:
-                continue
-            if keyword == "type":
-                declared = definition["type"]
-                types = declared if isinstance(declared, list) else [declared]
-                ok = F.lit(False)
-                for t in types:
-                    ok = ok | type_pass(t)
-                out.append(("type", msg("must be " + " or ".join(types)), ~ok))
-            elif keyword == "enum":
-                enum = definition["enum"]
-                if not isinstance(enum, (list, tuple)):
-                    raise SchemaDefinitionError("enum must be an array")
-                ok = F.lit(False)
-                for m in enum:
-                    ok = ok | member_pass(m)
-                out.append(("enum",
-                            msg(f"must be one of {schema_value_repr(enum)}"),
-                            ~ok))
-            elif keyword == "const":
-                const = definition["const"]
-                out.append((
-                    "const",
-                    msg("must be same as const definition: "
-                        f"{schema_value_repr(const)}"),
-                    ~member_pass(const)))
-            elif keyword == "minimum":
-                # exclusiveMinimum as the draft-04 truthy modifier — the
-                # same consult _kw_minimum does (reference draft04.py:339,
-                # inherited by later dialects)
-                if bool(definition.get("exclusiveMinimum", False)):
-                    out.append(bound("minimum", "le",
-                                     "must be bigger than {}"))
-                else:
-                    out.append(bound("minimum", "lt",
-                                     "must be bigger than or equal to {}"))
-            elif keyword == "maximum":
-                if bool(definition.get("exclusiveMaximum", False)):
-                    out.append(bound("maximum", "ge",
-                                     "must be smaller than {}"))
-                else:
-                    out.append(bound("maximum", "gt",
-                                     "must be smaller than or equal to {}"))
-            elif keyword == "exclusiveMinimum":
-                out.append(bound("exclusiveMinimum", "le",
-                                 "must be bigger than {}"))
-            elif keyword == "exclusiveMaximum":
-                out.append(bound("exclusiveMaximum", "ge",
-                                 "must be smaller than {}"))
-            elif keyword == "multipleOf":
-                divisor = definition["multipleOf"]
-                if not isinstance(divisor, (int, float, Decimal)):
-                    raise SchemaDefinitionError("multipleOf must be a number")
-                # deliberately the DOUBLE view for every numeric variant,
-                # including BIGINT, mirroring the reference exactly:
-                # - int divisor: q = value / divisor via float TRUE
-                #   DIVISION, invalid iff q is non-integral — so any
-                #   |q| >= 2^52 is integral and VALID (draft04.py:366; a
-                #   huge odd int IS "a multiple of 2" there); exact
-                #   modulo would diverge.
-                # - float divisor: Decimal(repr(value)) path -> decimal
-                #   cast (try_cast + double-fmod fallback: magnitudes
-                #   past Decimal(38,18) would raise under ANSI).
-                if isinstance(divisor, (int, bool)) \
-                        and not isinstance(divisor, float):
-                    q = num / F.lit(float(divisor))
-                    fail = is_numlike & ((q % F.lit(1.0)) != F.lit(0.0))
-                else:
-                    dec = T.DecimalType(38, 18)
-                    fail = is_numlike & F.coalesce(
-                        (num.try_cast(dec) % F.lit(divisor).cast(dec))
-                        != F.lit(0).cast(dec),
-                        (num % F.lit(float(divisor))) != F.lit(0.0))
-                out.append(("multipleOf",
-                            msg(f"must be multiple of {divisor}"), fail))
-                out.append(("multipleOf", F.lit("inifinity reached"),
-                            is_numlike & ((num / F.lit(divisor))
-                                          == F.lit(float("inf")))))
-            elif keyword == "minLength":
-                b = definition["minLength"]
-                out.append(("minLength",
-                            msg(f"must be longer than or equal to {b} "
-                                "characters"),
-                            is_str & (F.length(s) < F.lit(b))))
-            elif keyword == "maxLength":
-                b = definition["maxLength"]
-                out.append(("maxLength",
-                            msg(f"must be shorter than or equal to {b} "
-                                "characters"),
-                            is_str & (F.length(s) > F.lit(b))))
-            elif keyword == "pattern":
-                pattern = definition["pattern"]
-                fixed = _UNESCAPED_DOLLAR.sub(r"\\Z", pattern)
-                match = self._regex_match(F.when(is_str, s), fixed,
-                                          anchored=False)
-                out.append(("pattern", msg(f"must match pattern {pattern}"),
-                            is_str & ~_null_false(match)))
-            elif keyword == "format":
-                if not self.use_formats:
-                    continue
-                fmt = definition["format"]
-                regex = None
-                if fmt in self.custom_formats and \
-                        isinstance(self.custom_formats[fmt], str):
-                    regex = self.custom_formats[fmt]
-                elif fmt in self.custom_formats:
-                    raise PlanUnsupported(
-                        f"callable custom format {fmt!r} over undeclared "
-                        "keys; use engine='python'")
-                elif fmt in self.format_table:
-                    regex = self.format_table[fmt]
-                if regex is not None:
-                    match = self._regex_match(F.when(is_str, s), regex,
-                                              anchored=True)
-                    out.append(("format", msg(f"must be {fmt}"),
-                                is_str & ~_null_false(match)))
-            elif keyword == "allOf":
-                # reference inlines allOf sub-blocks: inner keywords
-                # surface with their own rules/messages (draft04.py:173)
-                subs = definition["allOf"]
-                if not isinstance(subs, (list, tuple)):
-                    raise SchemaDefinitionError("allOf must be an array")
-                for sub in subs:
-                    out.extend(self._variant_entry_rules(sub, name_col, v,
-                                                         sov_col=sov))
-            elif keyword == "anyOf":
-                subs = definition["anyOf"]
-                if not isinstance(subs, (list, tuple)):
-                    raise SchemaDefinitionError("anyOf must be an array")
-                any_pass = F.lit(False)
-                for sub in subs:
-                    any_pass = any_pass | self._variant_branch_pass(
-                        sub, name_col, v, sov_col=sov)
-                out.append(("anyOf",
-                            msg("cannot be validated by any definition"),
-                            ~any_pass))
-            elif keyword == "oneOf":
-                subs = definition["oneOf"]
-                if not isinstance(subs, (list, tuple)):
-                    raise SchemaDefinitionError("oneOf must be an array")
-                count = F.lit(0)
-                for sub in subs:
-                    count = count + self._variant_branch_pass(
-                        sub, name_col, v, sov_col=sov).cast("int")
-                out.append(("oneOf", F.concat(
-                    name_col,
-                    F.lit(" must be valid exactly by one definition ("),
-                    count.cast("string"), F.lit(" matches found)")),
-                    count != F.lit(1)))
-            elif keyword == "not":
-                sub = definition["not"]
-                if sub is True:
-                    out.append(("not", msg("must not be there"), F.lit(True)))
-                elif sub is False:
-                    pass
-                elif isinstance(sub, dict) and not sub:
-                    out.append(("not",
-                                msg("must NOT match a disallowed definition"),
-                                F.lit(True)))
-                else:
-                    out.append(("not",
-                                msg("must NOT match a disallowed definition"),
-                                self._variant_branch_pass(sub, name_col, v,
-                                                          sov_col=sov)))
-            elif keyword == "if":
-                if_pass = self._variant_branch_pass(
-                    definition["if"], name_col, v, sov_col=sov)
-                for rule_id, message, fail in self._variant_entry_rules(
-                        definition.get("then", True), name_col, v,
-                        sov_col=sov):
-                    out.append((rule_id, message,
-                                _null_false(if_pass) & fail))
-                for rule_id, message, fail in self._variant_entry_rules(
-                        definition.get("else", True), name_col, v,
-                        sov_col=sov):
-                    out.append((rule_id, message,
-                                ~_null_false(if_pass) & fail))
-            elif keyword == "minItems":
-                b = definition["minItems"]
-                if not isinstance(b, (int, float)):
-                    raise SchemaDefinitionError("minItems must be a number")
-                out.append(("minItems",
-                            msg(f"must contain at least {b} items"),
-                            is_arr & (F.size(arr) < F.lit(b))))
-            elif keyword == "maxItems":
-                b = definition["maxItems"]
-                if not isinstance(b, (int, float)):
-                    raise SchemaDefinitionError("maxItems must be a number")
-                out.append(("maxItems",
-                            msg(f"must contain less than or equal to {b} "
-                                "items"),
-                            is_arr & (F.size(arr) > F.lit(b))))
-            elif keyword == "items":
-                items_definition = definition["items"]
-                if items_definition is False:
-                    out.append(("items", msg("must not be there"),
-                                is_arr & (F.size(arr) > F.lit(0))))
-                elif isinstance(items_definition, list):
-                    for idx, idef in enumerate(items_definition):
-                        nested_value(
-                            idef, F.concat(name_col, F.lit(f"[{idx}]")),
-                            F.try_element_at(arr, F.lit(idx + 1)),
-                            is_arr & (F.size(arr) > F.lit(idx)))
-                    n_fixed = len(items_definition)
-                    extra = definition.get("additionalItems")
-                    if extra is False:
-                        out.append(("items",
-                                    msg("must contain only specified items"),
-                                    is_arr & (F.size(arr) > F.lit(n_fixed))))
-                    elif isinstance(extra, (dict, bool)) \
-                            and extra is not True:
-                        first_failing_elems(extra, start=n_fixed)
-                elif items_definition is not True:
-                    first_failing_elems(items_definition, start=0)
-            elif keyword == "contains":
-                cd = definition["contains"]
-                if cd is False:
-                    out.append(("contains", msg("is always invalid"),
-                                is_arr))
-                elif cd is True:
-                    out.append(("contains", msg("must not be empty"),
-                                is_arr & (F.size(arr) == F.lit(0))))
-                else:
-                    def _contains_pass(sub):
-                        # NOTE: HOF lambdas must be unary — PySpark
-                        # inspects the signature, and a default arg makes
-                        # it look like the (element, index) form
-                        return lambda x: self._variant_branch_pass(
-                            sub, name_col, x)
-
-                    elem_pass = _contains_pass(cd)
-                    out.append(("contains",
-                                msg("must contain one of contains "
-                                    "definition"),
-                                is_arr & ~F.exists(arr, elem_pass)))
-            elif keyword == "minProperties":
-                b = definition["minProperties"]
-                if not isinstance(b, (int, float)):
-                    raise SchemaDefinitionError(
-                        "minProperties must be a number")
-                out.append(("minProperties",
-                            msg(f"must contain at least {b} properties"),
-                            is_obj & (F.size(okeys) < F.lit(b))))
-            elif keyword == "maxProperties":
-                b = definition["maxProperties"]
-                if not isinstance(b, (int, float)):
-                    raise SchemaDefinitionError(
-                        "maxProperties must be a number")
-                out.append(("maxProperties",
-                            msg(f"must contain less than or equal to {b} "
-                                "properties"),
-                            is_obj & (F.size(okeys) > F.lit(b))))
-            elif keyword == "required":
-                required = definition["required"]
-                if not isinstance(required, (list, tuple)):
-                    raise SchemaDefinitionError("required must be an array")
-                if len(required) != len(set(required)):
-                    raise SchemaDefinitionError(
-                        "required must contain unique elements")
-                if not definition.get("additionalProperties", True):
-                    patterns = list(definition.get("patternProperties", {}))
-                    impossible = [
-                        key for key in required
-                        if key not in definition.get("properties", {})
-                        and not any(re.search(p, key) for p in patterns)
-                    ]
-                    if impossible:
-                        raise SchemaDefinitionError(
-                            "data: items {} are required but not allowed"
-                            .format(impossible))
-                flags = [
-                    (key,
-                     ~_null_false(F.map_contains_key(obj, F.lit(key))))
-                    for key in required
-                ]
-                any_missing = F.lit(False)
-                for _, flag in flags:
-                    any_missing = any_missing | flag
-                # message lists ONLY the missing keys, sorted
-                # (draft04.py:525-528), like the typed-path rule
-                quoted = F.array_sort(F.filter(
-                    F.array(*[F.when(flag, F.lit(f"'{key}'"))
-                              for key, flag in flags]),
-                    lambda x: x.isNotNull()))
-                out.append(("required", F.concat(
-                    name_col, F.lit(" must contain ["),
-                    F.concat_ws(", ", quoted), F.lit("] properties")),
-                    is_obj & any_missing))
-            elif keyword == "properties":
-                for key, sub in definition["properties"].items():
-                    if not isinstance(sub, (dict, bool)):
-                        clean = re.sub(r"[^a-zA-Z0-9]", "", key)
-                        raise SchemaDefinitionError(
-                            "data[{}] must be object".format(clean))
-                    nested_value(
-                        sub, F.concat(name_col, F.lit("." + key)),
-                        F.try_element_at(obj, F.lit(key)),
-                        is_obj & _null_false(
-                            F.map_contains_key(obj, F.lit(key))))
-            elif keyword == "dependencies":
-                deps = definition["dependencies"]
-                if not isinstance(deps, dict):
-                    raise SchemaDefinitionError(
-                        "dependencies must be an object")
-                for key, req in deps.items():
-                    present = is_obj & _null_false(
-                        F.map_contains_key(obj, F.lit(key)))
-                    if req == [] or req is True:
-                        continue
-                    if req is False:
-                        out.append(("dependencies", F.concat(
-                            F.lit(f"{key} in "), name_col,
-                            F.lit(" must not be there")), present))
-                    elif isinstance(req, (list, tuple)):
-                        for needed in req:
-                            out.append(("dependencies", F.concat(
-                                name_col,
-                                F.lit(f" missing dependency {needed} "
-                                      f"for {key}")),
-                                present & ~_null_false(
-                                    F.map_contains_key(obj,
-                                                       F.lit(needed)))))
-                    else:
-                        for rule_id, message, fail in \
-                                self._variant_entry_rules(req, name_col, v):
-                            out.append((rule_id, message,
-                                        present & _null_false(fail)))
-            elif keyword == "additionalProperties":
-                add_def = definition["additionalProperties"]
-                if add_def is True or add_def == {}:
-                    continue
-                declared = list(definition.get("properties", {}))
-                java_patterns = [
-                    jvm_pattern(_UNESCAPED_DOLLAR.sub(r"\\Z", p))
-                    for p in definition.get("patternProperties", {})
-                ]
-
-                def _extra_filter(decl, pats):
-                    # unary closure: see the HOF-lambda signature note
-                    def is_extra(k):
-                        cond = F.lit(True)
-                        for key in decl:
-                            cond = cond & (k != F.lit(key))
-                        for j in pats:
-                            cond = cond & ~k.rlike(j)
-                        return cond
-                    return is_extra
-
-                is_extra = _extra_filter(declared, java_patterns)
-
-                if add_def is False:
-                    extras = F.filter(okeys, is_extra)
-                    shown = F.concat(
-                        F.lit("{"),
-                        F.concat_ws(", ", F.transform(
-                            F.array_sort(extras),
-                            lambda k: F.concat(F.lit("'"), k, F.lit("'")))),
-                        F.lit("}"))
-                    out.append(("additionalProperties", F.concat(
-                        name_col, F.lit(" must not contain "), shown,
-                        F.lit(" properties")),
-                        is_obj & _null_false(F.size(extras) > F.lit(0))))
-                else:
-                    first_failing_entry(is_extra, add_def,
-                                        "additionalProperties")
-            elif keyword == "patternProperties":
-                for pattern, sub in definition["patternProperties"].items():
-                    if sub is True or sub == {}:
-                        continue
-                    java = jvm_pattern(
-                        _UNESCAPED_DOLLAR.sub(r"\\Z", pattern))
-
-                    def _matcher(j):
-                        return lambda k: k.rlike(j)
-
-                    if sub is False:
-                        matching = F.filter(okeys, _matcher(java))
-                        first_k = F.try_element_at(F.array_sort(matching),
-                                                   F.lit(1))
-                        kname = F.concat(name_col, F.lit("."), first_k)
-                        out.append((_NestedViolation(F.struct(
-                            kname.alias("name"),
-                            F.lit(None).cast("string").alias("rule"),
-                            F.concat(kname, F.lit(" must not be there"))
-                            .alias("message"))),
-                            F.lit(None),
-                            is_obj & _null_false(
-                                F.size(matching) > F.lit(0))))
-                    else:
-                        first_failing_entry(_matcher(java), sub,
-                                            "patternProperties")
-            elif keyword == "propertyNames":
-                nd = definition["propertyNames"]
-                if nd is True or nd == {}:
-                    continue
-                if nd is False:
-                    out.append(("propertyNames", msg("must not be there"),
-                                is_obj & (F.size(okeys) > F.lit(0))))
-                else:
-                    def _name_checker(sub):
-                        # unary closure: see the HOF-lambda signature note
-                        def name_pass(k):
-                            site = _Site(k, T.StringType(), "<name>",
-                                         F.lit(""), self.store.root_uri())
-                            return self._pass_expr_for_expr(sub, site)
-                        return name_pass
-
-                    name_pass = _name_checker(nd)
-                    out.append(("propertyNames",
-                                msg("must be named by propertyName "
-                                    "definition"),
-                                is_obj & ~_null_false(
-                                    F.forall(okeys, name_pass))))
-        return out
-
-    def _variant_branch_pass(self, sub, name_col, v, *, sov_col=None):
-        """True where a (scalar-subset) subschema accepts the VARIANT
-        value — no triple of the branch fails."""
-        ok = F.lit(True)
-        for _, _, fail in self._variant_entry_rules(sub, name_col, v,
-                                                    sov_col=sov_col):
-            ok = ok & ~_null_false(fail)
-        return ok
-
-    def _variant_violation(self, triples, name_col):
-        """First failing triple as a violation struct (null when none)."""
-        expr = F.lit(None).cast(
-            "struct<name:string,rule:string,message:string>")
-        for rule_id, message, fail in reversed(triples):
-            if isinstance(rule_id, _NestedViolation):
-                expr = F.when(_null_false(fail),
-                              rule_id.struct).otherwise(expr)
-            else:
-                expr = F.when(_null_false(fail), F.struct(
-                    name_col.alias("name"),
-                    F.lit(rule_id).alias("rule"),
-                    message.alias("message"))).otherwise(expr)
-        return expr
-
-    def _json_entry_rule(self, site, key_filter, value_definition, rule_label):
+    def _json_entry_rule(self, site, key_filter_sql, value_definition,
+                         rule_label):
         """First violating (key, value) entry of a JSON-backed object's
-        RUNTIME entries (map<string,variant> view of the raw text)."""
+        RUNTIME entries (map<string,variant> view of the raw text).
+        ``key_filter_sql``: callable key_sql_text -> boolean SQL text.
+        Rule bodies compile as SQL text (varsql) — the site's name is
+        static for JSON-backed struct sites, so ``site.sname`` is its
+        exact runtime spelling."""
         if not self.exact_json_types:
             raise PlanUnsupported(
                 f"{rule_label} value schemas over undeclared keys need "
                 "exact JSON typing; use json_types='exact' (default) or "
                 "engine='python'")
-        aux = site.object_variant_map()
-
-        def entry_violation(e):
-            k = e.getField("key")
-            name_col = F.concat(site.name_col, F.lit("."), k)
-            triples = self._variant_entry_rules(value_definition, name_col,
-                                                e.getField("value"))
-            inner = self._variant_violation(triples, name_col)
-            return F.when(key_filter(k), inner)
-
-        failing = F.filter(F.transform(F.map_entries(aux), entry_violation),
-                           lambda y: y.isNotNull())
-        first = F.try_element_at(failing, F.lit(1))
+        aux_sql = site.object_variant_map_sql()
+        e = self._vsql_var("e")
+        y = self._vsql_var("y")
+        name_sql = f"concat({_sqlstr(site.sname)}, '.', {e}.key)"
+        saved_base = self._v_base_uri
+        self._v_base_uri = site.base_uri
+        try:
+            triples = self._entry_triples_sql(
+                value_definition, name_sql, _Views(f"{e}.value"))
+        finally:
+            self._v_base_uri = saved_base
+        viol = self._violation_sql(triples, name_sql)
+        entry = f"CASE WHEN {key_filter_sql(e + '.key')} THEN {viol} END"
+        failing = (f"filter(transform(map_entries({aux_sql}), "
+                   f"{e} -> {entry}), {y} -> {y} IS NOT NULL)")
+        first = F.expr(f"try_element_at({failing}, 1)")
         return Rule(rule_label, site.sname + ".<" + rule_label + ">",
                     first.getField("name"), first.getField("message"),
-                    site.present() & _null_false(F.size(failing) > F.lit(0)),
+                    site.present()
+                    & _null_false(F.expr(f"size({failing}) > 0")),
                     dynamic=first)
 
     def _kw_pattern_properties(self, definition, site):
@@ -1812,11 +1337,11 @@ class _PlanCompiler:
                     # reporting)
                     decl = sorted(fields)
 
-                    def matches_undeclared(k, _j=java, _d=decl):
-                        cond = k.rlike(_j)
+                    def matches_undeclared(k_sql, _j=java, _d=decl):
+                        conds = [f"rlike({k_sql}, {_sqlstr(_j)})"]
                         for d in _d:
-                            cond = cond & (k != F.lit(d))
-                        return cond
+                            conds.append(f"{k_sql} != {_sqlstr(d)}")
+                        return "(" + " AND ".join(conds) + ")"
 
                     rules.append(self._json_entry_rule(
                         site, matches_undeclared, sub, "patternProperties"))
@@ -1903,8 +1428,17 @@ class _PlanCompiler:
                              site.present() & _null_false(F.size(extras) > F.lit(0)))]
             # value schema over undeclared keys: evaluated on the
             # map<string,variant> view of the raw text (scalar keyword
-            # subset; _variant_entry_rules raises PlanUnsupported beyond)
-            return [self._json_entry_rule(site, is_extra, add_definition,
+            # subset; _entry_triples_sql raises PlanUnsupported beyond)
+            def is_extra_sql(k_sql, _d=sorted(declared), _p=java_patterns):
+                conds = ["true"]
+                for key in _d:
+                    conds.append(f"{k_sql} != {_sqlstr(key)}")
+                for j in _p:
+                    conds.append(f"NOT rlike({k_sql}, {_sqlstr(j)})")
+                return "(" + " AND ".join(conds) + ")"
+
+            return [self._json_entry_rule(site, is_extra_sql,
+                                          add_definition,
                                           "additionalProperties")]
 
         fields = self._field_sites(site)
@@ -2069,6 +1603,11 @@ def compile_plan_for_column(
     variant_source_col: str | None = None,
     keys_source_col: str | None = None,
     exact_json_types: bool = True,
+    ref_unroll_depth: int = 3,
+    on_depth_exceeded: str = "error",
+    canon_depth: int = 5,
+    ref_unroll_budget: int = 4000,
+    plan_text_budget: int = 2_000_000,
 ) -> ValidationPlan:
     """Compile a schema whose root is one (struct/map-typed) column rather
     than the whole row — used for ``from_json``-parsed JSON columns.
@@ -2093,6 +1632,11 @@ def compile_plan_for_column(
         "use_default": use_default,
         "formats": formats,
         "exact_json_types": exact_json_types,
+        "ref_unroll_depth": ref_unroll_depth,
+        "on_depth_exceeded": on_depth_exceeded,
+        "canon_depth": canon_depth,
+        "ref_unroll_budget": ref_unroll_budget,
+        "plan_text_budget": plan_text_budget,
     })
     site = _Site(F.col(column), dtype, "data", F.lit("data"),
                  compiler.store.root_uri(),
@@ -2100,6 +1644,7 @@ def compile_plan_for_column(
                             if json_source_col else None),
                  variant_expr=(F.col(variant_source_col)
                                if variant_source_col else None),
+                 variant_name=variant_source_col,
                  keys_expr=(F.col(keys_source_col)
                             if keys_source_col else None),
                  compiler=compiler)
@@ -2115,6 +1660,11 @@ def compile_plan_for_column(
             "variant_source_col": variant_source_col,
             "keys_source_col": keys_source_col,
             "exact_json_types": exact_json_types,
+            "ref_unroll_depth": ref_unroll_depth,
+            "on_depth_exceeded": on_depth_exceeded,
+            "canon_depth": canon_depth,
+            "ref_unroll_budget": ref_unroll_budget,
+            "plan_text_budget": plan_text_budget,
             "regex_engine": regex_engine,
             "use_formats": use_formats,
             "use_default": use_default,

@@ -33,11 +33,19 @@ and falls back to the python engine only on ``PlanUnsupported``):
   ``map<string,variant>`` casts (``items``/``contains``/``min-maxItems``,
   ``properties``/``required``/``dependencies``/``additionalProperties``/
   ``patternProperties``/``propertyNames``/``min-maxProperties``), each
-  violation carrying the child's own dotted/indexed name.  Remaining
-  limit (documented, raises ``PlanUnsupported`` instead of silently
-  passing): ``uniqueItems`` under a variant (Python cross-type equality
-  canon) and recursive object ``$ref``s — use ``engine="python"``
-  (or ``"auto"``) for those.  ``json_types="coerce"`` opts out of the
+  violation carrying the child's own dotted/indexed name.
+  ``uniqueItems`` reproduces the reference's freeze canonicalization
+  (cross-type 1 == 1.0, bool→"True"/"False" collision) via canonical
+  strings, and recursive ``$ref``s unroll to ``ref_unroll_depth``
+  repeats per compile path (the reference compiles recursion to
+  recursive functions, generator.py:192-217; expression trees must
+  unroll) — data nested deeper raises at evaluation time by default
+  (``on_depth_exceeded="violation"`` flags it instead; never a silent
+  wrong verdict).  Combinator-heavy recursion like the draft
+  metaschemas (~10 self-refs per level) exceeds ``plan_text_budget``
+  and raises ``PlanTooLarge`` at compile time — ``engine="auto"``
+  routes those to the python engine, whose compiled-closure validator
+  is the right tool there.  ``json_types="coerce"`` opts out of the
   variant view for a cheaper plan that validates the typed struct parse
   directly (string fields silently absorb numbers/bools — the
   pre-variant behavior, now an explicit choice).
@@ -100,6 +108,10 @@ def validate_json_column(
     verdict_col: str = "verdict",
     formats=None,
     json_types: str = "exact",
+    ref_unroll_depth: int = 3,
+    on_depth_exceeded: str = "error",
+    canon_depth: int = 5,
+    plan_text_budget: int = 2_000_000,
 ) -> DataFrame:
     """Append violations + verdict for a JSON string column.
 
@@ -120,7 +132,11 @@ def validate_json_column(
             return validate_json_column(
                 df, column, definition, engine="columnar",
                 violations_col=violations_col, verdict_col=verdict_col,
-                formats=formats, json_types=json_types)
+                formats=formats, json_types=json_types,
+                ref_unroll_depth=ref_unroll_depth,
+                on_depth_exceeded=on_depth_exceeded,
+                canon_depth=canon_depth,
+                plan_text_budget=plan_text_budget)
         except PlanUnsupported:
             return validate_json_column(
                 df, column, definition, engine="python",
@@ -174,7 +190,12 @@ def validate_json_column(
             json_source_col=column,
             variant_source_col=tmp_v if exact else None,
             keys_source_col=tmp_k,
-            exact_json_types=exact)
+            exact_json_types=exact,
+            formats=formats,
+            ref_unroll_depth=ref_unroll_depth,
+            on_depth_exceeded=on_depth_exceeded,
+            canon_depth=canon_depth,
+            plan_text_budget=plan_text_budget)
         # "malformed" = the text is not a JSON object at all (broken
         # syntax, or a scalar/array where an object is required).  A
         # field-level type mismatch parses to a NULL field while the key

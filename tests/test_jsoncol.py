@@ -316,13 +316,16 @@ def test_ref_transparent_struct_inference_and_open_keys(spark):
     assert results["columnar"]['{"k": null}'][0] is False
 
 
-def test_recursive_ref_refused_by_columnar_exact_in_python(spark):
-    """Recursive $ref has no finite static type: struct inference falls
-    back to string for the cyclic field, and the columnar engine refuses
-    the plan (PlanUnsupported) instead of compiling a silently-wrong
-    constant-fail; engine='python' is the exact path."""
+def test_recursive_ref_columnar_unrolls_to_depth(spark):
+    """Recursive $ref compiles COLUMNAR now: the unroll repeats each
+    canonical ref up to ref_unroll_depth times along a compile path
+    (the reference compiles recursion to recursive functions,
+    generator.py:192-217; expression trees must unroll).  In-bound
+    documents validate with exact python-engine parity; data nested
+    DEEPER than the bound raises at evaluation time by default (never a
+    silently wrong verdict) or emits a distinguishable violation with
+    on_depth_exceeded='violation'."""
     from spark_schema_guard.columnar import spark_struct_for
-    from spark_schema_guard.columnar.compiler import PlanUnsupported
 
     rec = {"definitions": {"node": {
                "type": "object",
@@ -330,17 +333,59 @@ def test_recursive_ref_refused_by_columnar_exact_in_python(spark):
                               "next": {"$ref": "#/definitions/node"}}}},
            "$ref": "#/definitions/node"}
     assert spark_struct_for(rec).simpleString() == "struct<v:bigint,next:string>"
-    df = spark.createDataFrame([('{"v": 1, "next": {"v": 2}}',),
-                                ('{"v": "bad"}',),
-                                ('{"v": 1, "next": {"v": "bad"}}',)],
-                               "props string")
-    with pytest.raises(PlanUnsupported, match="python"):
-        validate_json_column(df, "props", rec, engine="columnar")
-    out = validate_json_column(df, "props", rec, engine="python")
-    got = {r["props"]: r["verdict"] for r in out.collect()}
-    assert got == {'{"v": 1, "next": {"v": 2}}': True,
-                   '{"v": "bad"}': False,
-                   '{"v": 1, "next": {"v": "bad"}}': False}
+    docs = ['{"v": 1, "next": {"v": 2}}',
+            '{"v": "bad"}',
+            '{"v": 1, "next": {"v": "bad"}}',
+            '{"v": 1, "next": {"next": {"v": 3}}}',
+            '{"v": 1, "next": {"next": {"next": {"v": "bad"}}}}']
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    results = {}
+    for eng in ("python", "columnar"):
+        out = validate_json_column(df, "props", rec, engine=eng)
+        results[eng] = {
+            r["props"]: (r["verdict"],
+                         [v["message"] for v in (r["violations"] or [])])
+            for r in out.collect()}
+    assert results["python"] == results["columnar"]
+    assert results["columnar"]['{"v": 1, "next": {"v": 2}}'][0] is True
+    assert results["columnar"]['{"v": 1, "next": {"v": "bad"}}'] == (
+        False, ["data.next.v must be integer"])
+
+    # the columnar plan stays pure-JVM (no Arrow/Python eval)
+    text = (validate_json_column(df, "props", rec, engine="columnar")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
+
+
+def test_recursive_ref_depth_exceeded_is_loud(spark):
+    """Data nested past ref_unroll_depth: 'error' mode raises at
+    evaluation (the default — depth-1 keeps the plan small and honest),
+    'violation' mode emits a distinguishable violation row."""
+    rec = {"definitions": {"node": {
+               "type": "object",
+               "properties": {"v": {"type": "integer"},
+                              "next": {"$ref": "#/definitions/node"}}}},
+           "$ref": "#/definitions/node"}
+    deep = '{"next": {"next": {"v": 1}}}'
+    df = spark.createDataFrame([(deep,)], "props string")
+
+    out = validate_json_column(df, "props", rec, engine="columnar",
+                               ref_unroll_depth=1)
+    with pytest.raises(Exception, match="unroll depth"):
+        out.collect()
+
+    out2 = validate_json_column(df, "props", rec, engine="columnar",
+                                ref_unroll_depth=1,
+                                on_depth_exceeded="violation")
+    rows = out2.collect()
+    assert rows[0]["verdict"] is False
+    assert any("unroll depth" in v["message"]
+               for v in rows[0]["violations"])
+    # an in-bound sibling row is untouched by the guard
+    df2 = spark.createDataFrame([('{"next": {"v": 1}}',)], "props string")
+    ok = validate_json_column(df2, "props", rec, engine="columnar",
+                              ref_unroll_depth=1).collect()
+    assert ok[0]["verdict"] is True
 
 
 def test_engine_auto_picks_columnar_else_python(spark):
@@ -354,11 +399,13 @@ def test_engine_auto_picks_columnar_else_python(spark):
     assert {r["props"]: r["verdict"] for r in out.collect()} == {
         '{"k": 1}': True, '{"k": "s"}': False}
 
-    rec = {"definitions": {"node": {
-               "type": "object",
-               "properties": {"next": {"$ref": "#/definitions/node"}}}},
-           "$ref": "#/definitions/node"}
-    out2 = validate_json_column(df, "props", rec, engine="auto")
+    # recursion now stays columnar (depth-bounded unroll) — a CALLABLE
+    # custom format over undeclared keys is still PlanUnsupported, so
+    # auto falls back to the exact engine there
+    unsupported = {"type": "object",
+                   "additionalProperties": {"format": "always-ok"}}
+    out2 = validate_json_column(df, "props", unsupported, engine="auto",
+                                formats={"always-ok": lambda v: True})
     text2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in text2  # fell back to the exact engine
     assert all(r["verdict"] for r in out2.collect())
