@@ -56,6 +56,27 @@ def unavailable_decode(payload: bytes) -> list[float]:
         "decoder into extract_features(decoder=...)")
 
 
+def pillow_decode(payload: bytes) -> list[float]:
+    """Real image decode when Pillow is importable (it is not baked into
+    this container — the deterministic fake stays the default): decode,
+    resize to 4x4 grayscale, return the 16 pixel intensities unit-
+    normalized.  Import is lazy and per-executor; raises the same
+    NotImplementedError as :func:`unavailable_decode` when Pillow is
+    absent so pipelines fail loudly, never silently wrong."""
+    try:
+        import io
+
+        from PIL import Image  # public library, optional
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pillow_decode requires the Pillow package; install it or "
+            "use the default fake_decode") from exc
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    raw = [p / 255.0 - 0.5 for p in img.getdata()]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return [x / norm for x in raw]
+
+
 def attach_media_metadata(df: DataFrame, binary_col: str,
                           media_type: str = "image") -> DataFrame:
     """Typed metadata struct for an opaque binary column.  Width/height/

@@ -230,3 +230,186 @@ def stream_to_audit(validated: DataFrame, audit_path: str, run_id: str):
         ).write.mode("append").parquet(audit_path)
 
     return validated.writeStream.foreachBatch(write_batch)
+
+
+def decontamination_filter(
+    bench: DataFrame,
+    bench_text_col: str,
+    *,
+    n: int = 8,
+    bits_per_gram: int = 16,
+    probes: int = 6,
+):
+    """Driver-side build of a streaming-safe contamination predicate.
+
+    The batch operator (:func:`operators.decontam.ngram_decontaminate`)
+    builds doc grams with a per-doc lead() window and joins the
+    broadcast benchmark gram set — but analytic windows and mid-plan
+    aggregations are not available to an append-mode stream.  The
+    streaming shape is a BLOOM FILTER of the (static, small) benchmark
+    gram set evaluated as a pure row expression — stateless, no
+    shuffle, and the same design you'd ship at 10^12 docs (a few MB of
+    bitset in the plan beats re-joining the exact set every
+    micro-batch).
+
+    Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` to
+    SQL, so the filter is built by hand with hash parity by
+    construction: the bit indexes of the bench grams are computed by
+    SPARK's own ``xxhash64(gram, probe_seed) pmod m`` (one tiny job,
+    collected driver-side into an ``array<long>`` literal), and the
+    stream probes the same expressions via ``element_at`` + ``getbit``
+    — everything stays whole-stage codegen.
+
+    One-sided error, in the safe direction: a Bloom false positive
+    over-quarantines a clean document (~0.1% at the default 16
+    bits/gram × 6 probes); a contaminated document is NEVER missed.
+    Run the exact batch operator over the quarantine for the final
+    answer.
+
+    Returns ``(predicate, n_grams)``: ``predicate(text_col)`` is a
+    boolean Column, ``n_grams`` the benchmark gram count."""
+    from .operators.textstats import _tokens, word_ngram_stack, word_ngrams
+
+    bench_grams = word_ngram_stack(
+        bench.select(F.monotonically_increasing_id().alias("__bid"),
+                     F.col(bench_text_col)),
+        "__bid", bench_text_col, (n,)).select("gram").distinct()
+    n_grams = bench_grams.count()
+    n_longs = max(1, -(-(max(n_grams, 1) * bits_per_gram) // 64))
+    m = n_longs * 64
+
+    def bit_indexes(g):
+        return [F.pmod(F.xxhash64(g, F.lit(i)), F.lit(m))
+                for i in range(probes)]
+
+    idx_rows = bench_grams.select(
+        F.explode(F.array(*bit_indexes(F.col("gram")))).alias("i")
+    ).distinct().collect()
+    words = [0] * n_longs
+    for r in idx_rows:
+        i = int(r["i"])
+        words[i // 64] |= 1 << (i % 64)
+    # LongType is signed — fold the top bit back
+    bitset = F.lit([w - (1 << 64) if w >= (1 << 63) else w
+                    for w in words])
+
+    def gram_hit(g):
+        hit = F.lit(True)
+        for idx in bit_indexes(g):
+            word = F.element_at(bitset, (idx / F.lit(64)).cast("int") + 1)
+            hit = hit & (F.getbit(word, idx % F.lit(64)) == F.lit(1))
+        return hit
+
+    def predicate(text_col) -> Column:
+        grams = word_ngrams(_tokens(F.col(text_col)
+                                    if isinstance(text_col, str)
+                                    else text_col), n)
+        return F.exists(grams, gram_hit)
+
+    return predicate, n_grams
+
+
+def stream_decontaminate(
+    stream_df: DataFrame,
+    text_col: str,
+    bench: DataFrame,
+    bench_text_col: str,
+    *,
+    n: int = 8,
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Append a streaming-safe contamination flag (see
+    :func:`decontamination_filter` for the Bloom design and its
+    one-sided error)."""
+    predicate, _ = decontamination_filter(bench, bench_text_col, n=n)
+    return stream_df.withColumn(flag_col, predicate(text_col))
+
+
+def stream_text_quality_by_window(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    time_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+    low_quality_below: float = 0.5,
+) -> DataFrame:
+    """Watermarked windowed aggregates of the per-doc quality features
+    (operators/textstats.py quality_features — pure row expressions, so
+    the same builder serves batch and stream): rows, mean quality
+    score, mean stopword ratio, mean token count, and the low-quality
+    share.  The per-window state is a handful of sums — bounded by
+    windows-in-horizon."""
+    from .operators.textstats import quality_features
+
+    feats = quality_features(stream_df, id_col, text_col,
+                             keep=(time_col,))
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    return (
+        feats.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.avg("quality_score").alias("mean_quality"),
+            F.avg("stopword_ratio").alias("mean_stopword_ratio"),
+            F.avg("n_tokens").alias("mean_tokens"),
+            F.avg((F.col("quality_score") < F.lit(low_quality_below))
+                  .cast("double")).alias("low_quality_share"),
+        )
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "rows", "mean_quality", "mean_stopword_ratio",
+                "mean_tokens", "low_quality_share")
+    )
+
+
+def stream_repetition_by_window(
+    stream_df: DataFrame,
+    text_col: str,
+    *,
+    time_col: str,
+    n: int = 1,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    repetitive_above: float = 0.2,
+) -> DataFrame:
+    """Watermarked windowed repetition rates: per doc, the fraction of
+    word n-grams taken by the single most frequent gram (Gopher's "top
+    n-gram fraction"), aggregated per window (mean + share of docs above
+    ``repetitive_above``).
+
+    The per-doc fraction is computed as a pure row expression over the
+    gram ARRAY (count the occurrences of each distinct gram) — O(d·u)
+    per doc instead of the batch path's explode + groupBy, because an
+    append-mode stream gets no analytic windows or mid-plan
+    aggregations.  Use the batch operator
+    (operators/textstats.repetition_features) for long-document corpora;
+    this one is for streaming-sized documents."""
+    from .operators.textstats import _tokens, word_ngrams
+
+    toks = _tokens(F.col(text_col))
+    grams = word_ngrams(F.filter(toks, lambda t: t != F.lit("")), n)
+    top = F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda x: F.size(F.filter(grams, lambda y: y == x))))
+    frac = F.when(F.size(grams) > 0,
+                  top.cast("double") / F.size(grams)).otherwise(F.lit(0.0))
+    win = F.window(F.col(time_col), window)
+    return (
+        stream_df.select(F.col(time_col),
+                         frac.alias("top_gram_frac"))
+        .withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.avg("top_gram_frac").alias("mean_top_gram_frac"),
+            F.avg((F.col("top_gram_frac") > F.lit(repetitive_above))
+                  .cast("double")).alias("repetitive_share"),
+        )
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "rows", "mean_top_gram_frac", "repetitive_share")
+    )

@@ -323,3 +323,99 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert got["rows"] == 500
     assert got["jvm_valid"] == 500
     assert got["py_valid"] > 0
+
+
+def test_stream_decontaminate_bloom(spark, tmp_path):
+    """Streaming contamination flag via the broadcast Bloom of bench
+    grams: flagged docs exactly match the batch operator's verdicts on
+    this corpus (no false positive at this scale), and the plan is
+    stateless (no aggregation, append-safe)."""
+    from spark_schema_guard.operators.decontam import ngram_decontaminate
+    from spark_schema_guard.streaming import stream_decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("pack my box with five dozen liquor jugs",)],
+        "text string")
+    docs = [
+        (1, "intro text the quick brown fox jumps over the lazy dog outro",
+         "2024-03-01 00:05:00"),
+        (2, "a completely unrelated document about spark plans",
+         "2024-03-01 00:06:00"),
+        (3, "pack my box with five dozen liquor jugs end",
+         "2024-03-01 00:07:00"),
+        (4, "short", "2024-03-01 00:08:00"),
+    ]
+    src = str(tmp_path / "decon_src")
+    df = spark.createDataFrame(docs, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch = {r["doc_id"]: r["contaminated"]
+             for r in ngram_decontaminate(static, "doc_id", "text",
+                                          bench, "text", n=8).collect()}
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_decontaminate(stream, "text", bench, "text", n=8)
+    q = (out.select("doc_id", "contaminated")
+         .writeStream.format("memory").queryName("decon")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["contaminated"]
+           for r in spark.sql("SELECT * FROM decon").collect()}
+    assert got == batch == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_stream_text_quality_window(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_text_quality_by_window
+
+    rows = [(1, "the cat sat on the mat and it was a good day for all",
+             "2024-03-01 00:10:00"),
+            (2, "zzz", "2024-03-01 00:20:00"),
+            (3, "en", "2024-03-02 12:00:00")]  # sentinel closes window 1
+    src = str(tmp_path / "q_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_text_quality_by_window(
+        stream, "doc_id", "text", time_col="ts",
+        window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("tq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM tq").collect()}
+    row = got["2024-03-01 00:00:00"]
+    assert row["rows"] == 2
+    assert row["low_quality_share"] == 0.5  # doc 2 scores low
+    assert row["mean_tokens"] == (14 + 1) / 2
+
+
+def test_stream_repetition_window(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_repetition_by_window
+
+    rows = [(1, "spam spam spam spam", "2024-03-01 00:10:00"),
+            (2, "all words here differ fully", "2024-03-01 00:20:00"),
+            (3, "x", "2024-03-02 12:00:00")]
+    src = str(tmp_path / "rep_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_repetition_by_window(
+        stream, "text", time_col="ts", n=1,
+        window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("rep")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM rep").collect()}
+    row = got["2024-03-01 00:00:00"]
+    assert row["rows"] == 2
+    # doc1: top gram 'spam' 4/4 = 1.0; doc2: 1/5 = 0.2
+    assert abs(row["mean_top_gram_frac"] - 0.6) < 1e-9
+    assert row["repetitive_share"] == 0.5

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import spark_schema_guard as ssg
@@ -104,3 +106,40 @@ def test_languages_dim_fk(spark, sf_dir):
     orphans = orphan_rows(web, languages(spark), "lang", "lang_code")
     got = {r["lang"] for r in orphans.select("lang").distinct().collect()}
     assert got == {"xx"}
+
+
+def test_pillow_decode_when_importable(spark):
+    """Opt-in real-codec path: skips unless Pillow is installed (it is
+    not baked into this container).  With Pillow present, pillow_decode
+    rides the same mapInPandas plumbing as the deterministic fake."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from spark_schema_guard.operators.multimodal import (
+        FEATURE_DIM, extract_features, pillow_decode)
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"no"))],
+                               "doc_id long, html binary")
+    rows = {r["id"]: r for r in
+            extract_features(df, "doc_id", "html",
+                             decoder=pillow_decode).collect()}
+    assert rows[1]["ok"] and len(rows[1]["features"]) == FEATURE_DIM
+    assert rows[2]["ok"] is False and rows[2]["error"]
+
+
+def test_pillow_decode_absent_raises_not_implemented():
+    """Without Pillow the decoder raises the honest NotImplementedError
+    (driver-side check — no silent fake substitution)."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed; the absent-path is not testable")
+    except ImportError:
+        pass
+    from spark_schema_guard.operators.multimodal import pillow_decode
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        pillow_decode(b"\x89PNG")
