@@ -285,29 +285,56 @@ def cosine_topk_lsh(
     n_planes: int = 6,
     seed: int = 42,
     multiprobe: int = 2,
+    n_tables: int = 1,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket (plus
     ``multiprobe`` single-bit-flip neighbor buckets).  ``max_bucket``
     drops degenerate buckets before the join (see module docstring);
-    ranking is the same two-stage prune+merge as ``cosine_topk``."""
+    ranking is the same two-stage prune+merge as ``cosine_topk``.
+
+    ``n_tables`` is the recall lever (classic multi-table LSH): each
+    table is an independent hyperplane set; a candidate is anything
+    sharing a bucket with the query in ANY table.  Recall compounds as
+    1-(1-r1)^L for roughly L× the scanned fraction — the measured curve
+    on the synthetic embeddings is in SCALE.md (single-table sign-LSH
+    recalls poorly there; 4 tables at 6 planes reach what one table
+    needs ~10× the scan for).  Table t's buckets live in the id range
+    ``[t·2^n_planes, (t+1)·2^n_planes)``, so the cap and the broadcast
+    probe machinery are shared unchanged; cross-table duplicate
+    candidates are dropped before scoring."""
     dim = len(queries[0][1])
-    planes = hyperplanes(dim, n_planes, seed)
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
     data = _valid_vectors(df, id_col, vec_col, dim)
-    data = data.withColumn("bucket", lsh_bucket_column(F.col("v"), planes))
+    if n_tables == 1:
+        data = data.withColumn(
+            "bucket", lsh_bucket_column(F.col("v"), tables[0]))
+    else:
+        per_table = [
+            (lsh_bucket_column(F.col("v"), tables[t])
+             + F.lit(t * 2 ** n_planes)).cast("int")
+            for t in range(n_tables)]
+        data = data.withColumn("bucket",
+                               F.explode(F.array(*per_table)))
     data = _cap_buckets(data, "bucket", max_bucket)
 
     def buckets_for(vec):
-        base = 0
-        projs = []
-        for plane in planes:
-            p = sum(x * y for x, y in zip(vec, plane))
-            projs.append(p)
-            base = base * 2 + (1 if p > 0 else 0)
-        order = sorted(range(len(planes)), key=lambda i: abs(projs[i]))
-        probes = [base]
-        for i in order[:multiprobe]:
-            probes.append(base ^ (1 << (len(planes) - 1 - i)))
+        probes = []
+        for t, planes in enumerate(tables):
+            base = 0
+            projs = []
+            for plane in planes:
+                p = sum(x * y for x, y in zip(vec, plane))
+                projs.append(p)
+                base = base * 2 + (1 if p > 0 else 0)
+            order = sorted(range(len(planes)),
+                           key=lambda i: abs(projs[i]))
+            offset = t * 2 ** n_planes
+            probes.append(offset + base)
+            for i in order[:multiprobe]:
+                probes.append(offset
+                              + (base ^ (1 << (len(planes) - 1 - i))))
         return probes
 
     # broadcast side carries only (query_id, bucket); query vectors live
@@ -321,6 +348,10 @@ def cosine_topk_lsh(
             F.explode(F.array(*query_structs)).alias("q")).select("q.*")
     )
     candidates = data.join(F.broadcast(q), "bucket")
+    if n_tables > 1:
+        # a pair can match in several tables; the dedup shuffle is
+        # bounded by the candidate set (already a small corpus fraction)
+        candidates = candidates.dropDuplicates(["query_id", "neighbor_id"])
     prune, schema = _prune_own_query(
         queries, k, _spark_type_for(queries[0][0]),
         df.schema[id_col].dataType)
