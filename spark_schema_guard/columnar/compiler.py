@@ -1147,6 +1147,10 @@ class _PlanCompiler(_VariantSQLMixin):
         "minProperties", "maxProperties", "required", "dependencies",
         "properties", "patternProperties", "additionalProperties",
         "propertyNames",
+        # content keywords gate on the TRUE runtime string-ness of the
+        # value (the typed-string fallback would coerce scalars to text
+        # and wrongly fail them)
+        "contentEncoding", "contentMediaType",
     }
     _VARIANT_ANNOTATIONS = {
         "title", "description", "default", "examples", "$comment",
@@ -1527,10 +1531,15 @@ class _PlanCompiler(_VariantSQLMixin):
         expr = self._string_expr(site)
         if expr is None:
             return []
-        decoded = F.try_to_binary(expr, F.lit("base64"))
+        # reference parity: base64.b64decode WITHOUT validate discards
+        # non-alphabet chars, then requires mod-4 padding on what
+        # remains; try_to_binary alone is laxer (accepts 'abc')
+        filtered = F.regexp_replace(expr, "[^A-Za-z0-9+/=]", "")
+        decoded = F.try_to_binary(filtered, F.lit("base64"))
+        fail = (F.length(filtered) % 4 != 0) | decoded.isNull()
         return [Rule(None, site.sname, site.name_col,
                      F.concat(site.name_col, F.lit(" must be encoded by base64")),
-                     site.present() & _null_false(decoded.isNull()))]
+                     site.present() & _null_false(fail))]
 
     def _kw_content_media_type(self, definition, site):
         if definition["contentMediaType"] != "application/json":

@@ -139,6 +139,10 @@ def _nf(x: str) -> str:
 
 _CANON_V = "__CANON_V__"
 
+# scalar JSON literals get_json_object cannot see (mirrors the typed
+# path's _kw_content_media_type literal_ok regex)
+_JSON_LITERAL_RE = (r"^\s*(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|\".*\")\\s*$")
+
 
 class _VariantSQLMixin:
     """SQL-text twins of the Column-building variant rule methods.
@@ -535,8 +539,19 @@ class _VariantSQLMixin:
                     # modulo, not floor(): floor(double) -> LONG
                     # overflows past 2^63 (1e308 is integral)
                     return (f"({w.is_num} AND ({w.num} % 1.0D) = 0.0D)")
+                # draft-04 strict: json.loads("3.0") is a FLOAT, never an
+                # int — but the variant parser canonicalizes "3.0" to
+                # DECIMAL(1,0), erasing the distinction.  A DECIMAL(p,0)
+                # tag can only come from (a) a decimal-point/exponent
+                # literal, or (b) a plain integer too big for BIGINT
+                # (>= 2^63, p >= 19) — so scale-0 decimals count as
+                # integers only past the long range.  Documented corner:
+                # a >=2^63 integral written WITH a decimal point
+                # ("9.3e18" style) is indistinguishable and passes.
                 return (f"({w.sov} = 'BIGINT' OR "
-                        f"{w.sov} RLIKE '^DECIMAL\\\\(\\\\d+,0\\\\)$')")
+                        f"(startswith({w.sov}, 'DECIMAL') AND "
+                        f"{w.sov} RLIKE ',0\\\\)$' AND "
+                        f"abs({w.num}) >= 9.223372036854776E18D))")
             if t == "number":
                 return w.is_num
             if t == "array":
@@ -1012,6 +1027,26 @@ class _VariantSQLMixin:
                     else:
                         first_failing_entry(matcher, sub,
                                             "patternProperties")
+            elif keyword == "contentEncoding":
+                if definition["contentEncoding"] == "base64":
+                    # the reference runs base64.b64decode WITHOUT
+                    # validate: non-alphabet chars are DISCARDED, then
+                    # the filtered length must pad to a multiple of 4 —
+                    # Spark's try_to_binary alone is laxer (accepts
+                    # 'abc'), so mirror the filter + padding check
+                    filt = (f"regexp_replace({w.s}, "
+                            "'[^A-Za-z0-9+/=]', '')")
+                    out.append((
+                        None, msg("must be encoded by base64"),
+                        f"({w.is_str} AND ((length({filt}) % 4L) != 0L "
+                        f"OR try_to_binary({filt}, 'base64') IS NULL))"))
+            elif keyword == "contentMediaType":
+                if definition["contentMediaType"] == "application/json":
+                    lit_ok = (f"rlike({w.s}, {sqlstr(_JSON_LITERAL_RE)})")
+                    out.append((
+                        None, msg("must be valid JSON"),
+                        f"({w.is_str} AND get_json_object({w.s}, '$') "
+                        f"IS NULL AND NOT {lit_ok})"))
             elif keyword == "propertyNames":
                 nd = definition["propertyNames"]
                 if nd is True or nd == {}:
