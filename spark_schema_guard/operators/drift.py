@@ -168,7 +168,10 @@ def ks_by_unit(
     w_u = Window.partitionBy("unit").orderBy("b") \
         .rowsBetween(Window.unboundedPreceding, 0)
     pooled = binned.groupBy("b").agg(F.sum("n").alias("pn"))
-    w_p = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # constant partition spec = same single-partition cum-sum over the
+    # <= B grid buckets, without the unpartitioned-window log warning
+    w_p = Window.partitionBy(F.lit(0)).orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, 0)
     pooled_cum = pooled.withColumn("pcum", F.sum("pn").over(w_p))
     grand = pooled.agg(F.sum("pn").alias("grand"))
     cum = (full.withColumn("cum", F.sum("n").over(w_u))
@@ -257,7 +260,11 @@ def ks_drift(
             .agg(F.sum(F.when(F.col("g"), F.col("n")).otherwise(0)).alias("n_l"),
                  F.sum(F.when(~F.col("g"), F.col("n")).otherwise(0)).alias("n_r"))
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        # exact mode is the documented oracle-parity path (cum over
+        # the distinct-value set); the constant partition spec only
+        # silences the unpartitioned-window warning
+        w = Window.partitionBy(F.lit(0)).orderBy("v") \
+            .rowsBetween(Window.unboundedPreceding, 0)
         tl = totals.where(F.col("g")).select("tot")
         tr = totals.where(~F.col("g")).select("tot")
         cum = (
@@ -292,7 +299,8 @@ def ks_drift(
             .agg(F.sum(F.col("g").cast("long")).alias("n_l"),
                  F.sum((~F.col("g")).cast("long")).alias("n_r"))
         )
-        w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        w = Window.partitionBy(F.lit(0)).orderBy("b") \
+            .rowsBetween(Window.unboundedPreceding, 0)
         cum = (
             binned
             .withColumn("cl", F.sum("n_l").over(w))

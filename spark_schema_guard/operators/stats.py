@@ -131,7 +131,11 @@ def heavy_hitters(
         shared = shared.where(F.col("share") >= min_share)
     topk = shared.orderBy(F.col("n_rows").desc(), F.col("value").asc()).limit(k)
     from pyspark.sql import Window
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("value").asc())
+    # partitionBy(lit(0)): same single-partition evaluation over the
+    # <= k limited rows, minus the "No Partition Defined for Window"
+    # log noise that would mask a REAL unbounded-window warning
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_rows").desc(), F.col("value").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "value", "n_rows", "share")

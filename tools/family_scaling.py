@@ -1,0 +1,199 @@
+"""Per-operator-family N -> 4N scaling evidence.
+
+The headline ladder (bench.py --scaling) scales web_validate — the
+zero-shuffle validation scan.  This tool runs one N -> 4N pair
+(local[4] -> local[16]) for each SHUFFLING operator family, because
+their scale stories are different plans entirely:
+
+* dedup_minhash   — explode + groupBy MIN signatures + banded self-join
+* dedup_clusters  — iterative connected components over candidate edges
+* ann_topk_lsh    — bucketed broadcast join + two-stage top-k
+* decontaminate   — gram explode + broadcast bench probe + groupBy
+
+Inputs are the sf tables AMPLIFIED (default 16x, id-offset per copy) so
+each leg measures seconds of real work, not the ~0.3s fixed scheduling
+floor.  Legs run in their own JVM, interleaved over rounds with
+best-of-round kept (same discipline as the headline ladder), and the
+result section replaces its marked block in BENCH/BASELINE.md.
+
+Usage: python tools/family_scaling.py [--write]   (whole-box exclusive!)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+START = "<!-- family-scaling:start -->"
+END = "<!-- family-scaling:end -->"
+FAMILIES = ("dedup_minhash", "dedup_clusters", "ann_topk_lsh",
+            "decontaminate")
+
+
+def _amplify(df, id_col, copies, varier=None):
+    """Stack ``copies`` of the table with offset ids.  ``varier(df, c)``
+    perturbs copy ``c``'s content — REQUIRED for dedup inputs: verbatim
+    copies would give every doc ``copies`` exact near-duplicates, which
+    inflates the banded self-join quadratically (a measurement artifact,
+    not the operator's scaling).  Variation keeps the ORIGINAL planted
+    duplicate structure per copy, so candidate/edge counts scale
+    linearly with the input like a real corpus."""
+    from pyspark.sql import functions as F
+
+    span = df.agg(F.max(id_col)).collect()[0][0] + 1
+    out = None
+    for c in range(copies):
+        leg = df.withColumn(id_col, F.col(id_col) + F.lit(c * span))
+        if varier is not None:
+            leg = varier(leg, c)
+        out = leg if out is None else out.unionByName(leg)
+    return out.repartition(64)
+
+
+_AL = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rotate_text(leg, c):
+    from pyspark.sql import functions as F
+
+    rot = _AL[c % 26:] + _AL[:c % 26]
+    return leg.withColumn("text", F.translate("text", _AL, rot))
+
+
+def _perturb_vec(leg, c):
+    from pyspark.sql import functions as F
+
+    eps = 1.0 + (c % 7) * 1e-3
+    return leg.withColumn(
+        "embedding",
+        F.transform("embedding",
+                    lambda x: (x * F.lit(eps)).cast("float")))
+
+
+def run_leg(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from spark_schema_guard.operators import ngram_decontaminate
+    from spark_schema_guard.operators.dedup import (duplicate_clusters,
+                                                    minhash_candidates)
+    from spark_schema_guard.operators.similarity import cosine_topk_lsh
+    from spark_schema_guard.session import build_session, load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    copies = int(os.environ.get("SPARK_GRAFT_FAMILY_AMP", "16"))
+    spark = build_session(app_name=f"family-scaling-{cores}", cores=cores,
+                          shuffle_partitions=max(cores * 2, 32))
+    docs = _amplify(load_table(spark, sf_dir, "documents"),
+                    "doc_id", copies, varier=_rotate_text).cache()
+    emb = _amplify(load_table(spark, sf_dir, "embeddings"),
+                   "vec_id", copies, varier=_perturb_vec).cache()
+    docs.count(), emb.count()
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    n_q = int(os.environ.get("SPARK_GRAFT_FAMILY_QUERIES", "64"))
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in emb.where(F.col("vec_id") < n_q).collect()]
+
+    jobs = {
+        "dedup_minhash": lambda: minhash_candidates(
+            docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8,
+            hash_fn="xxhash64").count(),
+        "dedup_clusters": lambda: duplicate_clusters(
+            docs.select("doc_id"), "doc_id",
+            minhash_candidates(docs, "doc_id", "text", num_hashes=8,
+                               bands=4, shingle_k=8, hash_fn="xxhash64"))
+        .where(~F.col("is_canonical")).count(),
+        "ann_topk_lsh": lambda: cosine_topk_lsh(
+            emb, "vec_id", "embedding", qvecs, k=5, n_planes=6,
+            multiprobe=2, n_tables=4).collect(),
+        "decontaminate": lambda: ngram_decontaminate(
+            docs, "doc_id", "text", bench, "text", n=8).agg(
+            F.sum(F.col("contaminated").cast("long"))).collect(),
+    }
+    timings = {}
+    for name, job in jobs.items():
+        job()  # warm (JIT, cache, broadcast build)
+        t0 = time.perf_counter()
+        job()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    if "--leg" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--leg") + 1])
+        print(json.dumps(run_leg(cores)))
+        return
+
+    rounds = int(os.environ.get("SPARK_GRAFT_FAMILY_ROUNDS", "2"))
+    # 4 -> 16, mirroring the headline ladder's most demanding pair: the
+    # 32-thread leg saturates the single box's DRAM bandwidth and would
+    # measure the machine, not the plans
+    ladder = (4, 16)
+    best: dict = {c: {} for c in ladder}
+    for _ in range(rounds):
+        for cores in ladder:
+            time.sleep(5)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--leg", str(cores)],
+                capture_output=True, text=True, timeout=3600, cwd=REPO)
+            got = json.loads(out.stdout.strip().splitlines()[-1])
+            for name, sec in got.items():
+                prev = best[cores].get(name)
+                best[cores][name] = sec if prev is None else min(prev, sec)
+
+    lo, hi = ladder
+    lines = [
+        START,
+        "### Per-family scaling (one N -> 4N pair per shuffling operator)",
+        "",
+        f"`tools/family_scaling.py`: sf0.1 tables amplified "
+        f"{os.environ.get('SPARK_GRAFT_FAMILY_AMP', '16')}x, "
+        f"local[{lo}] vs local[{hi}], interleaved best-of-"
+        f"{rounds} rounds.",
+        "",
+        f"| family | local[{lo}] sec | local[{hi}] sec | speedup "
+        "(ideal 4x) | efficiency (target >= 0.8) |",
+        "|---|---|---|---|---|",
+    ]
+    effs = {}
+    for name in FAMILIES:
+        t_lo, t_hi = best[lo][name], best[hi][name]
+        speed = t_lo / t_hi
+        effs[name] = round(speed / (hi / lo), 3)
+        lines.append(f"| {name} | {t_lo} | {t_hi} | {speed:.2f}x "
+                     f"| **{effs[name]}** |")
+    lines += [
+        "",
+        "These are the operators whose plans SHUFFLE (banded self-joins, "
+        "iterative CC rounds, bucketed broadcast joins, gram groupBys) — "
+        "the families where a scaling obstruction would hide.  Same "
+        "single-box caveat as the headline ladder: all threads share one "
+        "machine's DRAM bandwidth, so the 4N leg under-reads versus a "
+        "real 4x-executor cluster that brings 4x the bandwidth and scan "
+        "I/O.",
+        END,
+    ]
+    block = "\n".join(lines)
+    print(block)
+    if "--write" in sys.argv:
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        text = open(path).read()
+        if START in text:
+            text = text.split(START)[0] + block + text.split(END)[1]
+        else:
+            text = text.rstrip() + "\n\n" + block + "\n"
+        open(path, "w").write(text)
+        print(f"wrote {path}")
+    print(json.dumps({"efficiencies": effs}))
+
+
+if __name__ == "__main__":
+    main()
