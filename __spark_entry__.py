@@ -45,8 +45,8 @@ from spark_schema_guard.operators.dedup import (  # noqa: E402
 from spark_schema_guard.operators.multimodal import attach_media_metadata  # noqa: E402
 from spark_schema_guard.operators.similarity import cosine_topk  # noqa: E402
 from spark_schema_guard.operators.textstats import (  # noqa: E402
-    bpe_ish_token_count, fingerprint, language_guess, quality_features,
-    repetition_features, token_count,
+    PII_PATTERNS, bpe_ish_token_count, fingerprint, language_guess,
+    pii_features, quality_features, repetition_features, token_count,
 )
 from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, languages, web_pages  # noqa: E402
 
@@ -616,6 +616,116 @@ def q_text_bpe_tokens(spark, sf_dir):
                        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
+TREE_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {
+        "k": {"type": "integer", "minimum": 0, "maximum": 50},
+        "tag": {"type": "string", "maxLength": 4},
+        "child": {"$ref": "#"},
+    },
+}
+
+
+def q_events_json_recursive(spark, sf_dir):
+    """Self-recursive ``$ref "#"`` validated COLUMNAR over a JSON column
+    (the varsql depth-bounded unroll, columnar/varsql.py): nested docs
+    built deterministically from event_id with planted violations at
+    depths 0, 1 and 2 (bound/len at the root, type and bound in the
+    child, a missing required key in the grandchild).  The oracle
+    predicts the violated-rule multiset arithmetically — reference
+    semantics per fastjsonschema generator.py:192-217."""
+    events = _read(spark, sf_dir, "events")
+    i = F.col("event_id")
+    grandchild = F.when(i % 17 == 0, F.lit("{}")).otherwise(
+        F.concat(F.lit('{"k": '), ((i * 11) % 47).cast("string"), F.lit("}")))
+    child = F.concat(
+        F.lit('{"k": '),
+        F.when(i % 13 == 0, F.lit('"bad"'))
+         .otherwise(((i * 7) % 83).cast("string")),
+        F.when(i % 3 == 1, F.concat(F.lit(', "child": '), grandchild))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    doc = F.concat(
+        F.lit('{"k": '), (i % 83).cast("string"),
+        F.when(i % 9 == 0, F.lit(', "tag": "toolong"')).otherwise(F.lit("")),
+        F.when(i % 3 > 0, F.concat(F.lit(', "child": '), child))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    df = events.select("event_id", doc.alias("doc"))
+    out = validate_json_column(df, "doc", TREE_SCHEMA, engine="columnar")
+    return out.select(
+        "event_id", "verdict",
+        F.array_join(
+            F.array_sort(F.transform(F.col("violations"),
+                                     lambda v: v.getField("rule"))),
+            ",").alias("rules"))
+
+
+UNIQ_EVENTS_SCHEMA = {
+    "type": "object",
+    "required": ["xs"],
+    "properties": {
+        "xs": {"type": "array", "uniqueItems": True, "maxItems": 5,
+               "items": {"type": "integer", "minimum": 0}},
+    },
+}
+
+
+def q_events_json_unique(spark, sf_dir):
+    """``uniqueItems`` on a VARIANT-typed JSON array in the columnar
+    engine (the freeze-canonicalization template, varsql canon_depth):
+    planted duplicates, over-length arrays, and a mixed-type element
+    exercising the per-element items check."""
+    events = _read(spark, sf_dir, "events")
+    i = F.col("event_id")
+    base = F.concat(
+        (i % 7).cast("string"), F.lit(", "),
+        ((i % 7) + 1).cast("string"), F.lit(", "),
+        ((i % 7) + 2).cast("string"))
+    doc = F.concat(
+        F.lit('{"xs": ['), base,
+        F.when(i % 4 == 0, F.concat(F.lit(", "), (i % 7).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(i % 9 == 0, F.lit(", 100, 101, 102")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(', "s"')).otherwise(F.lit("")),
+        F.lit("]}"))
+    df = events.select("event_id", doc.alias("doc"))
+    out = validate_json_column(df, "doc", UNIQ_EVENTS_SCHEMA,
+                               engine="columnar")
+    return out.select(
+        "event_id", "verdict",
+        F.array_join(
+            F.array_sort(F.transform(F.col("violations"),
+                                     lambda v: v.getField("rule"))),
+            ",").alias("rules"))
+
+
+def q_text_pii(spark, sf_dir):
+    """PII scan over the documents table with deterministically planted
+    emails / IPv4s / phone numbers; base-text matches (if any) agree by
+    construction because both engines run the SAME regex dialect
+    subset (no lookaround, no backreferences)."""
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(i % 5 == 0, F.lit(" contact: crawler@example.com"))
+         .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" origin 10.42.0.7")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" call +1 555 123456"))
+         .otherwise(F.lit("")),
+    )
+    df = docs.select("doc_id", planted.alias("text"))
+    out = pii_features(df, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        "pii_free")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v_verdicts": q_v_verdicts,
@@ -659,9 +769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
         "events_json_open": q_events_json_open,
+        "events_json_recursive": q_events_json_recursive,
+        "events_json_unique": q_events_json_unique,
         "multimodal_meta": q_multimodal_meta,
         "simhash": q_simhash,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_pii": q_text_pii,
     }
 
 
@@ -1287,6 +1400,57 @@ def oracle_sql() -> dict[str, str]:
                    MIN(html_bytes) AS min_bytes,
                    MAX(html_bytes) AS max_bytes
             FROM web WHERE html_bytes IS NOT NULL
+        """,
+        "events_json_recursive": """
+            SELECT event_id,
+                   (rules = '') AS verdict,
+                   rules
+            FROM (
+              SELECT event_id,
+                     concat_ws(',',
+                       CASE WHEN event_id % 9 = 0 THEN 'maxLength' END,
+                       CASE WHEN event_id % 83 > 50 THEN 'maximum' END,
+                       CASE WHEN event_id % 3 > 0 AND event_id % 13 <> 0
+                                 AND (event_id * 7) % 83 > 50
+                            THEN 'maximum' END,
+                       CASE WHEN event_id % 3 = 1 AND event_id % 17 = 0
+                            THEN 'required' END,
+                       CASE WHEN event_id % 3 > 0 AND event_id % 13 = 0
+                            THEN 'type' END
+                     ) AS rules
+              FROM events)
+        """,
+        "events_json_unique": """
+            SELECT event_id,
+                   (rules = '') AS verdict,
+                   rules
+            FROM (
+              SELECT event_id,
+                     concat_ws(',',
+                       CASE WHEN event_id % 9 = 0 THEN 'maxItems' END,
+                       CASE WHEN event_id % 11 = 0 THEN 'type' END,
+                       CASE WHEN event_id % 4 = 0 THEN 'uniqueItems' END
+                     ) AS rules
+              FROM events)
+        """,
+        "text_pii": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS["email"]}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+                   (len(regexp_extract_all(t, '{PII_PATTERNS["email"]}'))
+                    + len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}'))
+                    + len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))) = 0 AS pii_free
+            FROM (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' contact: crawler@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' origin 10.42.0.7' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' call +1 555 123456' ELSE '' END AS t
+              FROM documents)
         """,
     }
 

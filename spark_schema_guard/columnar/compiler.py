@@ -920,14 +920,18 @@ class _PlanCompiler(_VariantSQLMixin):
         any_missing = F.lit(False)
         for _, flag in missing_flags:
             any_missing = any_missing | flag
-        # message lists ONLY the missing keys, sorted (draft04.py:525-528)
-        quoted = F.array_sort(F.filter(
-            F.array(*[F.when(flag, F.lit(f"'{key}'")) for key, flag in missing_flags]),
-            lambda x: x.isNotNull(),
-        ))
+        # message lists ONLY the missing keys, sorted (draft04.py:525-528:
+        # str(sorted(missing)) — sort the RAW names, then repr-quote).
+        # Sorted at COMPILE time and assembled with concat_ws (which skips
+        # NULLs), not filter+array_sort lambdas: one HOF in the output
+        # projection is CodegenFallback and drops the whole stage out of
+        # whole-stage codegen (pinned by test_plan_shape.py).
         message = F.concat(
             site.name_col, F.lit(" must contain ["),
-            F.concat_ws(", ", quoted), F.lit("] properties"),
+            F.concat_ws(", ", *[F.when(flag, F.lit(repr(key)))
+                                for key, flag in
+                                sorted(missing_flags, key=lambda kf: kf[0])]),
+            F.lit("] properties"),
         )
         return [Rule("required", site.sname, site.name_col, message,
                      site.present() & _null_false(any_missing))]

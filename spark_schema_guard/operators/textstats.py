@@ -237,3 +237,42 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix: int = 32) 
         F.length(norm).cast("string"),
     ))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# PII scanning — patterns deliberately restricted to syntax that Java's
+# regex and RE2 (DuckDB) interpret identically (no lookaround, no
+# backreferences), so the same literal pattern is the oracle's pattern.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,6}\b",
+}
+
+
+def pii_features(df: DataFrame, id_col: str, text_col: str, *,
+                 redact: bool = False,
+                 patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-doc PII signal for corpus filtering: one ``n_<kind>`` count per
+    pattern plus a ``pii_free`` verdict; with ``redact=True`` also a
+    ``redacted`` column with every match replaced by ``<KIND>``.
+
+    Scale shape: pure Column ``regexp_count``/``regexp_replace`` over the
+    scan — zero shuffle, whole-stage codegen, one pass per doc regardless
+    of pattern count.  The reference engine has no corpus operators; this
+    extends the web-pipeline family (SURVEY.md §2 extensions).
+    """
+    pats = dict(PII_PATTERNS if patterns is None else patterns)
+    text = F.col(text_col)
+    cols = [F.col(id_col)]
+    total = F.lit(0)
+    for kind in sorted(pats):
+        n = F.regexp_count(text, F.lit(pats[kind]))
+        cols.append(n.alias(f"n_{kind}"))
+        total = total + n
+    cols.append((total == 0).alias("pii_free"))
+    if redact:
+        red = text
+        for kind in sorted(pats):
+            red = F.regexp_replace(red, pats[kind], f"<{kind.upper()}>")
+        cols.append(red.alias("redacted"))
+    return df.select(*cols)

@@ -244,3 +244,26 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     # ids (AQE may plan either); the inner gram match must be broadcast
     gram_joins = [ln for ln in text.splitlines() if "Join Inner" in ln]
     assert all("BroadcastHashJoin" in ln for ln in gram_joins), gram_joins
+
+
+def test_violations_projection_stays_in_wholestage_codegen(spark, sf_dir):
+    """The violations array is a concat of per-rule conditional
+    singleton arrays, NOT filter(array(...), lambda): one higher-order
+    function in the output projection is CodegenFallback and drops the
+    whole stage out of whole-stage codegen, silently evaluating every
+    rule interpreted (A/B: ~1.5x on the headline query).  Pin: every
+    Project in the executed validation plan carries the codegen star."""
+    web = web_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
+    applied = plan.apply(web)
+    agg = applied.agg(F.sum(F.col("verdict").cast("long")),
+                      F.sum(F.size("violations")))
+    agg.collect()
+    # AQE prints "== Final Plan ==" (starred when codegen'd) followed by
+    # "== Initial Plan ==" (never starred) — scan only the executed one
+    text = _physical(agg).split("== Initial Plan ==")[0]
+    for line in text.split("\n"):
+        stripped = line.lstrip(" +-:*()0123456789")
+        if stripped.startswith("Project ["):
+            assert "*(" in line.split("Project")[0], (
+                "un-codegen'd Project in the validation plan:\n" + line)
