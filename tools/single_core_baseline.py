@@ -114,11 +114,17 @@ def main():
     if os.path.exists(path):
         with open(path) as fh:
             existing = fh.read()
-    # replace any previous section(s) instead of stacking duplicates
+    # replace ONLY this tool's section: keep everything from the next
+    # "## " heading on (memory probe, family scaling) intact
+    tail = ""
     if marker in existing:
-        existing = existing[:existing.index(marker)].rstrip() + "\n"
+        start = existing.index(marker)
+        nxt = existing.find("\n## ", start + len(marker))
+        if nxt != -1:
+            tail = existing[nxt:]
+        existing = existing[:start].rstrip() + "\n"
     with open(path, "w") as fh:
-        fh.write(existing + "\n".join(section) + "\n")
+        fh.write(existing + "\n".join(section) + "\n" + tail)
     print(f"reference: {n / t_ref:,.0f} docs/s | rowcheck: {n / t_mine:,.0f} "
           f"docs/s | written to {path}")
 
