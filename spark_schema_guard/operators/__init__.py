@@ -4,7 +4,7 @@ from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
-from .sampling import downsample, stratified_sample
+from .sampling import downsample, stratified_sample, take_token_budget
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 
@@ -25,6 +25,7 @@ __all__ = [
     "psi_by_unit",
     "downsample",
     "stratified_sample",
+    "take_token_budget",
     "duplicate_urls_normalized",
     "normalize_url",
     "ngram_decontaminate",

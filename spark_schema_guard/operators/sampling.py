@@ -107,3 +107,125 @@ def stratified_sample(
         )
 
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def take_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int | None = None,
+    *,
+    strata_col: str | None = None,
+    budgets: dict | None = None,
+    default_budget: int = 0,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Deterministic token-budget selection — the "mix to N tokens per
+    language/domain" step of a training-data pipeline.
+
+    Rows are ordered by ``(md5(id), id)`` within each stratum (the same
+    engine-portable order as ``stratified_sample(mode="exact")``) and
+    kept while the running token total of the PRECEDING kept rows is
+    below the stratum's budget: keep iff ``cum - tokens < budget`` with
+    ``cum`` the inclusive running sum.  The selection therefore always
+    takes at least one document of a non-empty stratum with a positive
+    budget, and overshoots by less than one document's tokens.  Same
+    inputs -> same selection on any cluster size or engine.
+
+    Call with either a global ``budget`` or ``strata_col`` +
+    ``budgets`` (stratum value -> budget; unlisted strata get
+    ``default_budget``, so the default mix DROPS unlisted strata).
+
+    NULL ids and NULL token counts cannot be ordered/budgeted
+    deterministically and are excluded (mirror of ``downsample``'s NULL
+    policy); negative token counts raise at runtime via the cast-free
+    filter below (they are excluded too — a doc cannot cost negative).
+
+    Scale shape (the 10^12-row argument): a naive per-stratum window
+    cumsum sorts EVERY stratum end-to-end.  Instead the md5 key's first
+    ``bucket_hex`` hex chars split each stratum into ``16**bucket_hex``
+    uniform buckets; one ``groupBy(stratum, bucket)`` computes bucket
+    token sums (map-side combine, driver sees strata x buckets rows),
+    the driver finds each stratum's BOUNDARY bucket by running total,
+    and the exact row-level cumsum window runs ONLY over boundary-bucket
+    rows — ~1/16**bucket_hex of the corpus; everything before the
+    boundary is kept by a pure bucket-prefix filter, everything after is
+    dropped the same way.  Raise ``bucket_hex`` (e.g. 4 -> 65,536
+    buckets) as the corpus grows so the boundary slice stays small.
+    """
+    if (budget is None) == (budgets is None):
+        raise ValueError("pass exactly one of budget= or budgets=")
+    if budgets is not None and strata_col is None:
+        raise ValueError("budgets= requires strata_col=")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError("bucket_hex must be in [1, 8]")
+    for b in ([budget] if budget is not None else
+              [default_budget, *budgets.values()]):
+        if b is None or b < 0:
+            raise ValueError("budgets must be non-negative integers")
+
+    stratum = (F.col(strata_col) if strata_col is not None
+               else F.lit(0)).alias("__stratum")
+    key = _hash_key(F.col(id_col))
+    data = (df.withColumn("__stratum", stratum)
+              .withColumn("__key", key)
+              .withColumn("__bkt", F.substring(key, 1, bucket_hex))
+              .where(F.col(id_col).isNotNull()
+                     & F.col(token_col).isNotNull()
+                     & (F.col(token_col) >= 0)))
+
+    sums = (data.groupBy("__stratum", "__bkt")
+            .agg(F.sum(F.col(token_col).cast("long")).alias("__tok"))
+            .collect())
+    per_stratum: dict = {}
+    for r in sums:
+        per_stratum.setdefault(r["__stratum"], []).append(
+            (r["__bkt"], r["__tok"]))
+
+    def budget_of(s):
+        if budget is not None:
+            return int(budget)
+        return int(budgets.get(s, default_budget))
+
+    # (stratum, boundary_bucket, tokens_before_boundary, budget); a
+    # stratum whose total never reaches its budget has no boundary row
+    # -> every bucket passes the prefix filter
+    boundary_rows = []
+    for s, buckets in per_stratum.items():
+        b = budget_of(s)
+        if b == 0:
+            boundary_rows.append((s, "", 0, 0))  # "" sorts before any bkt
+            continue
+        cum = 0
+        boundary = None
+        for bkt, tok in sorted(buckets):
+            if cum + tok >= b:
+                boundary = (s, bkt, cum, b)
+                break
+            cum += tok
+        if boundary is not None:
+            boundary_rows.append(boundary)
+
+    if not boundary_rows:
+        return data.drop("__stratum", "__key", "__bkt")
+
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        boundary_rows, "__stratum " + ("string" if strata_col else "int")
+        + ", __bb string, __base long, __budget long")
+    joined = data.join(F.broadcast(bdf), data["__stratum"].eqNullSafe(
+        bdf["__stratum"]), "left").drop(bdf["__stratum"])
+
+    aux = ["__stratum", "__key", "__bkt", "__bb", "__base", "__budget"]
+    # no boundary row for this stratum -> total < budget -> keep all
+    before = joined.where(F.col("__bb").isNull()
+                          | (F.col("__bkt") < F.col("__bb"))).drop(*aux)
+    w = (Window.partitionBy("__stratum")
+         .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at = (joined.where(F.col("__bkt") == F.col("__bb"))
+          .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+          .where(F.col("__base") + F.col("__cum") - F.col(token_col)
+                 < F.col("__budget"))
+          .drop("__cum", *aux))
+    return before.unionByName(at)

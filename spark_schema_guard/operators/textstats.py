@@ -239,6 +239,45 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix: int = 32) 
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
+                    chunk_tokens: int = 256, overlap: int = 0) -> DataFrame:
+    """Split each document into fixed-size whitespace-token windows —
+    the standard training-data prep step before tokenization proper.
+
+    Returns ``(id, chunk_id, n_chunk_tokens, chunk_text)``: chunk ``c``
+    covers tokens ``[c*stride, c*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk may be shorter;
+    blank/whitespace-only docs produce NO chunks.
+
+    Scale shape: one Generate (explode of a per-doc ``sequence`` of
+    chunk ids) over the scan, then ``slice`` + ``array_join`` — all
+    codegen-capable built-ins, no lambda higher-order functions, zero
+    shuffle.  Output rows ~= corpus tokens / stride regardless of doc
+    skew, and no per-doc window or sort is involved, so a single giant
+    document costs only its own chunk count.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    text = F.col(text_col)
+    n = token_count(text)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / stride).cast("int")
+    base = df.select(
+        F.col(id_col), _tokens(text).alias("__toks"),
+        # empty array (not NULL) so explode drops blank docs outright
+        F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1))
+         .otherwise(F.array().cast("array<int>")).alias("__chunk_ids"))
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1,
+                    chunk_tokens)
+    return (base.select(F.col(id_col), "__toks",
+                        F.explode("__chunk_ids").alias("chunk_id"))
+                .select(F.col(id_col), F.col("chunk_id"),
+                        F.size(piece).alias("n_chunk_tokens"),
+                        F.array_join(piece, " ").alias("chunk_text")))
+
+
 # PII scanning — patterns deliberately restricted to syntax that Java's
 # regex and RE2 (DuckDB) interpret identically (no lookaround, no
 # backreferences), so the same literal pattern is the oracle's pattern.

@@ -419,3 +419,47 @@ def test_stream_repetition_window(spark, tmp_path):
     # doc1: top gram 'spam' 4/4 = 1.0; doc2: 1/5 = 0.2
     assert abs(row["mean_top_gram_frac"] - 0.6) < 1e-9
     assert row["repetitive_share"] == 0.5
+
+
+def test_stream_pii_and_chunks_stateless(spark, tmp_path):
+    """pii_features and chunk_documents are pure projections (zero
+    shuffle, no aggregation), so they run UNCHANGED on a streaming
+    DataFrame in append mode — streaming results match the batch
+    operators row-for-row on the same input."""
+    from spark_schema_guard.operators.textstats import (
+        chunk_documents, pii_features)
+
+    docs = [(1, "mail a@b.io from 10.0.0.1 " + "tok " * 40),
+            (2, "clean text " * 3),
+            (3, "")]
+    src = str(tmp_path / "pii_src")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    batch_pii = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["pii_free"])
+                 for r in pii_features(static, "doc_id", "text").collect()}
+    batch_chunks = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(static, "doc_id", "text",
+                                 chunk_tokens=16, overlap=4).collect())
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q1 = (pii_features(stream, "doc_id", "text")
+          .writeStream.format("memory").queryName("s_pii")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2 = (chunk_documents(stream, "doc_id", "text",
+                          chunk_tokens=16, overlap=4)
+          .writeStream.format("memory").queryName("s_chunks")
+          .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    got_pii = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["pii_free"])
+               for r in spark.sql("SELECT * FROM s_pii").collect()}
+    got_chunks = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM s_chunks").collect())
+    assert got_pii == batch_pii
+    assert batch_pii[1][2] is False and batch_pii[2][2] is True
+    assert got_chunks == batch_chunks and len(batch_chunks) >= 4

@@ -668,3 +668,141 @@ def test_ngram_decontaminate_self_corpus(spark, sf_dir):
         expect = len(mine & bench_grams)
         assert out[r["doc_id"]]["n_matched_ngrams"] == expect
         assert out[r["doc_id"]]["contaminated"] is (expect > 0)
+
+
+def test_pii_features_hand_computed(spark):
+    from spark_schema_guard.operators.textstats import pii_features
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-ample.co.uk or b@x.io, from 10.0.0.1"),
+         (2, "clean prose with an at sign @ but no address"),
+         (3, "call +44 123 45678 twice: +44 123 45678"),
+         (4, None),
+         (5, "")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r.asDict()
+            for r in pii_features(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 0 and rows[1]["pii_free"] is False
+    assert rows[2] == {"doc_id": 2, "n_email": 0, "n_ipv4": 0,
+                       "n_phone": 0, "pii_free": True}
+    assert rows[3]["n_phone"] == 2 and rows[3]["pii_free"] is False
+    # NULL text: counts NULL (unknown), never a false "pii_free" claim
+    assert rows[4]["n_email"] is None and rows[4]["pii_free"] is None
+    assert rows[5]["pii_free"] is True
+
+    red = {r["doc_id"]: r["redacted"]
+           for r in pii_features(df, "doc_id", "text",
+                                 redact=True).collect()}
+    assert red[1] == "mail me at <EMAIL> or <EMAIL>, from <IPV4>"
+    assert red[2] == "clean prose with an at sign @ but no address"
+    assert red[3] == "call <PHONE> twice: <PHONE>"
+
+    # custom bank replaces the default one entirely
+    custom = {r["doc_id"]: r.asDict()
+              for r in pii_features(df, "doc_id", "text",
+                                    patterns={"ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"}).collect()}
+    assert set(custom[1]) == {"doc_id", "n_ssn", "pii_free"}
+    assert custom[1]["n_ssn"] == 0 and custom[1]["pii_free"] is True
+
+
+def test_chunk_documents_hand_computed(spark):
+    from spark_schema_guard.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),   # 10 tokens
+         (2, "x y"),                    # shorter than one chunk
+         (3, ""), (4, "   "), (5, None)],
+        ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = sorted((r["doc_id"], r["chunk_id"], r["n_chunk_tokens"],
+                   r["chunk_text"]) for r in out.collect())
+    # stride 3: starts 0,3,6,9 -> ceil(max(10-1,1)/3) = 3 chunks
+    assert rows == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),
+        (1, 2, 4, "g h i j"),
+        (2, 0, 2, "x y"),
+    ]
+    # overlap=0 partitions exactly; every token appears once
+    flat = " ".join(r["chunk_text"] for r in
+                    chunk_documents(df.where("doc_id = 1"), "doc_id",
+                                    "text", chunk_tokens=3)
+                    .orderBy("chunk_id").collect())
+    assert flat == "a b c d e f g h i j"
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_take_token_budget_matches_reference_loop(spark):
+    import hashlib
+
+    from spark_schema_guard.operators import take_token_budget
+
+    rows = [(i, ["en", "de", "fr", None][i % 4], (i * 7) % 13)
+            for i in range(80)]
+    # NULL id / NULL tokens are excluded; a zero-token doc is "free"
+    rows += [(None, "en", 5), (1000, "en", None), (1001, "zz", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    budgets = {"en": 60, "de": 10 ** 9, "fr": 0}
+
+    def expect():
+        per = {}
+        for i, lang, tok in rows:
+            if i is None or tok is None:
+                continue
+            key = hashlib.md5(str(i).encode()).hexdigest()[:15]
+            per.setdefault(lang, []).append((key, i, tok))
+        keep = set()
+        for lang, docs in per.items():
+            b, cum = budgets.get(lang, 25), 0
+            for _, i, tok in sorted(docs):
+                if cum < b:  # == cum_inclusive - tok < b
+                    keep.add(i)
+                cum += tok
+        return keep
+
+    want = expect()
+    assert want  # the scenario actually selects something
+    # bucket_hex must not change the answer: coarse buckets exercise the
+    # boundary-window branch, fine buckets make most buckets full-keep
+    for bh in (1, 2, 3):
+        out = take_token_budget(df, "doc_id", "tokens", strata_col="lang",
+                                budgets=budgets, default_budget=25,
+                                bucket_hex=bh)
+        assert out.columns == df.columns
+        assert {r["doc_id"] for r in out.collect()} == want, bh
+
+    # keep-all stratum really keeps all: de rows all present
+    de = {i for i, lang, tok in rows
+          if lang == "de" and i is not None and tok is not None}
+    assert de <= want
+    # budget-0 stratum drops everything, incl. zero-token docs
+    assert all(lang != "fr" for i, lang, tok in rows if i in want)
+
+    # global (stratum-free) budget against the same loop
+    flat = [(i, "x", t) for i, _, t in rows]
+    got = {r["doc_id"] for r in take_token_budget(
+        spark.createDataFrame(flat, "doc_id long, lang string, tokens long"),
+        "doc_id", "tokens", 100).collect()}
+    per = sorted((hashlib.md5(str(i).encode()).hexdigest()[:15], i, t)
+                 for i, _, t in flat if i is not None and t is not None)
+    cum, keep = 0, set()
+    for _, i, t in per:
+        if cum < 100:
+            keep.add(i)
+        cum += t
+    assert got == keep
+
+    with pytest.raises(ValueError):
+        take_token_budget(df, "doc_id", "tokens")  # neither form
+    with pytest.raises(ValueError):
+        take_token_budget(df, "doc_id", "tokens", 10, budgets={"en": 1},
+                          strata_col="lang")  # both forms
+    with pytest.raises(ValueError):
+        take_token_budget(df, "doc_id", "tokens", budgets={"en": -1},
+                          strata_col="lang")
+    with pytest.raises(ValueError):
+        take_token_budget(df, "doc_id", "tokens", 10, bucket_hex=0)
