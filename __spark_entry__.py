@@ -416,6 +416,30 @@ def q_sample_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-wide duplicate-line removal over a deterministic
+    line-structured view of the documents table: docs are rebuilt as
+    8-token lines (chunk_documents windows joined by newlines), then
+    unioned with an id-shifted copy of themselves so EVERY line of the
+    copy is a cross-doc duplicate; dedup_lines must keep each line's
+    globally-first occurrence only.  The DuckDB oracle replays the same
+    construction and picks winners with a row_number window over the
+    identical (id, pos) order."""
+    from spark_schema_guard.operators.dedup import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=8)
+    lined = (chunks.groupBy("doc_id")
+             .agg(F.array_join(
+                 F.sort_array(F.collect_list(
+                     F.struct("chunk_id", "chunk_text")))
+                 .getField("chunk_text"), "\n").alias("text")))
+    both = lined.unionByName(
+        lined.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return dedup_lines(both, "doc_id", "text", min_len=10)
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Token-budget data mixing: per-lang deterministic md5-order
     selection up to a token budget (en 5000 / de 9999 (= keep-all at
@@ -783,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_lines": q_dedup_lines,
         "web_domain_skew": q_web_domain_skew,
         "sample_mix": q_sample_mix,
         "sample_token_budget": q_sample_token_budget,
@@ -1253,6 +1278,53 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < thr
                OR (doc_id IS NULL AND thr = 'g')
+        """,
+        "dedup_lines": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ), ids AS (
+              SELECT doc_id, t,
+                     CAST(ceil(greatest(n, 1) / 8.0) AS INT) AS n_chunks
+              FROM toks WHERE n > 0
+            ), chunks AS (
+              SELECT doc_id, g AS chunk_id,
+                     array_to_string(t[g*8+1 : g*8+8], ' ') AS line
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, n_chunks - 1)) AS g
+                    FROM ids)
+            ), lined AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY chunk_id) AS text
+              FROM chunks GROUP BY doc_id
+            ), doubled AS (
+              SELECT doc_id, text FROM lined
+              UNION ALL
+              SELECT doc_id + 100000, text FROM lined
+            ), l AS (
+              SELECT doc_id, i - 1 AS pos, ls[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM doubled) s,
+                   UNNEST(generate_series(1, len(ls))) AS u(i)
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN length(line) >= 10
+                          THEN row_number() OVER (
+                                 PARTITION BY md5(line)
+                                 ORDER BY doc_id, pos) = 1
+                          ELSE TRUE END AS keep
+              FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept
+            FROM k GROUP BY doc_id
         """,
         "sample_token_budget": r"""
             WITH t AS (

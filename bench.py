@@ -236,6 +236,24 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         "text", n=8).agg(
         F.sum(F.col("contaminated").cast("long")),
         F.sum("n_matched_ngrams")).collect())
+    from spark_schema_guard.operators.dedup import dedup_lines
+
+    def lines_leg():
+        # line-structured corpus derived like the gate query: 8-token
+        # lines + an id-shifted copy so half of all long lines are dups
+        from spark_schema_guard.operators.textstats import chunk_documents
+        chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=8)
+        lined = chunks.groupBy("doc_id").agg(
+            F.array_join(F.sort_array(F.collect_list(
+                F.struct("chunk_id", "chunk_text"))).getField("chunk_text"),
+                "\n").alias("text"))
+        both = lined.unionByName(lined.select(
+            (F.col("doc_id") + 10 ** 6).alias("doc_id"), "text"))
+        return dedup_lines(both, "doc_id", "text", min_len=10).agg(
+            F.sum("n_lines"), F.sum("n_kept"),
+            F.sum(F.length("text"))).collect()
+
+    timed("dedup_lines", lines_leg)
     from spark_schema_guard.operators.textstats import pii_features
     # consumer sums EVERY count column: a bare .count() would let
     # Catalyst prune the regexes under test

@@ -34,6 +34,77 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 30,
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal — the C4-style pipeline step
+    ("keep only one occurrence of any repeated span"): every line whose
+    length is >= ``min_len`` survives only in its globally FIRST
+    occurrence, ordered by ``(id, line position)`` — deterministic on
+    any cluster size.  Shorter lines never participate and are always
+    kept: below ~a sentence they are legitimate boilerplate ("Home",
+    section headers) whose removal harms documents, and they are exactly
+    the hot keys that would skew the shuffle.
+
+    Returns ``(id, text, n_lines, n_kept)``: ``text`` rebuilt from the
+    surviving lines in original order (empty string when a document
+    loses every line; NULL text stays NULL), ``n_lines``/``n_kept`` the
+    before/after line counts.  ``split_pattern`` is a Java regex (the
+    default splits on newlines); ``join_sep`` is the literal separator
+    of the rebuilt text.
+
+    Scale shape (10^12-row argument): posexplode(split) -> ONE
+    ``groupBy(md5(line))`` keeping the MIN ``(id, pos)`` occurrence —
+    map-side combine collapses every distinct line to one row per
+    partition before the shuffle, so a line repeated 10^6 times costs
+    its occurrence count only locally -> shuffle join back on the line
+    hash (the winner side has exactly one row per DISTINCT line, so the
+    join has no duplicate build keys and AQE's skew split covers
+    popular lines) -> ONE ``groupBy(id)`` reassembling surviving lines
+    ordered by position (per-document memory, no corpus-wide sort or
+    window).  Shuffle volume ~ corpus lines; reassembly avoids lambda
+    HOFs (``sort_array(collect_list(struct))`` + ``getField``) so the
+    projection stays in whole-stage codegen.
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.split(F.col(text_col), split_pattern)).alias("pos", "line"),
+    ).withColumn("__h", F.md5("line"))
+    eligible = F.col("line").isNotNull() & (F.length("line") >= min_len)
+
+    winners = (lines.where(eligible)
+               .groupBy("__h")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("pos").alias("p"))).alias("__w")))
+    keep = (~eligible) | ((F.col("__w.i") == F.col(id_col))
+                          & (F.col("__w.p") == F.col("pos")))
+    marked = (lines.join(winners, "__h", "left")
+              .withColumn("__keep", keep))
+    surviving = F.when(F.col("__keep") & F.col("line").isNotNull(),
+                       F.struct(F.col("pos"), F.col("line")))
+    return (marked.groupBy(id_col).agg(
+        F.array_join(F.sort_array(F.collect_list(surviving))
+                      .getField("line"), join_sep).alias("__text"),
+        F.count("line").alias("n_lines"),
+        F.count(F.when(F.col("__keep") & F.col("line").isNotNull(), 1)
+                ).alias("n_kept"),
+        F.max(F.col("line").isNotNull()).alias("__has"))
+        .select(F.col(id_col),
+                F.when(F.col("__has"), F.col("__text"))
+                 .otherwise(F.lit(None).cast("string")).alias(text_col),
+                F.col("n_lines").cast("int").alias("n_lines"),
+                F.col("n_kept").cast("int").alias("n_kept")))
+
+
 def _shingle_array(text: Column, k: int) -> Column:
     """All k-character shingles of a string as an array (JVM-side);
     strings shorter than k shingle to themselves."""

@@ -806,3 +806,51 @@ def test_take_token_budget_matches_reference_loop(spark):
                           strata_col="lang")
     with pytest.raises(ValueError):
         take_token_budget(df, "doc_id", "tokens", 10, bucket_hex=0)
+
+
+def test_dedup_lines_matches_reference_loop(spark):
+    from spark_schema_guard.operators.dedup import dedup_lines
+
+    docs = [
+        (1, "the same long boilerplate line here\nunique alpha\nshort"),
+        (2, "unique beta\nthe same long boilerplate line here\nshort"),
+        (3, "the same long boilerplate line here\n"
+            "the same long boilerplate line here\nunique gamma"),
+        (4, ""),          # one empty line, always kept
+        (5, None),        # NULL text stays NULL
+        (6, "short\nshort\nshort"),  # below min_len: never deduped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    min_len = 10
+
+    def expect():
+        seen, out = set(), {}
+        for i, text in sorted(docs):  # (id, pos) order == doc order here
+            if text is None:
+                out[i] = (None, 0, 0)
+                continue
+            lines = text.split("\n")
+            kept = []
+            for ln in lines:
+                if len(ln) >= min_len:
+                    if ln in seen:
+                        continue
+                    seen.add(ln)
+                kept.append(ln)
+            out[i] = ("\n".join(kept), len(lines), len(kept))
+        return out
+
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in dedup_lines(df, "doc_id", "text",
+                                min_len=min_len).collect()}
+    want = expect()
+    assert got == want
+    # the boilerplate survives exactly once, in doc 1 (first occurrence)
+    assert got[1][0].startswith("the same long boilerplate")
+    assert "boilerplate" not in got[2][0] and "boilerplate" not in got[3][0]
+    # a doc can lose a line to ITSELF (doc 3's second copy)
+    assert got[3] == ("unique gamma", 3, 1)
+    assert got[4] == ("", 1, 1) and got[5] == (None, 0, 0)
+    assert got[6] == ("short\nshort\nshort", 3, 3)
+    with pytest.raises(ValueError):
+        dedup_lines(df, "doc_id", "text", min_len=0)

@@ -267,3 +267,22 @@ def test_violations_projection_stays_in_wholestage_codegen(spark, sf_dir):
         if stripped.startswith("Project ["):
             assert "*(" in line.split("Project")[0], (
                 "un-codegen'd Project in the validation plan:\n" + line)
+
+
+def test_dedup_lines_plan_shape(spark, sf_dir):
+    """dedup_lines must be groupBy-shaped end to end: partial (map-side)
+    aggregation before BOTH shuffles (winner selection and reassembly),
+    no window over the corpus, no cartesian product, and the reassembly
+    projection free of lambda higher-order functions."""
+    from spark_schema_guard.operators.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    text = _physical(dedup_lines(docs, "doc_id", "text", min_len=10))
+    assert "Window" not in text, text[:2000]
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    # both aggregations run partial_ merge combiners (map-side combine)
+    assert text.count("partial_") >= 2, text[:2000]
+    # no lambda HOF in the projection (lambdafunction prints in plans)
+    assert "lambdafunction" not in text.lower(), text[:2000]

@@ -69,7 +69,10 @@ def arrow_rows(table):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # accept "--only a,b" / bare names / comma lists; an unknown name
+    # must FAIL, not silently select nothing (a vacuous "all match")
+    only = {n for a in sys.argv[2:] if a != "--only"
+            for n in a.split(",") if n}
 
     import duckdb
 
@@ -85,10 +88,15 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        sys.exit(f"unknown query names: {sorted(unknown)}")
     failures = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir)
             srows, scols = arrow_rows(sdf.toArrow())
@@ -128,7 +136,7 @@ def main():
     if failures:
         print(f"{len(failures)} FAILURES: {[n for n, _ in failures]}")
         sys.exit(1)
-    print("all queries match their oracles")
+    print(f"all {n_checked} checked queries match their oracles")
 
 
 if __name__ == "__main__":
