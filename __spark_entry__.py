@@ -47,7 +47,7 @@ from spark_schema_guard.operators.similarity import cosine_topk  # noqa: E402
 from spark_schema_guard.operators.textstats import (  # noqa: E402
     PII_PATTERNS, bpe_ish_token_count, chunk_documents, fingerprint,
     language_guess, pii_features, quality_features, repetition_features,
-    token_count,
+    token_count, token_vocabulary,
 )
 from spark_schema_guard.webgen import WEB_PAGE_SCHEMA, languages, web_pages  # noqa: E402
 
@@ -757,6 +757,17 @@ def q_text_chunks(spark, sf_dir):
         "chunk_text")
 
 
+def q_text_vocab(spark, sf_dir):
+    """Top-40 corpus vocabulary (lowercased whitespace tokens seen >= 2
+    times) with occurrence/document counts and corpus share — the
+    tokenizer-training prep op; oracle recomputes the same two-level
+    aggregation and deterministic (count DESC, token ASC) rank."""
+    docs = _read(spark, sf_dir, "documents")
+    out = token_vocabulary(docs, "doc_id", "text", k=40, min_count=2)
+    return out.select("rank", "token", "n_occurrences", "n_docs",
+                      F.round("share", 6).alias("share"))
+
+
 def q_text_pii(spark, sf_dir):
     """PII scan over the documents table with deterministically planted
     emails / IPv4s / phone numbers; base-text matches (if any) agree by
@@ -834,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_chunks": q_text_chunks,
         "text_pii": q_text_pii,
+        "text_vocab": q_text_vocab,
     }
 
 
@@ -1583,6 +1595,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, t,
                          unnest(generate_series(0, n_chunks - 1)) AS g
                   FROM ids)
+        """,
+        "text_vocab": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, token FROM toks WHERE token <> ''
+            ), pairs AS (
+              SELECT token, doc_id, count(*) AS n FROM tk GROUP BY 1, 2
+            ), vocab0 AS (
+              SELECT token, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+                     COUNT(*) AS n_docs
+              FROM pairs GROUP BY token
+            ), tot AS (SELECT SUM(n_occurrences) AS t FROM vocab0),
+            vocab AS (
+              SELECT * FROM vocab0 WHERE n_occurrences >= 2
+            ), ranked AS (
+              SELECT token, n_occurrences, n_docs,
+                     n_occurrences * 1.0 / t AS share,
+                     ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                        token ASC) AS rank
+              FROM vocab, tot)
+            SELECT rank, token, n_occurrences, n_docs,
+                   round(share, 6) AS share
+            FROM ranked WHERE rank <= 40
         """,
         "text_pii": f"""
             SELECT doc_id,

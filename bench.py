@@ -254,6 +254,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum(F.length("text"))).collect()
 
     timed("dedup_lines", lines_leg)
+    from spark_schema_guard.operators.textstats import token_vocabulary
+    timed("text_vocab", lambda: token_vocabulary(
+        docs, "doc_id", "text", k=1000, min_count=2).collect())
     from spark_schema_guard.operators.textstats import pii_features
     # consumer sums EVERY count column: a bare .count() would let
     # Catalyst prune the regexes under test

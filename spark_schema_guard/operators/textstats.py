@@ -239,6 +239,53 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix: int = 32) 
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def token_vocabulary(df: DataFrame, id_col: str, text_col: str, *,
+                     k: int = 1000, lowercase: bool = True,
+                     min_count: int = 1) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency — the
+    tokenizer-training / stopword-extraction prep step.  Returns
+    ``rank, token, n_occurrences, n_docs, share`` (share of ALL corpus
+    token occurrences; rank deterministic: count DESC, token ASC).
+
+    Scale shape: explode(tokens) -> TWO stacked map-side-combining
+    aggregations — ``groupBy(token, id)`` then ``groupBy(token)`` —
+    give exact per-token document counts WITHOUT a count-distinct
+    expand, and the hot shuffle (first level) is keyed by (token, doc)
+    so even a stop-word's rows spread over its documents rather than
+    one reducer.  The top-k itself is ``ORDER BY ... LIMIT k``
+    (TakeOrderedAndProject: partition-local top-k, k·P-row merge — the
+    heavy_hitters shape), never a full sort or single-partition window
+    over the distinct vocabulary.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    text = F.col(text_col)
+    tok = F.explode(_tokens(F.lower(text) if lowercase else text))
+    toks = (df.select(F.col(id_col).alias("__id"), tok.alias("token"))
+            .where(F.col("token") != ""))
+    pairs = (toks.groupBy("token", "__id")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    vocab = (pairs.groupBy("token")
+             .agg(F.sum("__n").alias("n_occurrences"),
+                  F.count(F.lit(1)).alias("n_docs")))
+    from pyspark.sql.window import Window
+
+    # share denominates over ALL corpus occurrences — computed before
+    # the min_count cut, so pruning the tail never inflates shares
+    total = vocab.agg(F.sum("n_occurrences").alias("__t"))
+    if min_count > 1:
+        vocab = vocab.where(F.col("n_occurrences") >= min_count)
+    topk = (vocab.crossJoin(F.broadcast(total))
+            .withColumn("share", F.col("n_occurrences") / F.col("__t"))
+            .drop("__t")
+            .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            .limit(k))
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "token", "n_occurrences", "n_docs", "share"))
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
                     chunk_tokens: int = 256, overlap: int = 0) -> DataFrame:
     """Split each document into fixed-size whitespace-token windows —

@@ -854,3 +854,34 @@ def test_dedup_lines_matches_reference_loop(spark):
     assert got[6] == ("short\nshort\nshort", 3, 3)
     with pytest.raises(ValueError):
         dedup_lines(df, "doc_id", "text", min_len=0)
+
+
+def test_token_vocabulary_hand_computed(spark):
+    from spark_schema_guard.operators.textstats import token_vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog and THE bird"),
+         (2, "a cat, a plan"),
+         (3, ""), (4, None), (5, "zebra")],
+        "doc_id long, text string")
+    rows = token_vocabulary(df, "doc_id", "text", k=3).collect()
+    got = [(r["rank"], r["token"], r["n_occurrences"], r["n_docs"])
+           for r in rows]
+    # the: 3x in doc1; and: 2x in doc1; a: 2x in doc2; "and" < "a"? no:
+    # ties broken token ASC -> ("a", 2) before ("and", 2)
+    assert got == [(1, "the", 3, 1), (2, "a", 2, 1), (3, "and", 2, 1)]
+    shares = {r["token"]: r["share"] for r in rows}
+    # 13 non-empty tokens total ("cat," counts as its own token)
+    assert shares["the"] == pytest.approx(3 / 13)
+
+    # min_count prunes singletons; case preserved with lowercase=False
+    vs = {r["token"]: r["n_occurrences"]
+          for r in token_vocabulary(df, "doc_id", "text", k=50,
+                                    lowercase=False).collect()}
+    assert vs["The"] == 1 and vs["THE"] == 1 and vs["the"] == 1
+    only2 = {r["token"] for r in
+             token_vocabulary(df, "doc_id", "text", k=50,
+                              min_count=2).collect()}
+    assert only2 == {"the", "a", "and"}
+    with pytest.raises(ValueError):
+        token_vocabulary(df, "doc_id", "text", k=0)
