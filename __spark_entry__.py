@@ -416,6 +416,17 @@ def q_sample_mix(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_sample_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (salted md5 ranges); the
+    oracle recomputes the identical CASE over md5(id || '#split')."""
+    from spark_schema_guard.operators import assign_splits
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
 def q_dedup_lines(spark, sf_dir):
     """C4-style corpus-wide duplicate-line removal over a deterministic
     line-structured view of the documents table: docs are rebuilt as
@@ -822,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_skew": q_web_domain_skew,
         "sample_mix": q_sample_mix,
         "sample_token_budget": q_sample_token_budget,
+        "sample_splits": q_sample_splits,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
         "ann_near_dups_blocked": q_ann_near_dups_blocked,
@@ -1337,6 +1349,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_lines,
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept
             FROM k GROUP BY doc_id
+        """,
+        "sample_splits": """
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id IS NULL THEN NULL
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+                                 1, 15) < 'ccccccccccccd00' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+                                 1, 15) < 'e66666666666680' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "sample_token_budget": r"""
             WITH t AS (

@@ -127,10 +127,19 @@ def main():
     mixed = take_token_budget(
         mixed.withColumn("__tok", token_count(F.col("text"))),
         "doc_id", "__tok", strata_col="lang",
-        budgets={"en": 60_000}, default_budget=20_000).drop("__tok")
+        budgets={"en": 1_500}, default_budget=400).drop("__tok")
     report["token_budget"] = {r["lang"]: r["n"] for r in
                               mixed.groupBy("lang").agg(
                                   F.count(F.lit(1)).alias("n")).collect()}
+
+    # deterministic train/val/test columns (salted md5 — survives
+    # re-runs, repartitioning AND the sampling above)
+    from spark_schema_guard.operators import assign_splits
+    mixed = assign_splits(mixed, "doc_id",
+                          {"train": 0.9, "val": 0.05, "test": 0.05})
+    report["splits"] = {r["split"]: r["n"] for r in
+                        mixed.groupBy("split").agg(
+                            F.count(F.lit(1)).alias("n")).collect()}
 
     # -- 5. chunk + audited, resumable write ------------------------------
     corpus_path = os.path.join(out_dir, "corpus")

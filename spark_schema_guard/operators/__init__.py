@@ -4,7 +4,8 @@ from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
-from .sampling import downsample, stratified_sample, take_token_budget
+from .sampling import (assign_splits, downsample, stratified_sample,
+                       take_token_budget)
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 
@@ -23,6 +24,7 @@ __all__ = [
     "ks_by_unit",
     "ks_drift",
     "psi_by_unit",
+    "assign_splits",
     "downsample",
     "stratified_sample",
     "take_token_budget",

@@ -109,6 +109,60 @@ def stratified_sample(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict | None = None,
+    *,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: append ``split_col``
+    naming the split whose cumulative md5-threshold range contains
+    ``md5(id || '#split')``.  Ranges follow ``weights``' item order
+    (first entry owns the lowest hash range); weights must sum to 1.
+    The same row lands in the same split on any cluster size, any
+    engine, any day.
+
+    The hash is SALTED with ``'#split'`` so it is independent of
+    ``downsample``/``stratified_sample``'s unsalted key: sharing that
+    key would make the two perfectly correlated — after
+    ``downsample(0.5)`` every survivor has an unsalted hash < 0.5 and
+    would land entirely inside the first split's range, leaving val and
+    test EMPTY.  With the salt, a downsampled corpus preserves its
+    split proportions (binomially).
+
+    NULL ids cannot be assigned deterministically: their split is NULL
+    (filter or fill upstream).  Pure projection — zero shuffle, zero
+    state; the 10^12-row cost is the md5 itself.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for name, wt in weights.items():
+        if not isinstance(name, str) or not 0.0 <= wt <= 1.0:
+            raise ValueError("weights maps split name -> fraction in [0,1]")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#split"))),
+        1, 15)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    # build the CASE from the LAST range backwards so the first entry
+    # ends up the outermost (lowest-threshold) branch
+    edges = []
+    for name, wt in weights.items():
+        cum += wt
+        edges.append((name, _threshold_hex(min(cum, 1.0))))
+    edges[-1] = (edges[-1][0], "g")  # top range closed despite rounding
+    for name, hex_edge in reversed(edges):
+        expr = F.when(key < F.lit(hex_edge), F.lit(name)).otherwise(expr)
+    return df.withColumn(
+        split_col, F.when(F.col(id_col).isNull(),
+                          F.lit(None).cast("string")).otherwise(expr))
+
+
 def take_token_budget(
     df: DataFrame,
     id_col: str,

@@ -885,3 +885,47 @@ def test_token_vocabulary_hand_computed(spark):
     assert only2 == {"the", "a", "and"}
     with pytest.raises(ValueError):
         token_vocabulary(df, "doc_id", "text", k=0)
+
+
+def test_assign_splits_deterministic_and_complete(spark):
+    import hashlib
+
+    from spark_schema_guard.operators import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(2000)] + [(None,)],
+                               "doc_id long")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"]
+           for r in assign_splits(df, "doc_id", weights).collect()}
+    assert out[None] is None
+    counts = {}
+    for i in range(2000):
+        counts[out[i]] = counts.get(out[i], 0) + 1
+    # every non-null row assigned; proportions near the weights
+    assert set(counts) == set(weights)
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # the assignment is the documented pure function of md5(id#split)
+    for i in (0, 7, 1999):
+        key = hashlib.md5(f"{i}#split".encode()).hexdigest()[:15]
+        frac = int(key, 16) / 16 ** 15
+        want = "train" if frac < 0.8 else ("val" if frac < 0.9 else "test")
+        assert out[i] == want, i
+    # repartitioning must not move anybody (no RNG anywhere)
+    out2 = {r["doc_id"]: r["split"]
+            for r in assign_splits(df.repartition(13), "doc_id",
+                                   weights).collect()}
+    assert out == out2
+    # the salt decorrelates from downsample's unsalted hash: a halved
+    # corpus still contains ALL THREE splits in ~the same proportions
+    # (an unsalted key would put every survivor in 'train')
+    from spark_schema_guard.operators import downsample
+    kept = {r["doc_id"] for r in downsample(df, "doc_id", 0.5).collect()}
+    kept_counts = {}
+    for i in kept:
+        kept_counts[out[i]] = kept_counts.get(out[i], 0) + 1
+    assert set(kept_counts) == set(weights)
+    assert 0.7 < kept_counts["train"] / len(kept) < 0.9
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"a": 0.5})
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {})
