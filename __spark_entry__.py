@@ -437,18 +437,11 @@ def q_dedup_lines(spark, sf_dir):
     construction and picks winners with a row_number window over the
     identical (id, pos) order."""
     from spark_schema_guard.operators.dedup import dedup_lines
+    from spark_schema_guard.webgen import lined_docs
 
     docs = _read(spark, sf_dir, "documents").where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=8)
-    lined = (chunks.groupBy("doc_id")
-             .agg(F.array_join(
-                 F.sort_array(F.collect_list(
-                     F.struct("chunk_id", "chunk_text")))
-                 .getField("chunk_text"), "\n").alias("text")))
-    both = lined.unionByName(
-        lined.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    return dedup_lines(both, "doc_id", "text", min_len=10)
+    return dedup_lines(lined_docs(docs), "doc_id", "text", min_len=10)
 
 
 def q_sample_token_budget(spark, sf_dir):

@@ -239,17 +239,11 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.dedup import dedup_lines
 
     def lines_leg():
-        # line-structured corpus derived like the gate query: 8-token
+        # the gate query's exact construction (shared helper): 8-token
         # lines + an id-shifted copy so half of all long lines are dups
-        from spark_schema_guard.operators.textstats import chunk_documents
-        chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=8)
-        lined = chunks.groupBy("doc_id").agg(
-            F.array_join(F.sort_array(F.collect_list(
-                F.struct("chunk_id", "chunk_text"))).getField("chunk_text"),
-                "\n").alias("text"))
-        both = lined.unionByName(lined.select(
-            (F.col("doc_id") + 10 ** 6).alias("doc_id"), "text"))
-        return dedup_lines(both, "doc_id", "text", min_len=10).agg(
+        from spark_schema_guard.webgen import lined_docs
+        return dedup_lines(lined_docs(docs, shift=10 ** 6),
+                           "doc_id", "text", min_len=10).agg(
             F.sum("n_lines"), F.sum("n_kept"),
             F.sum(F.length("text"))).collect()
 

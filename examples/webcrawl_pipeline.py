@@ -100,15 +100,18 @@ def main():
     report["decontamination"] = {
         "contaminated": contam.where("contaminated").count()}
 
-    # PII gate: count emails/IPs/phones per page (zero-shuffle scan);
-    # pages carrying any go through the redacted view instead of raw text
-    pii = pii_features(web, "doc_id", "text")
+    # PII gate: count emails/IPs/phones per page (zero-shuffle scan) and
+    # SUBSTITUTE the redacted text for flagged pages — clean pages keep
+    # their original bytes (redacted == text when nothing matched)
+    pii = pii_features(web, "doc_id", "text", redact=True)
     report["pii_gate"] = {"flagged": pii.where(~F.col("pii_free")).count()}
 
     # -- 3. dedup: candidates -> clusters -> canonical only ---------------
     clean = validated.where(F.col("verdict")) \
         .join(contam.where(~F.col("contaminated")).select("doc_id"),
-              "doc_id", "left_semi")
+              "doc_id", "left_semi") \
+        .join(pii.select("doc_id", "redacted"), "doc_id") \
+        .withColumn("text", F.coalesce("redacted", "text")).drop("redacted")
     edges = minhash_candidates(clean, "doc_id", "text",
                                num_hashes=8, bands=4, shingle_k=8)
     clustered = duplicate_clusters(clean, "doc_id", edges)
@@ -137,6 +140,10 @@ def main():
     from spark_schema_guard.operators import assign_splits
     mixed = assign_splits(mixed, "doc_id",
                           {"train": 0.9, "val": 0.05, "test": 0.05})
+    # several actions consume `mixed` below (splits count, corpus write,
+    # chunk write) — persist once so the validation/dedup lineage is not
+    # recomputed per action
+    mixed = mixed.persist()
     report["splits"] = {r["split"]: r["n"] for r in
                         mixed.groupBy("split").agg(
                             F.count(F.lit(1)).alias("n")).collect()}
@@ -146,10 +153,13 @@ def main():
     mixed.drop("violations", "verdict", "cluster_id", "is_canonical") \
         .write.mode("overwrite").parquet(corpus_path)
     # training shards: fixed 256-token windows with 32-token overlap
-    chunks = chunk_documents(mixed, "doc_id", "text",
-                             chunk_tokens=256, overlap=32)
-    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks"))
-    report["chunks"] = {"n": chunks.count()}
+    chunks_path = os.path.join(out_dir, "chunks")
+    chunk_documents(mixed, "doc_id", "text",
+                    chunk_tokens=256, overlap=32) \
+        .write.mode("overwrite").parquet(chunks_path)
+    # count what was WRITTEN — recounting the chunk frame would re-run
+    # the whole chunking lineage a second time
+    report["chunks"] = {"n": spark.read.parquet(chunks_path).count()}
     plan.violation_rows(web, keys=["url"]).write.mode("overwrite") \
         .parquet(os.path.join(out_dir, "violations"))
 

@@ -59,6 +59,12 @@ def dedup_lines(
     default splits on newlines); ``join_sep`` is the literal separator
     of the rebuilt text.
 
+    NULL-id rows cannot hold a deterministic place in the (id, pos)
+    order, so — mirroring ``downsample``'s NULL policy — they bypass
+    dedup entirely: their text passes through UNCHANGED (n_kept ==
+    n_lines), their lines never claim a first-occurrence slot, and
+    they are never merged with each other by the reassembly groupBy.
+
     Scale shape (10^12-row argument): posexplode(split) -> ONE
     ``groupBy(md5(line))`` keeping the MIN ``(id, pos)`` occurrence —
     map-side combine collapses every distinct line to one row per
@@ -74,7 +80,17 @@ def dedup_lines(
     """
     if min_len < 1:
         raise ValueError("min_len must be >= 1")
-    lines = df.select(
+    # NULL-id rows pass through untouched (see docstring): a NULL id in
+    # the winner struct would poison the keep-equality for EVERY copy of
+    # its lines (NULL == x is NULL -> nobody keeps the line), and the
+    # reassembly groupBy would merge all NULL-id docs into one row
+    passthrough = df.where(F.col(id_col).isNull()).select(
+        F.col(id_col), F.col(text_col),
+        F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+            F.size(F.split(F.col(text_col), split_pattern)))
+        .cast("int").alias("n_lines"),
+    ).withColumn("n_kept", F.col("n_lines"))
+    lines = df.where(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode_outer(
             F.split(F.col(text_col), split_pattern)).alias("pos", "line"),
@@ -91,7 +107,7 @@ def dedup_lines(
               .withColumn("__keep", keep))
     surviving = F.when(F.col("__keep") & F.col("line").isNotNull(),
                        F.struct(F.col("pos"), F.col("line")))
-    return (marked.groupBy(id_col).agg(
+    deduped = (marked.groupBy(id_col).agg(
         F.array_join(F.sort_array(F.collect_list(surviving))
                       .getField("line"), join_sep).alias("__text"),
         F.count("line").alias("n_lines"),
@@ -103,6 +119,7 @@ def dedup_lines(
                  .otherwise(F.lit(None).cast("string")).alias(text_col),
                 F.col("n_lines").cast("int").alias("n_lines"),
                 F.col("n_kept").cast("int").alias("n_kept")))
+    return deduped.unionByName(passthrough)
 
 
 def _shingle_array(text: Column, k: int) -> Column:

@@ -192,8 +192,9 @@ def take_token_budget(
 
     NULL ids and NULL token counts cannot be ordered/budgeted
     deterministically and are excluded (mirror of ``downsample``'s NULL
-    policy); negative token counts raise at runtime via the cast-free
-    filter below (they are excluded too — a doc cannot cost negative).
+    policy).  Negative token counts are likewise EXCLUDED, not raised
+    on — a filter cannot raise; validate token counts upstream if a
+    negative sentinel must be loud.
 
     Scale shape (the 10^12-row argument): a naive per-stratum window
     cumsum sorts EVERY stratum end-to-end.  Instead the md5 key's first

@@ -114,3 +114,27 @@ LANGUAGES_DIM = [
 
 def languages(spark) -> DataFrame:
     return spark.createDataFrame(LANGUAGES_DIM, "lang_code string, lang_name string")
+
+
+def lined_docs(documents: DataFrame, *, chunk_tokens: int = 8,
+               shift: int = 100000) -> DataFrame:
+    """Deterministic line-structured corpus for exercising line-level
+    dedup on the (newline-free) synthetic documents: each doc is rebuilt
+    as ``chunk_tokens``-token lines joined by newlines, then unioned
+    with an id-``shift``ed copy of itself so EVERY line of the copy is a
+    cross-document duplicate.  Shared by the ``dedup_lines`` gate query
+    and bench leg (one construction, one shift constant — the DuckDB
+    oracle mirrors it with generate_series + string_agg)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import chunk_documents
+
+    chunks = chunk_documents(documents, "doc_id", "text",
+                             chunk_tokens=chunk_tokens)
+    lined = (chunks.groupBy("doc_id")
+             .agg(F.array_join(
+                 F.sort_array(F.collect_list(
+                     F.struct("chunk_id", "chunk_text")))
+                 .getField("chunk_text"), "\n").alias("text")))
+    return lined.unionByName(
+        lined.select((F.col("doc_id") + shift).alias("doc_id"), "text"))

@@ -855,6 +855,24 @@ def test_dedup_lines_matches_reference_loop(spark):
     with pytest.raises(ValueError):
         dedup_lines(df, "doc_id", "text", min_len=0)
 
+    # NULL-id rows bypass dedup entirely: their text is untouched, they
+    # never claim a first-occurrence slot (doc 2 keeps the shared line),
+    # and multiple NULL-id rows stay separate rows
+    ndf = spark.createDataFrame(
+        [(None, "the same long boilerplate line here\nnull doc unique"),
+         (None, "second null doc"),
+         (2, "the same long boilerplate line here\ndoc two unique line")],
+        "doc_id long, text string")
+    nrows = dedup_lines(ndf, "doc_id", "text", min_len=10).collect()
+    ngot = sorted(((r["doc_id"], r["text"], r["n_lines"], r["n_kept"])
+                   for r in nrows), key=str)
+    assert ngot == sorted([
+        (None, "the same long boilerplate line here\nnull doc unique", 2, 2),
+        (None, "second null doc", 1, 1),
+        (2, "the same long boilerplate line here\ndoc two unique line",
+         2, 2),
+    ], key=str)
+
 
 def test_token_vocabulary_hand_computed(spark):
     from spark_schema_guard.operators.textstats import token_vocabulary

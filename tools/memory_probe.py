@@ -91,11 +91,20 @@ def main():
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "## Memory-pressure probe"
     text = open(path).read() if os.path.exists(path) else "# BENCH\n"
+    # replace ONLY this tool's section: everything from the next section
+    # boundary on (e.g. the family-scaling block, itself a box-exclusive
+    # multi-round run) must survive a probe re-run
+    tail = ""
     if marker in text:
-        head = text.split(marker)[0].rstrip("\n")
-        text = head
+        start = text.index(marker)
+        bounds = [text.find(b, start + len(marker))
+                  for b in ("\n## ", "\n<!-- family-scaling:start -->")]
+        bounds = [b for b in bounds if b != -1]
+        if bounds:
+            tail = text[min(bounds):]
+        text = text[:start].rstrip("\n")
     with open(path, "w") as fh:
-        fh.write(text.rstrip("\n") + "\n" + "\n".join(section) + "\n")
+        fh.write(text.rstrip("\n") + "\n" + "\n".join(section) + "\n" + tail)
     print(json.dumps({"rows": n_rows, "timings": timings,
                       "docs_per_sec": docs_per_sec, "report": path}))
 
