@@ -947,3 +947,40 @@ def test_assign_splits_deterministic_and_complete(spark):
         assign_splits(df, "doc_id", {"a": 0.5})
     with pytest.raises(ValueError):
         assign_splits(df, "doc_id", {})
+
+
+def test_take_token_budget_randomized_vs_loop(spark):
+    """Seeded randomized differential: random token distributions,
+    budgets, stratum counts and bucket_hex vs the straightforward
+    driver loop — boundary placement must be exact everywhere."""
+    import hashlib
+    import random
+
+    from spark_schema_guard.operators import take_token_budget
+
+    rng = random.Random(20260818)
+    for trial in range(6):
+        n = rng.randrange(50, 300)
+        langs = [f"s{j}" for j in range(rng.randrange(1, 5))] + [None]
+        rows = [(i, rng.choice(langs), rng.randrange(0, 40))
+                for i in range(n)]
+        budgets = {s: rng.randrange(0, 800)
+                   for s in langs[:-1] if rng.random() < 0.8}
+        default = rng.randrange(0, 300)
+        df = spark.createDataFrame(rows, "i long, s string, t long")
+        got = {r["i"] for r in take_token_budget(
+            df, "i", "t", strata_col="s", budgets=budgets,
+            default_budget=default,
+            bucket_hex=rng.choice((1, 2, 3))).collect()}
+        per = {}
+        for i, s, t in rows:
+            per.setdefault(s, []).append(
+                (hashlib.md5(str(i).encode()).hexdigest()[:15], i, t))
+        want = set()
+        for s, docs in per.items():
+            b, cum = budgets.get(s, default), 0
+            for _, i, t in sorted(docs):
+                if cum < b:
+                    want.add(i)
+                cum += t
+        assert got == want, trial
