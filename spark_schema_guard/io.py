@@ -76,7 +76,12 @@ def read_table(spark: SparkSession, ref: str, fmt: str = "parquet") -> DataFrame
                 .option("inferSchema", "true").csv(ref))
     if fmt == "json":
         return spark.read.json(ref)
-    return spark.read.parquet(ref)
+    if fmt == "parquet":
+        return spark.read.parquet(ref)
+    # orc/text are Spark-native; avro needs the spark-avro module — let
+    # the generic reader surface ITS error rather than silently reading
+    # the path as parquet (the old fall-through mis-read .orc refs)
+    return spark.read.format(fmt).load(ref)
 
 
 def try_read_table(spark: SparkSession, ref: str, fmt: str = "parquet"):
@@ -145,5 +150,7 @@ def append_table(df: DataFrame, ref: str, fmt: str = "parquet",
         writer.option("header", "true").csv(ref)
     elif fmt == "json":
         writer.json(ref)
-    else:
+    elif fmt == "parquet":
         writer.parquet(ref)
+    else:
+        writer.format(fmt).save(ref)

@@ -103,3 +103,18 @@ def test_audited_run_against_catalog_audit_table(spark, tmp_path):
     assert audit.where(F.col("run_id") == "r1").count() == 4
     assert audit.agg(F.sum("valid_rows")).collect()[0][0] == 90
     spark.sql(f"DROP TABLE {audit_table}")
+
+
+def test_read_write_orc_round_trip(spark, tmp_path):
+    """fmt='orc' must use the ORC reader/writer — the old generic
+    fall-through silently read .orc references with the parquet reader."""
+    from spark_schema_guard.io import append_table, read_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "t_orc")
+    append_table(df, f"path:{path}", fmt="orc")
+    back = read_table(spark, f"path:{path}", fmt="orc")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    # and it is genuinely ORC on disk
+    import os
+    assert any(f.endswith(".orc") for f in os.listdir(path)), os.listdir(path)
