@@ -461,9 +461,16 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    # seed with min(self, neighbors) instead of identity: costs nothing
+    # (the identity init already paid a distinct() shuffle over the same
+    # rows) and starts every node one propagation hop ahead — for the
+    # shallow near-clique components dedup candidate graphs produce,
+    # that is a full round (= one parquet materialization + one
+    # convergence job) off the loop
     labels = _materialize(
-        sym.select(F.col("a").alias("id")).distinct()
-        .select("id", F.col("id").alias("label")), 0)
+        sym.groupBy("a").agg(F.min("b").alias("__mb"))
+        .select(F.col("a").alias("id"),
+                F.least(F.col("a"), F.col("__mb")).alias("label")), 0)
     changed = None  # None = fixpoint never confirmed (e.g. max_iter=0)
     try:
         for rnd in range(1, max_iter + 1):
