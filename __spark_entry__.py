@@ -368,6 +368,42 @@ def q_dedup_minhash_pairs(spark, sf_dir):
         "id_a", "id_b", F.col("shared_bands").cast("long").alias("shared_bands"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Snapshot-over-snapshot dedup: band a NEW batch (doc_id 250..449)
+    against the FROZEN index of the corpus (doc_id < 250) and report every
+    (new doc, corpus doc) band collision."""
+    from spark_schema_guard.operators.dedup import (incremental_candidates,
+                                                    minhash_band_index)
+
+    docs = _read(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 450))
+    index = minhash_band_index(corpus, "doc_id", "text", num_hashes=4,
+                               bands=4, shingle_k=8, hash_fn="md5")
+    return incremental_candidates(batch, index, "doc_id", "text",
+                                  num_hashes=4, bands=4, shingle_k=8,
+                                  hash_fn="md5").select(
+        "doc_id", "corpus_id",
+        F.col("shared_bands").cast("long").alias("shared_bands"))
+
+
+def q_dedup_incremental_keep(spark, sf_dir):
+    """The KEEP side of incremental dedup: new-batch docs surviving the
+    frozen-index anti-join (plus the NULL-text pass-through policy)."""
+    from spark_schema_guard.operators.dedup import (dedup_against_index,
+                                                    minhash_band_index)
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where((F.col("doc_id") < 250) & (F.length("text") >= 8))
+    batch = docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 450))
+    index = minhash_band_index(corpus, "doc_id", "text", num_hashes=4,
+                               bands=4, shingle_k=8, hash_fn="md5")
+    kept = dedup_against_index(batch, index, "doc_id", "text", num_hashes=4,
+                               bands=4, shingle_k=8, hash_fn="md5",
+                               min_shared_bands=3)
+    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 300) & (F.length("text") >= 8))
@@ -823,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_keep": q_dedup_incremental_keep,
         "web_domain_skew": q_web_domain_skew,
         "sample_mix": q_sample_mix,
         "sample_token_budget": q_sample_token_budget,
@@ -1211,6 +1249,68 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "dedup_incremental": """
+            WITH sh AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest([substr(text, i, 8)
+                               for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                FROM documents WHERE length(text) >= 8)
+              WHERE sh IS NOT NULL),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs)
+            SELECT n.doc_id AS doc_id, c.doc_id AS corpus_id,
+                   COUNT(*) AS shared_bands
+            FROM (SELECT * FROM banded
+                  WHERE doc_id >= 250 AND doc_id < 450) n
+            JOIN (SELECT * FROM banded WHERE doc_id < 250) c
+              ON n.band = c.band AND n.bucket = c.bucket
+            GROUP BY 1, 2
+        """,
+        "dedup_incremental_keep": """
+            WITH sh AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest([substr(text, i, 8)
+                               for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                FROM documents)
+              WHERE sh IS NOT NULL),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs),
+            corpus_b AS (
+              SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+              WHERE d.doc_id < 250 AND length(d.text) >= 8),
+            batch_b AS (
+              SELECT * FROM banded WHERE doc_id >= 250 AND doc_id < 450),
+            matched AS (
+              SELECT n.doc_id
+              FROM batch_b n JOIN corpus_b c
+                ON n.band = c.band AND n.bucket = c.bucket
+              GROUP BY n.doc_id, c.doc_id HAVING COUNT(*) >= 3)
+            SELECT d.doc_id, md5(d.text) AS text_md5
+            FROM documents d LEFT JOIN matched m USING (doc_id)
+            WHERE d.doc_id >= 250 AND d.doc_id < 450 AND m.doc_id IS NULL
         """,
         "dedup_ngram_jaccard": """
             WITH shingled AS (

@@ -153,11 +153,18 @@ def minhash_signatures(
     sf0.1, despite the shingle row blowup.  The shuffle still carries
     only one signature row per doc (partial aggregation combines
     map-side).
+
+    NULL text shingles to ``[NULL]``; the NULL shingle is dropped, so a
+    NULL-text document yields NO signature row at all (and therefore never
+    lands in any LSH band).  Without the filter the two hash modes would
+    disagree — ``md5`` of a NULL shingle is NULL (MIN skips it) while
+    ``xxhash64`` SKIPS null fields and returns the seed's hash, silently
+    making every NULL-text doc a near-duplicate of every other.
     """
     shingles = df.select(
         F.col(id_col),
         F.explode(_shingle_array(F.col(text_col), shingle_k)).alias("shingle"),
-    )
+    ).where(F.col("shingle").isNotNull())
     if hash_fn == "md5":
         hashes = [
             F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"sig_{i}")
@@ -184,6 +191,42 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate near-duplicate pairs: ``id_a < id_b`` sharing at least
     one band signature, with the count of agreeing bands."""
+    banded = minhash_band_index(df, id_col, text_col, num_hashes=num_hashes,
+                                bands=bands, shingle_k=shingle_k,
+                                hash_fn=hash_fn, max_bucket=max_bucket,
+                                id_out=id_col)
+    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared_bands"))
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+    id_out: str = "id",
+) -> DataFrame:
+    """The banded LSH index of a corpus: one ``(band, bucket, id)`` row per
+    (document, band).  This is the table a snapshot pipeline WRITES ONCE
+    per frozen corpus (partitioned/bucketed by ``band, bucket``) and then
+    reuses for every incremental batch — see ``incremental_candidates``.
+
+    Pathological buckets (e.g. the constant signature of empty text) are
+    capped at ``max_bucket`` members at BUILD time, mirroring
+    ``minhash_candidates``: a bucket that big carries no near-dup signal
+    and would otherwise make every future batch join skew on it.
+
+    Scale shape: explode to ``bands`` rows per doc, one groupBy for the
+    cap — the stored index is O(bands · corpus), ~row-width (band:int,
+    bucket:string, id) regardless of document size.
+    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes,
@@ -195,19 +238,87 @@ def minhash_candidates(
         band_structs.append(F.struct(
             F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("bucket")))
     banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
-    ).select(id_col, "b.band", "b.bucket")
+        F.col(id_col).alias(id_out), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_out, "b.band", "b.bucket")
 
-    # cap pathological buckets (constant signatures) before the self-join
+    # cap pathological buckets (constant signatures) before any join
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
-    banded = banded.join(
+    return banded.join(
         bucket_sizes.where(F.col("bn") <= max_bucket).select("band", "bucket"),
         ["band", "bucket"])
 
-    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
-    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
-    pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
-    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared_bands"))
+
+def incremental_candidates(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against a FROZEN corpus index
+    (``minhash_band_index`` output, typically read back from parquet):
+    ``id, corpus_id, shared_bands`` for every (new doc, corpus doc) pair
+    sharing at least one band bucket.  Banding parameters must match the
+    ones the index was built with.
+
+    This is the snapshot-over-snapshot dedup shape: the 10^12-row corpus
+    index is built once, and each incoming crawl batch (orders of
+    magnitude smaller) is banded and joined against it — no corpus
+    self-join ever re-runs.  The join key is ``(band, bucket)``; with the
+    index bucketed on those columns the shuffle moves ONLY the new
+    batch's bands, and a broadcast of the (small) batch side turns the
+    probe into an index scan.  Batch-side buckets are capped at
+    ``max_bucket`` like the index side was at build time, so a degenerate
+    batch (all-empty texts) cannot amplify against a popular index bucket.
+    """
+    batch = minhash_band_index(new_df, id_col, text_col,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_k=shingle_k, hash_fn=hash_fn,
+                               max_bucket=max_bucket, id_out=id_col)
+    idx = index.select(F.col("band"), F.col("bucket"),
+                       F.col("id").alias("corpus_id"))
+    hits = batch.join(idx, ["band", "bucket"])
+    return (hits.groupBy(F.col(id_col), F.col("corpus_id"))
+            .agg(F.count(F.lit(1)).alias("shared_bands")))
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """The KEEP side of incremental dedup: rows of ``new_df`` that match
+    NO frozen-corpus document in ``min_shared_bands`` or more band
+    buckets (columns unchanged).  NULL-id/NULL-text rows never band
+    (minhash of NULL text is no rows) and are therefore always kept —
+    the same pass-through policy as ``dedup_lines``.
+
+    Implemented as a left-anti join against the matched-id set, so the
+    wide document rows shuffle at most once (and not at all when the
+    matched-id set broadcasts — it is bounded by the batch size).
+    """
+    matched = (
+        incremental_candidates(new_df, index, id_col, text_col,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_k=shingle_k, hash_fn=hash_fn,
+                               max_bucket=max_bucket)
+        .where(F.col("shared_bands") >= min_shared_bands)
+        .select(id_col).distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -413,3 +413,76 @@ def stream_repetition_by_window(
                 F.col("win.end").alias("window_end"),
                 "rows", "mean_top_gram_frac", "repetitive_share")
     )
+
+
+def stream_dedup_sink(
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 10000,
+    min_shared_bands: int = 1,
+    index_delta_path: str | None = None,
+):
+    """foreachBatch sink running incremental MinHash dedup of each
+    micro-batch against a FROZEN corpus index (``minhash_band_index``
+    output): survivors append to ``out_path`` with a ``__batch_id``
+    column.
+
+    Streaming dedup cannot be a plain stream-static join: the per-doc
+    signature groupBy and the per-doc match aggregation would be
+    UNBOUNDED streaming state (every doc id ever seen).  foreachBatch
+    sidesteps that — within one micro-batch the full BATCH operator
+    (``dedup_against_index``) runs with zero cross-batch state, which is
+    also exactly how a production crawl pipeline consumes snapshots:
+    micro-batch == ingest batch.
+
+    With ``index_delta_path`` set, each batch's SURVIVORS also append
+    their band rows there, and subsequent batches dedup against
+    index ∪ delta — the stream deduplicates against its own history
+    through a parquet-backed index extension, still with zero in-memory
+    streaming state and exactly-once-per-batch semantics from the
+    checkpoint.  Duplicates WITHIN one micro-batch are intentionally not
+    resolved here (that is the batch self-join's job — run
+    ``minhash_candidates`` on the batch if needed); the delta only
+    guards batch N+1 against batches ≤ N.
+
+    Usage::
+
+        sink = stream_dedup_sink(index, "doc_id", "text", out)
+        stream.writeStream.foreachBatch(sink) \\
+              .option("checkpointLocation", ck).start()
+    """
+    from .operators.dedup import dedup_against_index, minhash_band_index
+
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+              hash_fn=hash_fn, max_bucket=max_bucket)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = index
+        if index_delta_path is not None:
+            try:
+                delta = spark.read.parquet(index_delta_path)
+                idx = index.unionByName(delta)
+            except Exception:
+                pass  # first batch: no delta written yet
+        kept = dedup_against_index(batch_df, idx, id_col, text_col,
+                                   min_shared_bands=min_shared_bands, **kw)
+        # one pass: materialize survivors, then derive their bands from
+        # the written parquet (re-reading beats recomputing the batch
+        # pipeline twice and keeps the two writes consistent)
+        (kept.withColumn("__batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_path))
+        if index_delta_path is not None:
+            survivors = (spark.read.parquet(out_path)
+                         .where(F.col("__batch_id") == batch_id))
+            (minhash_band_index(survivors, id_col, text_col, **kw)
+             .write.mode("append").parquet(index_delta_path))
+
+    return _sink

@@ -463,3 +463,57 @@ def test_stream_pii_and_chunks_stateless(spark, tmp_path):
     assert got_pii == batch_pii
     assert batch_pii[1][2] is False and batch_pii[2][2] is True
     assert got_chunks == batch_chunks and len(batch_chunks) >= 4
+
+
+def test_stream_dedup_sink_foreachbatch(spark, tmp_path):
+    """Micro-batch incremental dedup against a frozen index, with the
+    parquet-backed delta guarding later batches against earlier ones:
+    batch 1's corpus-dup drops, batch 2's dup OF BATCH 1's survivor
+    drops (delta path), fresh docs survive — with zero streaming state."""
+    from spark_schema_guard.operators.dedup import minhash_band_index
+    from spark_schema_guard.streaming import stream_dedup_sink
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again today"
+    novel_1 = "a totally new document about watermark semantics in spark"
+    novel_2 = "another fresh page describing parquet bucketing strategies"
+    corpus = spark.createDataFrame([(1, corpus_text)],
+                                   "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8)
+    index = minhash_band_index(corpus, "doc_id", "text", **kw)
+
+    src = str(tmp_path / "dd_src")
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame([(10, corpus_text), (11, novel_1)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([(20, novel_1), (21, novel_2)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    static = spark.read.parquet(src)
+    out = str(tmp_path / "dd_out")
+    delta = str(tmp_path / "dd_delta")
+    sink = stream_dedup_sink(index, "doc_id", "text", out,
+                             min_shared_bands=2, index_delta_path=delta,
+                             **kw)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["__batch_id"], set()).add(r["doc_id"])
+    # 2 micro-batches ran; 10 matched the frozen index; one of the two
+    # novel_1 copies (whichever batch came second) matched the delta
+    assert len(by_batch) == 2
+    survivors = {d for s in by_batch.values() for d in s}
+    assert 10 not in survivors
+    assert 21 in survivors
+    assert len(survivors & {11, 20}) == 1  # exactly one novel_1 copy kept
+    # delta holds band rows only for survivors
+    delta_ids = {r["id"] for r in spark.read.parquet(delta).collect()}
+    assert delta_ids == survivors

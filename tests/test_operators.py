@@ -984,3 +984,56 @@ def test_take_token_budget_randomized_vs_loop(spark):
                     want.add(i)
                 cum += t
         assert got == want, trial
+
+
+def test_incremental_candidates_matches_self_join(spark):
+    """Banding a batch against a frozen index must find exactly the
+    cross-slice pairs the symmetric self-join (minhash_candidates over the
+    union) finds — the incremental path is a restriction, not a new
+    algorithm."""
+    from spark_schema_guard.operators.dedup import (incremental_candidates,
+                                                    minhash_band_index)
+
+    rows = [(i, t) for i, t in enumerate(
+        [t for _, t in NEAR_DUP_DOCS] * 3)]  # 15 docs, heavy dup structure
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    corpus = df.where("doc_id < 8")
+    batch = df.where("doc_id >= 8")
+    kw = dict(num_hashes=16, bands=8)
+    index = minhash_band_index(corpus, "doc_id", "text", **kw)
+    inc = {(r["doc_id"], r["corpus_id"], r["shared_bands"])
+           for r in incremental_candidates(batch, index, "doc_id", "text",
+                                           **kw).collect()}
+    full = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]),
+             r["shared_bands"])
+            for r in minhash_candidates(df, "doc_id", "text", **kw).collect()
+            if (r["id_a"] < 8) != (r["id_b"] < 8)}
+    assert inc == full and inc  # non-trivial and identical
+
+
+def test_dedup_against_index_keep_and_null_policy(spark):
+    """Survivors = batch docs with no strong index match; NULL-text and
+    NULL-id rows pass through (a NULL text has no shingle set, so it can
+    never be anyone's near-duplicate — in EITHER hash mode)."""
+    from spark_schema_guard.operators.dedup import (dedup_against_index,
+                                                    minhash_band_index,
+                                                    minhash_signatures)
+
+    corpus = spark.createDataFrame(NEAR_DUP_DOCS, "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(10, NEAR_DUP_DOCS[0][1]),          # exact dup of corpus doc 1
+         (11, "a brand new never seen sentence about watermarks"),
+         (12, None),                          # NULL text -> kept
+         (None, NEAR_DUP_DOCS[2][1])],        # NULL id -> never bands
+        "doc_id int, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        kw = dict(num_hashes=16, bands=8, hash_fn=hash_fn)
+        index = minhash_band_index(corpus, "doc_id", "text", **kw)
+        kept = dedup_against_index(batch, index, "doc_id", "text",
+                                   min_shared_bands=2, **kw)
+        got = {r["doc_id"] for r in kept.collect()}
+        assert got == {11, 12, None}, hash_fn
+        # NULL text yields NO signature row at all (mode-independent)
+        sigs = minhash_signatures(batch.where("doc_id = 12"), "doc_id",
+                                  "text", num_hashes=16, hash_fn=hash_fn)
+        assert sigs.count() == 0, hash_fn
