@@ -248,6 +248,23 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum(F.length("text"))).collect()
 
     timed("dedup_lines", lines_leg)
+    from spark_schema_guard.operators.dedup import (dedup_against_index,
+                                                    minhash_band_index)
+
+    def incremental_leg():
+        # snapshot-over-snapshot: first half of the corpus is the frozen
+        # index, second half is the incoming batch (index build + probe
+        # both timed — comparable with the dedup_minhash self-join leg)
+        half = n_base // 2
+        idx = minhash_band_index(docs.where(F.col("doc_id") < half),
+                                 "doc_id", "text", num_hashes=8, bands=4,
+                                 shingle_k=8)
+        return dedup_against_index(docs.where(F.col("doc_id") >= half),
+                                   idx, "doc_id", "text", num_hashes=8,
+                                   bands=4, shingle_k=8,
+                                   min_shared_bands=2).count()
+
+    timed("dedup_incremental", incremental_leg)
     from spark_schema_guard.operators.textstats import token_vocabulary
     timed("text_vocab", lambda: token_vocabulary(
         docs, "doc_id", "text", k=1000, min_count=2).collect())

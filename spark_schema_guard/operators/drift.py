@@ -168,11 +168,16 @@ def ks_by_unit(
     w_u = Window.partitionBy("unit").orderBy("b") \
         .rowsBetween(Window.unboundedPreceding, 0)
     pooled = binned.groupBy("b").agg(F.sum("n").alias("pn"))
-    # constant partition spec = same single-partition cum-sum over the
-    # <= B grid buckets, without the unpartitioned-window log warning
-    w_p = Window.partitionBy(F.lit(0)).orderBy("b") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    pooled_cum = pooled.withColumn("pcum", F.sum("pn").over(w_p))
+    # pooled CDF over the <= B grid buckets via a B x B broadcast
+    # triangular join — no global window (its empty-partition-spec
+    # WindowExec warning would mask a real one; Catalyst constant-folds
+    # partitionBy(lit) back to an empty spec)
+    pooled_cum = (
+        pooled.join(F.broadcast(pooled.select(F.col("b").alias("b2"),
+                                              F.col("pn").alias("pn2"))),
+                    F.col("b2") <= F.col("b"))
+        .groupBy("b", "pn").agg(F.sum("pn2").alias("pcum"))
+    )
     grand = pooled.agg(F.sum("pn").alias("grand"))
     cum = (full.withColumn("cum", F.sum("n").over(w_u))
            .join(F.broadcast(pooled_cum.select("b", "pcum")), "b")
@@ -260,9 +265,10 @@ def ks_drift(
             .agg(F.sum(F.when(F.col("g"), F.col("n")).otherwise(0)).alias("n_l"),
                  F.sum(F.when(~F.col("g"), F.col("n")).otherwise(0)).alias("n_r"))
         )
-        # exact mode is the documented oracle-parity path (cum over
-        # the distinct-value set); the constant partition spec only
-        # silences the unpartitioned-window warning
+        # exact mode is the documented oracle-parity / small-data path:
+        # the cum-sum over the full distinct-value set IS a
+        # single-partition scan by design, so the unpartitioned-window
+        # warning it logs is accurate — at scale use mode="grid"
         w = Window.partitionBy(F.lit(0)).orderBy("v") \
             .rowsBetween(Window.unboundedPreceding, 0)
         tl = totals.where(F.col("g")).select("tot")
@@ -299,12 +305,15 @@ def ks_drift(
             .agg(F.sum(F.col("g").cast("long")).alias("n_l"),
                  F.sum((~F.col("g")).cast("long")).alias("n_r"))
         )
-        w = Window.partitionBy(F.lit(0)).orderBy("b") \
-            .rowsBetween(Window.unboundedPreceding, 0)
+        # CDFs over the <= B binned rows via a B x B broadcast triangular
+        # join — no global window (see ks_by_unit: the empty-partition
+        # WindowExec warning would mask a real one)
         cum = (
-            binned
-            .withColumn("cl", F.sum("n_l").over(w))
-            .withColumn("cr", F.sum("n_r").over(w))
+            binned.join(F.broadcast(binned.select(
+                F.col("b").alias("b2"), F.col("n_l").alias("nl2"),
+                F.col("n_r").alias("nr2"))), F.col("b2") <= F.col("b"))
+            .groupBy("b")
+            .agg(F.sum("nl2").alias("cl"), F.sum("nr2").alias("cr"))
         )
         totals = cum.agg(F.max("cl").alias("tl"), F.max("cr").alias("tr"))
         return (

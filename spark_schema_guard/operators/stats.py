@@ -130,14 +130,20 @@ def heavy_hitters(
     if min_share > 0.0:
         shared = shared.where(F.col("share") >= min_share)
     topk = shared.orderBy(F.col("n_rows").desc(), F.col("value").asc()).limit(k)
-    from pyspark.sql import Window
-    # partitionBy(lit(0)): same single-partition evaluation over the
-    # <= k limited rows, minus the "No Partition Defined for Window"
-    # log noise that would mask a REAL unbounded-window warning
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("n_rows").desc(), F.col("value").asc())
+    # rank WITHOUT a window: over the <= k limited rows, rank = 1 + the
+    # count of rows sorting strictly before (a k x k broadcast triangular
+    # join — k is tiny).  A window here would need an empty partition
+    # spec, whose WindowExec warning is indistinguishable from a REAL
+    # unbounded global window (Catalyst constant-folds partitionBy(lit)).
+    before = topk.select(F.col("n_rows").alias("__n2"),
+                         F.col("value").alias("__v2"))
     return (
-        topk.withColumn("rank", F.row_number().over(w))
+        topk.join(F.broadcast(before),
+                  (F.col("__n2") > F.col("n_rows"))
+                  | ((F.col("__n2") == F.col("n_rows"))
+                     & (F.col("__v2") < F.col("value"))), "left")
+        .groupBy("value", "n_rows", "share")
+        .agg((F.count("__v2") + 1).cast("int").alias("rank"))
         .select("rank", "value", "n_rows", "share")
     )
 

@@ -268,8 +268,6 @@ def token_vocabulary(df: DataFrame, id_col: str, text_col: str, *,
     vocab = (pairs.groupBy("token")
              .agg(F.sum("__n").alias("n_occurrences"),
                   F.count(F.lit(1)).alias("n_docs")))
-    from pyspark.sql.window import Window
-
     # share denominates over ALL corpus occurrences — computed before
     # the min_count cut, so pruning the tail never inflates shares
     total = vocab.agg(F.sum("n_occurrences").alias("__t"))
@@ -280,9 +278,17 @@ def token_vocabulary(df: DataFrame, id_col: str, text_col: str, *,
             .drop("__t")
             .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
             .limit(k))
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("n_occurrences").desc(), F.col("token").asc())
-    return (topk.withColumn("rank", F.row_number().over(w))
+    # rank via a k x k broadcast triangular join, not a global window
+    # (empty-partition-spec WindowExec warnings would mask real ones;
+    # Catalyst constant-folds partitionBy(lit) back to empty)
+    before = topk.select(F.col("n_occurrences").alias("__n2"),
+                         F.col("token").alias("__t2"))
+    return (topk.join(F.broadcast(before),
+                      (F.col("__n2") > F.col("n_occurrences"))
+                      | ((F.col("__n2") == F.col("n_occurrences"))
+                         & (F.col("__t2") < F.col("token"))), "left")
+            .groupBy("token", "n_occurrences", "n_docs", "share")
+            .agg((F.count("__t2") + 1).cast("int").alias("rank"))
             .select("rank", "token", "n_occurrences", "n_docs", "share"))
 
 

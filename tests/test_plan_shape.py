@@ -183,14 +183,12 @@ def test_per_unit_drift_windows_are_partitioned(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     text = _physical(ks_by_unit(events, "value", F.col("event_id") % 8,
                                 grid=[10.0, 40.0, 80.0]))
-    # exactly one unpartitioned window spec: the <=|grid|-row pooled CDF
+    # the ONLY window is the per-unit cumulative one: the pooled CDF is a
+    # broadcast triangular join now (an unpartitioned window would log
+    # the WindowExec warning that masks real global-window regressions)
     import re
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
-    unpartitioned = [s for s in specs if s.strip().startswith("b")
-                     and "unit" not in s]
-    partitioned = [s for s in specs if "unit" in s]
-    assert partitioned, text[:2000]
-    assert len(set(unpartitioned)) <= 1
+    assert specs and all("unit" in s for s in specs), text[:2000]
 
 
 def test_ann_rank_stage_is_two_stage(spark, sf_dir):
@@ -286,3 +284,26 @@ def test_dedup_lines_plan_shape(spark, sf_dir):
     assert text.count("partial_") >= 2, text[:2000]
     # no lambda HOF in the projection (lambdafunction prints in plans)
     assert "lambdafunction" not in text.lower(), text[:2000]
+
+
+def test_topk_and_grid_cdf_plans_have_no_window(spark, sf_dir):
+    """heavy_hitters / token_vocabulary rank their <= k rows and
+    ks_drift(mode="grid") builds its <= B-bucket CDF via broadcast
+    triangular joins — zero Window nodes, so the WindowExec
+    "No Partition Defined" warning can only ever mean a REAL global
+    window regressed in somewhere."""
+    from spark_schema_guard.operators import heavy_hitters, ks_drift
+    from spark_schema_guard.operators.textstats import token_vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans = {
+        "heavy_hitters": _physical(heavy_hitters(docs, "lang", k=3)),
+        "token_vocabulary": _physical(
+            token_vocabulary(docs, "doc_id", "text", k=10)),
+        "ks_grid": _physical(ks_drift(
+            docs.select(F.col("n_chars").cast("double").alias("v"),
+                        (F.col("doc_id") % 2 == 0).alias("g")),
+            "v", "g", mode="grid", grid_size=16)),
+    }
+    for name, text in plans.items():
+        assert "Window" not in text, name

@@ -194,15 +194,18 @@ def test_simhash_empty_doc_and_merge_semantics(spark):
 
 
 def test_minhash_signature_null_and_duplicate_text_semantics(spark):
-    """Identical texts get identical signatures; NULL text yields NULL
-    signature columns (min over no hashable shingles)."""
+    """Identical texts get identical signatures; NULL text yields NO
+    signature row at all (round 3: it has no shingle set — a NULL-sig
+    row would band as bucket '' in md5 mode and as the seed hash in
+    xxhash64 mode, silently pairing NULL-text docs with each other)."""
     from spark_schema_guard.operators.dedup import minhash_signatures
 
     df = spark.createDataFrame(
         [(1, "abcdefghij"), (2, "abcdefghij"), (3, None)],
         "doc_id int, text string")
-    out = minhash_signatures(df, "doc_id", "text", num_hashes=4,
-                             shingle_k=4, hash_fn="md5")
-    got = {r["doc_id"]: tuple(r)[1:] for r in out.collect()}
-    assert got[1] == got[2]
-    assert all(v is None for v in got[3])  # NULL text -> NULL signature
+    for hash_fn in ("md5", "xxhash64"):
+        out = minhash_signatures(df, "doc_id", "text", num_hashes=4,
+                                 shingle_k=4, hash_fn=hash_fn)
+        got = {r["doc_id"]: tuple(r)[1:] for r in out.collect()}
+        assert got[1] == got[2]
+        assert set(got) == {1, 2}, hash_fn  # NULL text -> no row
