@@ -118,6 +118,21 @@ def main():
     deduped = clustered.where(F.col("is_canonical"))
     report["dedup"] = {"before": clean.count(), "after": deduped.count()}
 
+    # incremental leg: persist the survivors' band index once, then any
+    # FUTURE snapshot probes it instead of re-running the corpus
+    # self-join (here: re-ingesting this same crawl drops every doc)
+    from spark_schema_guard.operators.dedup import (dedup_against_index,
+                                                    minhash_band_index)
+    index_path = os.path.join(out_dir, "band_index")
+    minhash_band_index(deduped, "doc_id", "text",
+                       num_hashes=8, bands=4, shingle_k=8) \
+        .write.mode("overwrite").parquet(index_path)
+    resurvey = dedup_against_index(
+        web.withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        spark.read.parquet(index_path), "doc_id", "text",
+        num_hashes=8, bands=4, shingle_k=8, min_shared_bands=2)
+    report["incremental_dedup"] = {"re-ingested_kept": resurvey.count()}
+
     # -- 4. data mixing ---------------------------------------------------
     mixed = stratified_sample(
         deduped, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5},

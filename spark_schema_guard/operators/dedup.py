@@ -515,8 +515,9 @@ def connected_components(
     extra edges so labels hop along label chains (label(label(u))
     reachable in one round).  Rounds are O(log d) in practice for dedup
     graphs (near-clique components); each round is one shuffled
-    groupBy-min + join, AQE-safe.  Convergence is detected with one
-    small aggregate over the just-materialized round.
+    groupBy-min + join, AQE-safe.  Convergence detection rides the
+    round's WRITE job as an ``Observation`` metric (the changed-label
+    sum), so a round is exactly ONE Spark job — no second scan.
 
     Round materialization (public API only, no ``_jsc`` bookkeeping):
     each round's label table is WRITTEN to parquet and read back — this
@@ -595,15 +596,22 @@ def connected_components(
                     "b")
                 .groupBy("a").agg(F.min("nl").alias("nl"))
             )
-            new_labels = _materialize(
+            # convergence count rides the WRITE job as an observation
+            # metric (Observation.get blocks on the action) — one job
+            # per round, not write + a second changed-count scan
+            from pyspark.sql import Observation
+            obs = Observation(f"ssg_cc_round_{rnd}")
+            new_labels = (
                 labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
                 .select(labels["id"],
                         F.least(labels["label"], F.col("nl")).alias("label"),
-                        labels["label"].alias("_old")), rnd)
-            changed = new_labels.agg(
-                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
-            ).collect()[0]["n"] or 0  # sum over an empty graph is NULL = 0 changes
-            labels = new_labels.drop("_old")
+                        (F.least(labels["label"], F.col("nl"))
+                         != labels["label"]).cast("long").alias("_chg"))
+                .observe(obs, F.sum("_chg").alias("n"))
+                .drop("_chg")
+            )
+            labels = _materialize(new_labels, rnd)
+            changed = obs.get["n"] or 0  # sum over an empty graph is NULL
             if not changed:
                 break
         # one caller-owned snapshot so the round dirs can be reclaimed
