@@ -248,6 +248,41 @@ def minhash_band_index(
         ["band", "bucket"])
 
 
+def write_band_index(index: DataFrame, ref: str, *, buckets: int = 256,
+                     mode: str = "overwrite") -> None:
+    """Persist a ``minhash_band_index`` for reuse across snapshots.
+
+    Catalog refs (``table:`` / bare identifiers — io.py semantics) are
+    written hash-BUCKETED BY ``(band, bucket)`` into ``buckets`` file
+    buckets and sorted within them: every future ``incremental_candidates``
+    probe join then reads the index WITHOUT an Exchange on the index side
+    (Spark reuses the table's bucketing as the join distribution; only
+    the small batch side shuffles — pinned by
+    tests/test_plan_shape.py::test_bucketed_band_index_join_shuffles_batch_only).
+    On an Iceberg catalog the same layout is expressed as a
+    ``bucket(N, ...)`` partition transform.  Path refs fall back to
+    plain parquet partitioned by ``band`` (partition pruning only —
+    paths cannot carry bucket metadata).
+    """
+    from .. import io as ssg_io
+
+    if ssg_io.is_catalog_ref(ref):
+        name = ref[len("table:"):] if ref.startswith("table:") else ref
+        (index.write.bucketBy(buckets, "band", "bucket")
+         .sortBy("band", "bucket")
+         .format("parquet").mode(mode).saveAsTable(name))
+    else:
+        path = ref[len("path:"):] if ref.startswith("path:") else ref
+        index.write.partitionBy("band").mode(mode).parquet(path)
+
+
+def read_band_index(spark, ref: str) -> DataFrame:
+    """Load a persisted band index written by ``write_band_index``."""
+    from .. import io as ssg_io
+
+    return ssg_io.read_table(spark, ref)
+
+
 def incremental_candidates(
     new_df: DataFrame,
     index: DataFrame,

@@ -307,3 +307,50 @@ def test_topk_and_grid_cdf_plans_have_no_window(spark, sf_dir):
     }
     for name, text in plans.items():
         assert "Window" not in text, name
+
+
+def test_bucketed_band_index_join_shuffles_batch_only(spark, sf_dir, tmp_path):
+    """A band index persisted with write_band_index (catalog ref,
+    bucketed by (band, bucket)) joins incremental batches WITHOUT an
+    Exchange on the index side: the probe plan has strictly fewer
+    band-key shuffles than the same join against a plain parquet copy,
+    and the index scan reads bucketed.  This is the 10^12-row claim of
+    SCALE.md's incremental-dedup section made checkable."""
+    import re
+
+    from spark_schema_guard.operators.dedup import (incremental_candidates,
+                                                    minhash_band_index,
+                                                    read_band_index,
+                                                    write_band_index)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length("text") >= 8)
+    idx = minhash_band_index(docs.where("doc_id < 250"), "doc_id", "text",
+                             num_hashes=4, bands=4)
+    spark.sql("DROP TABLE IF EXISTS band_idx_plan_test")
+    write_band_index(idx, "band_idx_plan_test", buckets=8)
+    plain_path = str(tmp_path / "plain_idx")
+    idx.write.parquet(plain_path)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        def band_exchanges(index_df):
+            cand = incremental_candidates(docs.where("doc_id >= 250"),
+                                          index_df, "doc_id", "text",
+                                          num_hashes=4, bands=4)
+            cand.collect()
+            text = _physical(cand)
+            return text, set(re.findall(
+                r"Exchange hashpartitioning\((band#\d+), (bucket#\d+)", text))
+
+        bucketed_plan, bucketed_ex = band_exchanges(
+            read_band_index(spark, "band_idx_plan_test"))
+        plain_plan, plain_ex = band_exchanges(
+            spark.read.parquet(plain_path))
+        assert "Bucketed: true" in bucketed_plan
+        assert len(bucketed_ex) < len(plain_ex), (bucketed_ex, plain_ex)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS band_idx_plan_test")
