@@ -459,3 +459,27 @@ def test_ann_recall_floors_at_defaults(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in ranks.values())
     assert _recall_of(lsh, truth) >= 0.35
+
+
+# --- driver contract: entry() itself is smoke-checked every round -----------
+
+
+def test_driver_entry_contract(spark):
+    """The driver calls ``entry(spark)`` and collects: pin that it runs,
+    yields rows, and keeps a stable schema; and that every ``queries()``
+    key has an ``oracle_sql()`` entry (the per-round correctness gate
+    compares them pairwise)."""
+    import __spark_entry__ as mod
+
+    out = mod.entry(spark)
+    assert [f.name for f in out.schema.fields] == [
+        "verdict", "first_rule", "n_rows"]
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert {r["verdict"] for r in rows} <= {True, False}
+
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(q) == set(o)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH"))
+               for s in o.values())
