@@ -36,7 +36,10 @@ def web_pages(documents: DataFrame, replicas: int = 1) -> DataFrame:
             documents
             .select(F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__r"),
                     "*")
-            .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(100000))
+            # __r is int (F.sequence); the stride product must be LONG or
+            # replicas >= ~21475 overflows 32-bit int under ANSI mode
+            .withColumn("doc_id",
+                        F.col("doc_id") + F.col("__r").cast("long") * F.lit(100000))
             .drop("__r")
         )
     doc_id = F.col("doc_id")

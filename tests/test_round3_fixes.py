@@ -483,3 +483,17 @@ def test_driver_entry_contract(spark):
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH"))
                for s in o.values())
+
+
+def test_webgen_replica_stride_is_long(spark):
+    """replicas >= ~21475 used to overflow the int32 stride product under
+    ANSI mode (caught by the 128M-row scaling ladder).  Pin long math."""
+    from spark_schema_guard.webgen import web_pages
+
+    one = spark.createDataFrame(
+        [(1, "hello world text", "en", "src1", 16)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    top = (web_pages(one, replicas=30000)
+           .agg(F.max(F.expr("CAST(regexp_extract(url, '([0-9]+)$', 1) AS LONG)"))
+                .alias("m")).collect()[0]["m"])
+    assert top == 1 + 29999 * 100000
