@@ -48,7 +48,7 @@ from ..formats import jvm_pattern
 from ..ref_resolver import SchemaStore
 from ..rowcheck.compiler import (
     _UNESCAPED_DOLLAR, _Compiler as _RowCompiler, _pick_dialect,
-    schema_value_repr,
+    ref_numeric, schema_value_repr,
 )
 from . import typemap
 from .plan import Rule, ValidationPlan
@@ -468,7 +468,10 @@ class _PlanCompiler(_VariantSQLMixin):
             raise SchemaDefinitionError(f"{keyword} must be a number")
         if not typemap.is_numeric(site.dtype):
             return []
-        lit_bound = F.lit(int(bound) if isinstance(bound, bool) else bound)
+        # compare what the reference's generated code compares (Decimal
+        # bounds re-parse as int/float literals); message keeps str(bound)
+        cmp = ref_numeric(bound)
+        lit_bound = F.lit(int(cmp) if isinstance(cmp, bool) else cmp)
         fail = op(site.expr, lit_bound)
         return [self._rule(site, keyword, message_tpl.format(bound), fail)]
 
@@ -508,6 +511,7 @@ class _PlanCompiler(_VariantSQLMixin):
             raise SchemaDefinitionError("multipleOf must be a number")
         if not typemap.is_numeric(site.dtype):
             return []
+        msg_divisor, divisor = divisor, ref_numeric(divisor)
         expr = site.expr
         if typemap.is_integral(site.dtype) and isinstance(divisor, int):
             # exact long modulo — documented deliberate divergence from
@@ -533,7 +537,8 @@ class _PlanCompiler(_VariantSQLMixin):
                 (expr.try_cast(dec) % F.lit(divisor).cast(dec))
                 != F.lit(0).cast(dec),
                 (expr % F.lit(float(divisor))) != F.lit(0.0))
-        rules = [self._rule(site, "multipleOf", f"must be multiple of {divisor}", fail)]
+        rules = [self._rule(site, "multipleOf",
+                            f"must be multiple of {msg_divisor}", fail)]
         if typemap.is_fractional(site.dtype) and not isinstance(site.dtype, T.DecimalType):
             inf = float("inf")
             rules.append(Rule(

@@ -23,12 +23,14 @@ ref_unroll_depth, canon_depth, ...) and its SchemaStore.
 
 from __future__ import annotations
 
+import decimal
 import math
 import re
 
 from ..exceptions import SchemaDefinitionError
 from ..formats import jvm_pattern
-from ..rowcheck.compiler import _UNESCAPED_DOLLAR, schema_value_repr
+from ..rowcheck.compiler import (_UNESCAPED_DOLLAR, ref_numeric,
+                                 schema_value_repr)
 
 VIOL_STRUCT_SQL = "STRUCT<name:STRING,rule:STRING,message:STRING>"
 
@@ -40,7 +42,11 @@ def sqlstr(s: str) -> str:
 
 def sqlnum(x) -> str:
     """SQL literal matching F.lit semantics: ints are BIGINT literals,
-    floats DOUBLE literals (bare ``1.5`` would parse as DECIMAL)."""
+    floats DOUBLE literals (bare ``1.5`` would parse as DECIMAL),
+    Decimals exact DECIMAL literals (collapsing a Decimal bound to
+    ``repr(float(...))`` flips verdicts for values inside the double
+    ulp of the bound — e.g. ``minimum: Decimal('1e18') + 0.1`` vs a
+    BIGINT 10^18)."""
     if isinstance(x, bool):
         x = int(x)
     if isinstance(x, int):
@@ -48,6 +54,13 @@ def sqlnum(x) -> str:
             return f"{x}L"
         # out-of-long integer literal: exact decimal, like F.lit(Decimal)
         return f"CAST('{x}' AS DECIMAL(38,0))"
+    if isinstance(x, decimal.Decimal) and x.is_finite():
+        _, digits, exp = x.as_tuple()
+        scale = max(0, -exp)
+        precision = max(len(digits) + max(exp, 0), scale + 1)
+        if precision <= 38:
+            return f"CAST('{x}' AS DECIMAL({precision},{scale}))"
+        x = float(x)  # beyond DecimalType range: double, like F.lit
     if math.isnan(x):
         return "double('NaN')"
     if math.isinf(x):
@@ -124,6 +137,16 @@ class _Views:
         return f"({self.sov} = 'STRING')"
 
     @property
+    def is_intdec(self):
+        """Integral DECIMAL tag: a JSON integer beyond long range
+        (``10000000000000000000`` parses as DECIMAL(20,0)).  Fractional
+        decimals keep nonzero scale and stay on the double view —
+        matching the reference, where json.loads already made them
+        Python floats."""
+        return (f"(startswith({self.sov}, 'DECIMAL') "
+                f"AND endswith({self.sov}, ',0)'))")
+
+    @property
     def is_arr(self):
         return f"startswith({self.sov}, 'ARRAY')"
 
@@ -141,7 +164,7 @@ _CANON_V = "__CANON_V__"
 
 # scalar JSON literals get_json_object cannot see (mirrors the typed
 # path's _kw_content_media_type literal_ok regex)
-_JSON_LITERAL_RE = (r"^\s*(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|\".*\")\\s*$")
+_JSON_LITERAL_RE = (r"^\s*(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|\".*\")\s*$")
 
 
 class _VariantSQLMixin:
@@ -590,24 +613,37 @@ class _VariantSQLMixin:
             if not isinstance(b, (int, float, Decimal)):
                 raise SchemaDefinitionError(f"{keyword} must be a number")
             op, edge = _BOUND_OPS[kind]
+            # compare the literal the reference's generated source
+            # re-parses (ref_numeric); the message keeps str(b)
+            b_msg, b = b, ref_numeric(b)
             lit_b = sqlnum(int(b) if isinstance(b, bool) else b)
             dbl_fail = (f"({w.is_numlike} AND NOT {w.is_bigint} "
-                        f"AND {w.num} {op} {lit_b})")
+                        f"AND NOT {w.is_intdec} AND {w.num} {op} {lit_b})")
             # exact long-side comparison for BIGINT values — the double
             # view rounds 2^53+ magnitudes across the bound
             try:
                 bi = int(edge(b))
             except (OverflowError, ValueError):  # infinite bound
                 bi = None
+            # the "every value sits on one side" constant for bounds
+            # outside a value class's range
+            high = b > 0
+            const = str(high if kind in ("lt", "le") else not high).lower()
             if bi is not None and -2 ** 63 <= bi <= 2 ** 63 - 1:
                 big_fail = f"({w.is_bigint} AND {w.lng} {op} {bi}L)"
             else:
-                # bound beyond long range: every long sits on one side
-                high = b > 0
-                const = high if kind in ("lt", "le") else not high
-                big_fail = f"({w.is_bigint} AND {str(const).lower()})"
-            return (keyword, msg(template.format(b)),
-                    f"({dbl_fail} OR {big_fail})")
+                big_fail = f"({w.is_bigint} AND {const})"
+            # exact comparison for JSON integers BEYOND long range too
+            # (variant tag DECIMAL(p,0)): the double view rounds across
+            # the bound exactly as it does for 2^53..2^63 longs
+            dv = f"try_variant_get({w.v}, '$', 'decimal(38,0)')"
+            if bi is not None and len(str(abs(bi))) <= 38:
+                dec_fail = (f"({w.is_intdec} AND {dv} {op} "
+                            f"CAST('{bi}' AS DECIMAL(38,0)))")
+            else:
+                dec_fail = f"({w.is_intdec} AND {const})"
+            return (keyword, msg(template.format(b_msg)),
+                    f"({dbl_fail} OR {big_fail} OR {dec_fail})")
 
         for keyword in self.keyword_order:
             if keyword not in definition:
@@ -667,6 +703,9 @@ class _VariantSQLMixin:
                 if not isinstance(divisor, (int, float, Decimal)):
                     raise SchemaDefinitionError(
                         "multipleOf must be a number")
+                # Decimal divisors compare as the reference's re-parsed
+                # source literal; the message keeps str(original)
+                msg_divisor, divisor = divisor, ref_numeric(divisor)
                 # deliberately the DOUBLE view for every numeric variant,
                 # including BIGINT, mirroring the reference exactly:
                 # - int divisor: q = value / divisor via float TRUE
@@ -688,7 +727,8 @@ class _VariantSQLMixin:
                             f"({w.num} % {sqlnum(float(divisor))}) "
                             "!= 0.0D))")
                 out.append(("multipleOf",
-                            msg(f"must be multiple of {divisor}"), fail))
+                            msg(f"must be multiple of {msg_divisor}"),
+                            fail))
                 out.append(("multipleOf", "'inifinity reached'",
                             f"({w.is_numlike} AND ({w.num} / "
                             f"{sqlnum(float(divisor))}) = "

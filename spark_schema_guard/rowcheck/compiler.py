@@ -54,6 +54,26 @@ _UNESCAPED_DOLLAR = re.compile(r"(?<!\\)\$")
 
 _NUMERIC = (int, float, Decimal)
 
+
+def ref_numeric(b):
+    """A numeric schema value as the reference's COMPILED code compares
+    it.  fastjsonschema interpolates bounds/divisors into generated
+    source via str() (draft04.py generate_minimum etc.), so a
+    ``Decimal('1000000000000000000.1')`` bound re-parses as the FLOAT
+    literal 1e18 while ``Decimal('10')`` re-parses as an exact int —
+    the comparison semantics follow the re-parsed literal, though the
+    exception MESSAGE still renders the original str(Decimal).  Mirror
+    that round-trip everywhere a bound is compared (all three engines),
+    keeping the original value for messages.  int/float pass through.
+    """
+    if isinstance(b, Decimal):
+        s = str(b)
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
+    return b
+
 _JSON_TYPES = {
     "null": (type(None),),
     "boolean": (bool,),
@@ -494,16 +514,17 @@ class _Compiler:
         bound = definition["minimum"]
         if not isinstance(bound, _NUMERIC):
             raise SchemaDefinitionError("minimum must be a number")
+        cmp = ref_numeric(bound)  # messages keep the original str(bound)
         exclusive = bool(definition.get("exclusiveMinimum", False))
 
         def check(value, name, emit, scope, _defn=definition):
             if isinstance(value, _NUMERIC):
                 if exclusive:
-                    if value <= bound:
+                    if value <= cmp:
                         emit(self._error(
                             f"{name} must be bigger than {bound}", value, name, _defn, "minimum",
                         ))
-                elif value < bound:
+                elif value < cmp:
                     emit(self._error(
                         f"{name} must be bigger than or equal to {bound}",
                         value, name, _defn, "minimum",
@@ -517,16 +538,17 @@ class _Compiler:
         bound = definition["maximum"]
         if not isinstance(bound, _NUMERIC):
             raise SchemaDefinitionError("maximum must be a number")
+        cmp = ref_numeric(bound)
         exclusive = bool(definition.get("exclusiveMaximum", False))
 
         def check(value, name, emit, scope, _defn=definition):
             if isinstance(value, _NUMERIC):
                 if exclusive:
-                    if value >= bound:
+                    if value >= cmp:
                         emit(self._error(
                             f"{name} must be smaller than {bound}", value, name, _defn, "maximum",
                         ))
-                elif value > bound:
+                elif value > cmp:
                     emit(self._error(
                         f"{name} must be smaller than or equal to {bound}",
                         value, name, _defn, "maximum",
@@ -540,9 +562,10 @@ class _Compiler:
         bound = definition["exclusiveMinimum"]
         if not isinstance(bound, _NUMERIC):
             raise SchemaDefinitionError("exclusiveMinimum must be an integer, a float or a decimal")
+        cmp = ref_numeric(bound)
 
         def check(value, name, emit, scope, _defn=definition):
-            if isinstance(value, _NUMERIC) and value <= bound:
+            if isinstance(value, _NUMERIC) and value <= cmp:
                 emit(self._error(
                     f"{name} must be bigger than {bound}", value, name, _defn, "exclusiveMinimum",
                 ))
@@ -555,9 +578,10 @@ class _Compiler:
         bound = definition["exclusiveMaximum"]
         if not isinstance(bound, _NUMERIC):
             raise SchemaDefinitionError("exclusiveMaximum must be an integer, a float or a decimal")
+        cmp = ref_numeric(bound)
 
         def check(value, name, emit, scope, _defn=definition):
-            if isinstance(value, _NUMERIC) and value >= bound:
+            if isinstance(value, _NUMERIC) and value >= cmp:
                 emit(self._error(
                     f"{name} must be smaller than {bound}", value, name, _defn, "exclusiveMaximum",
                 ))
@@ -570,7 +594,8 @@ class _Compiler:
         divisor = definition["multipleOf"]
         if not isinstance(divisor, _NUMERIC):
             raise SchemaDefinitionError("multipleOf must be a number")
-        use_decimal = isinstance(divisor, float)
+        cmp_div = ref_numeric(divisor)  # message keeps the original
+        use_decimal = isinstance(cmp_div, float)
 
         def check(value, name, emit, scope, _defn=definition):
             if isinstance(value, _NUMERIC):
@@ -578,14 +603,14 @@ class _Compiler:
                 # 1901.0000000000002); exact decimal quotient instead,
                 # matching draft04.py:361-366.
                 if use_decimal:
-                    quotient = Decimal(repr(value)) / Decimal(repr(divisor))
+                    quotient = Decimal(repr(value)) / Decimal(repr(cmp_div))
                 else:
-                    quotient = value / divisor
+                    quotient = value / cmp_div
                 if int(quotient) != quotient:
                     emit(self._error(
                         f"{name} must be multiple of {divisor}", value, name, _defn, "multipleOf",
                     ))
-                if value / divisor == float("inf"):
+                if value / cmp_div == float("inf"):
                     emit(self._error("inifinity reached", value, name, _defn, "multipleOf"))
             return value
 
