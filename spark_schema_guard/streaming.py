@@ -19,6 +19,7 @@ This module adds the streaming-specific conveniences:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -257,8 +258,17 @@ def decontamination_filter(
     construction: the bit indexes of the bench grams are computed by
     SPARK's own ``xxhash64(gram, probe_seed) pmod m`` (one tiny job,
     collected driver-side into an ``array<long>`` literal), and the
-    stream probes the same expressions via ``element_at`` + ``getbit``
-    — everything stays whole-stage codegen.
+    stream probes the same expressions via ``element_at`` + ``getbit``.
+
+    Plan-shape caveat: the per-gram probes are plain codegen-able
+    expressions, but the top-level ``exists(grams, hit)`` is a
+    higher-order function — CodegenFallback, so the projection stage
+    that carries the flag evaluates interpreted (the repo's measured
+    HOF invariant, CLAUDE.md).  That is the price of a STATELESS
+    stream predicate: the batch rewrite (explode + groupBy) is a
+    mid-plan aggregation an append-mode stream cannot run without
+    unbounded state.  Micro-batches are small relative to the batch
+    path, and the exact batch operator re-checks the quarantine.
 
     One-sided error, in the safe direction: a Bloom false positive
     over-quarantines a clean document (~0.1% at the default 16
@@ -442,12 +452,16 @@ def stream_dedup_sink(
     also exactly how a production crawl pipeline consumes snapshots:
     micro-batch == ingest batch.
 
-    With ``index_delta_path`` set, each batch's SURVIVORS also append
+    With ``index_delta_path`` set, each batch's SURVIVORS also add
     their band rows there, and subsequent batches dedup against
     index ∪ delta — the stream deduplicates against its own history
-    through a parquet-backed index extension, still with zero in-memory
-    streaming state and exactly-once-per-batch semantics from the
-    checkpoint.  Duplicates WITHIN one micro-batch are intentionally not
+    through a parquet-backed index extension with zero in-memory
+    streaming state.  foreachBatch is AT-LEAST-once (a crash between a
+    write and the checkpoint commit replays the batch), so both writes
+    are per-``__batch_id`` dynamic partition OVERWRITES: a replayed
+    batch rewrites its own partition instead of appending a second
+    copy, which is what makes the sink effectively exactly-once.
+    Duplicates WITHIN one micro-batch are intentionally not
     resolved here (that is the batch self-join's job — run
     ``minhash_candidates`` on the batch if needed); the delta only
     guards batch N+1 against batches ≤ N.
@@ -469,20 +483,35 @@ def stream_dedup_sink(
         if index_delta_path is not None:
             try:
                 delta = spark.read.parquet(index_delta_path)
-                idx = index.unionByName(delta)
-            except Exception:
-                pass  # first batch: no delta written yet
+                idx = index.unionByName(delta.drop("__batch_id"))
+            except AnalysisException as e:
+                # ONLY the first-batch missing-path case may pass — any
+                # other read failure (corrupt footer, permissions,
+                # incompatible schema) must fail the batch loudly, or the
+                # stream silently stops deduplicating against its history
+                if "PATH_NOT_FOUND" not in (
+                        (e.getErrorClass() or "") + str(e)):
+                    raise
         kept = dedup_against_index(batch_df, idx, id_col, text_col,
                                    min_shared_bands=min_shared_bands, **kw)
         # one pass: materialize survivors, then derive their bands from
         # the written parquet (re-reading beats recomputing the batch
-        # pipeline twice and keeps the two writes consistent)
+        # pipeline twice and keeps the two writes consistent).  Both
+        # writes are dynamic partition overwrites keyed on __batch_id:
+        # foreachBatch replays a batch after a mid-sink crash, and an
+        # overwrite of the SAME partition is idempotent where a plain
+        # append would duplicate every survivor (and its band rows)
         (kept.withColumn("__batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(out_path))
+             .write.partitionBy("__batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").parquet(out_path))
         if index_delta_path is not None:
             survivors = (spark.read.parquet(out_path)
                          .where(F.col("__batch_id") == batch_id))
             (minhash_band_index(survivors, id_col, text_col, **kw)
-             .write.mode("append").parquet(index_delta_path))
+             .withColumn("__batch_id", F.lit(batch_id))
+             .write.partitionBy("__batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").parquet(index_delta_path))
 
     return _sink
