@@ -125,7 +125,16 @@ def validate_json_column(
     ``engine="auto"`` compiles the columnar (JVM, zero-shuffle) plan and
     falls back to the exact Arrow-batched python engine only when the
     schema needs it (``PlanUnsupported``: nested value schemas over
-    undeclared keys, recursive object refs)."""
+    undeclared keys, recursive object refs).
+
+    Session side effect (exact mode): sets
+    ``spark.sql.variant.allowDuplicateKeys=true`` SESSION-WIDE so the
+    variant parse treats duplicate JSON keys as last-wins like the
+    reference's ``json.loads``.  The conf is read when the returned
+    (lazy) DataFrame executes, so it cannot be scoped to this plan and
+    is deliberately not restored — sessions that rely on the builder's
+    strict duplicate-key rejection for their OWN variant parses should
+    validate in ``json_types="coerce"`` mode or a separate session."""
     if engine == "auto":
         from .columnar.compiler import PlanUnsupported
         try:

@@ -565,7 +565,10 @@ def connected_components(
     Spark's own committer — a hard 2-snapshot storage ceiling on any
     filesystem, with no private persistent-RDD bridge.  The returned
     frame is a single ``localCheckpoint`` of the final round (caller-
-    owned, like any cached result), letting the work dirs be removed.
+    owned, like any cached result), and the round dirs are DELETED on
+    exit whenever this function created them (driver-local temp dir or
+    a derived subdir of the checkpoint dir alike — via Hadoop FS for
+    object-store paths); only a caller-supplied ``work_dir`` is kept.
 
     ``work_dir`` must be cluster-visible shared storage on multi-node
     deployments (e.g. an object-store scratch prefix); it defaults to
@@ -601,7 +604,28 @@ def connected_components(
             base = f"{ckdir.rstrip('/')}/ssg_cc_{uuid.uuid4().hex[:12]}"
         else:
             base = tempfile.mkdtemp(prefix="ssg_cc_")
-            own_base = True
+        # both branches CREATED the dir: remove it on exit either way.
+        # Only a caller-supplied work_dir is the caller's to keep.
+        own_base = True
+
+    def _rm_base():
+        from urllib.parse import urlparse
+
+        scheme = urlparse(base).scheme
+        if scheme in ("", "file"):
+            shutil.rmtree(base[len("file:"):] if scheme else base,
+                          ignore_errors=True)
+            return
+        # object-store / HDFS scratch under the checkpoint dir: Hadoop
+        # FileSystem is the only filesystem surface PySpark exposes
+        # (py4j bridge).  Cleanup only — a failure here leaks a scratch
+        # dir, never corrupts a result, hence the broad except.
+        try:
+            jsc = spark.sparkContext._jsc
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(base)
+            jpath.getFileSystem(jsc.hadoopConfiguration()).delete(jpath, True)
+        except Exception:
+            pass
 
     def _materialize(df: DataFrame, rnd: int) -> DataFrame:
         path = f"{base}/labels_{rnd % 2}"
@@ -655,7 +679,7 @@ def connected_components(
     finally:
         sym.unpersist()
         if own_base:
-            shutil.rmtree(base, ignore_errors=True)
+            _rm_base()
     if strict and changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

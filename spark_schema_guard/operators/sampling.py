@@ -265,9 +265,12 @@ def take_token_budget(
         return data.drop("__stratum", "__key", "__bkt")
 
     spark = df.sparkSession
+    # the boundary frame's stratum type must MATCH the data's (int/date/
+    # decimal strata crash createDataFrame against a hardcoded 'string')
+    stype = data.schema["__stratum"].dataType.simpleString()
     bdf = spark.createDataFrame(
-        boundary_rows, "__stratum " + ("string" if strata_col else "int")
-        + ", __bb string, __base long, __budget long")
+        boundary_rows,
+        f"__stratum {stype}, __bb string, __base long, __budget long")
     joined = data.join(F.broadcast(bdf), data["__stratum"].eqNullSafe(
         bdf["__stratum"]), "left").drop(bdf["__stratum"])
 
