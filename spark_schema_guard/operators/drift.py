@@ -168,16 +168,11 @@ def ks_by_unit(
     w_u = Window.partitionBy("unit").orderBy("b") \
         .rowsBetween(Window.unboundedPreceding, 0)
     pooled = binned.groupBy("b").agg(F.sum("n").alias("pn"))
-    # pooled CDF over the <= B grid buckets via a B x B broadcast
-    # triangular join — no global window (its empty-partition-spec
-    # WindowExec warning would mask a real one; Catalyst constant-folds
-    # partitionBy(lit) back to an empty spec)
-    pooled_cum = (
-        pooled.join(F.broadcast(pooled.select(F.col("b").alias("b2"),
-                                              F.col("pn").alias("pn2"))),
-                    F.col("b2") <= F.col("b"))
-        .groupBy("b", "pn").agg(F.sum("pn2").alias("pcum"))
-    )
+    # pooled CDF over the <= B grid buckets: stats.cum_bounded (the B×B
+    # triangular join; WindowExec-warning rationale lives there)
+    from .stats import cum_bounded
+
+    pooled_cum = cum_bounded(pooled, "b", {"pcum": "pn"})
     grand = pooled.agg(F.sum("pn").alias("grand"))
     cum = (full.withColumn("cum", F.sum("n").over(w_u))
            .join(F.broadcast(pooled_cum.select("b", "pcum")), "b")
@@ -305,16 +300,11 @@ def ks_drift(
             .agg(F.sum(F.col("g").cast("long")).alias("n_l"),
                  F.sum((~F.col("g")).cast("long")).alias("n_r"))
         )
-        # CDFs over the <= B binned rows via a B x B broadcast triangular
-        # join — no global window (see ks_by_unit: the empty-partition
-        # WindowExec warning would mask a real one)
-        cum = (
-            binned.join(F.broadcast(binned.select(
-                F.col("b").alias("b2"), F.col("n_l").alias("nl2"),
-                F.col("n_r").alias("nr2"))), F.col("b2") <= F.col("b"))
-            .groupBy("b")
-            .agg(F.sum("nl2").alias("cl"), F.sum("nr2").alias("cr"))
-        )
+        # CDFs over the <= B binned rows: stats.cum_bounded (the B×B
+        # triangular join; WindowExec-warning rationale lives there)
+        from .stats import cum_bounded
+
+        cum = cum_bounded(binned, "b", {"cl": "n_l", "cr": "n_r"})
         totals = cum.agg(F.max("cl").alias("tl"), F.max("cr").alias("tr"))
         return (
             cum.crossJoin(F.broadcast(totals))

@@ -96,6 +96,50 @@ def null_fractions(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     return wide.select(F.explode(F.array(*per_column)).alias("s")).select("s.*")
 
 
+def rank_bounded(df: DataFrame, count_col: str, tie_col: str,
+                 *, out: str = "rank") -> DataFrame:
+    """Rank an ALREADY-BOUNDED frame (<= k rows post-``limit``) by
+    ``(count_col DESC, tie_col ASC)`` without a window: rank = 1 + the
+    number of rows sorting strictly before, via a k×k broadcast
+    triangular self-join.  An empty-partition-spec window here would
+    emit the WindowExec "No Partition Defined" warning — which must
+    stay reserved for REAL unbounded windows (Catalyst constant-folds
+    ``partitionBy(lit)`` back to an empty spec, so there is no silent
+    variant).  Assumes ``tie_col`` is unique and both columns non-null
+    (true for groupBy outputs keyed on ``tie_col``).  Shared by
+    ``heavy_hitters`` and ``textstats.token_vocabulary``; keep the
+    rationale here, in one place.
+    """
+    keep = list(df.columns)
+    before = df.select(F.col(count_col).alias("__rb_n"),
+                       F.col(tie_col).alias("__rb_t"))
+    return (df.join(F.broadcast(before),
+                    (F.col("__rb_n") > F.col(count_col))
+                    | ((F.col("__rb_n") == F.col(count_col))
+                       & (F.col("__rb_t") < F.col(tie_col))), "left")
+            .groupBy(*keep)
+            .agg((F.count("__rb_t") + 1).cast("int").alias(out)))
+
+
+def cum_bounded(df: DataFrame, order_col: str,
+                sums: dict[str, str]) -> DataFrame:
+    """Cumulative sums over an ALREADY-BOUNDED frame (<= B grid/bin
+    rows): for each output name -> source column in ``sums``, the
+    running total over rows with ``order_col`` <= this row's, via the
+    same B×B broadcast triangular join as :func:`rank_bounded` (and for
+    the same reason — no empty-partition-spec window).  All input
+    columns are carried through.  Shared by ``drift.ks_by_unit`` and
+    ``drift.ks_drift(mode="grid")``.
+    """
+    keep = list(df.columns)
+    right = df.select(
+        F.col(order_col).alias("__cb_b"),
+        *[F.col(src).alias(f"__cb_{out}") for out, src in sums.items()])
+    return (df.join(F.broadcast(right), F.col("__cb_b") <= F.col(order_col))
+            .groupBy(*keep)
+            .agg(*[F.sum(f"__cb_{out}").alias(out) for out in sums]))
+
+
 def heavy_hitters(
     df: DataFrame,
     column,
@@ -130,22 +174,8 @@ def heavy_hitters(
     if min_share > 0.0:
         shared = shared.where(F.col("share") >= min_share)
     topk = shared.orderBy(F.col("n_rows").desc(), F.col("value").asc()).limit(k)
-    # rank WITHOUT a window: over the <= k limited rows, rank = 1 + the
-    # count of rows sorting strictly before (a k x k broadcast triangular
-    # join — k is tiny).  A window here would need an empty partition
-    # spec, whose WindowExec warning is indistinguishable from a REAL
-    # unbounded global window (Catalyst constant-folds partitionBy(lit)).
-    before = topk.select(F.col("n_rows").alias("__n2"),
-                         F.col("value").alias("__v2"))
-    return (
-        topk.join(F.broadcast(before),
-                  (F.col("__n2") > F.col("n_rows"))
-                  | ((F.col("__n2") == F.col("n_rows"))
-                     & (F.col("__v2") < F.col("value"))), "left")
-        .groupBy("value", "n_rows", "share")
-        .agg((F.count("__v2") + 1).cast("int").alias("rank"))
-        .select("rank", "value", "n_rows", "share")
-    )
+    return (rank_bounded(topk, "n_rows", "value")
+            .select("rank", "value", "n_rows", "share"))
 
 
 def domain_skew(df: DataFrame, url_col: str = "url", *, k: int = 10) -> DataFrame:

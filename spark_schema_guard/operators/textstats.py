@@ -278,17 +278,11 @@ def token_vocabulary(df: DataFrame, id_col: str, text_col: str, *,
             .drop("__t")
             .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
             .limit(k))
-    # rank via a k x k broadcast triangular join, not a global window
-    # (empty-partition-spec WindowExec warnings would mask real ones;
-    # Catalyst constant-folds partitionBy(lit) back to empty)
-    before = topk.select(F.col("n_occurrences").alias("__n2"),
-                         F.col("token").alias("__t2"))
-    return (topk.join(F.broadcast(before),
-                      (F.col("__n2") > F.col("n_occurrences"))
-                      | ((F.col("__n2") == F.col("n_occurrences"))
-                         & (F.col("__t2") < F.col("token"))), "left")
-            .groupBy("token", "n_occurrences", "n_docs", "share")
-            .agg((F.count("__t2") + 1).cast("int").alias("rank"))
+    # rank without a window: stats.rank_bounded (the k×k triangular
+    # join; WindowExec-warning rationale lives there)
+    from .stats import rank_bounded
+
+    return (rank_bounded(topk, "n_occurrences", "token")
             .select("rank", "token", "n_occurrences", "n_docs", "share"))
 
 
