@@ -517,3 +517,65 @@ def test_stream_dedup_sink_foreachbatch(spark, tmp_path):
     # delta holds band rows only for survivors
     delta_ids = {r["id"] for r in spark.read.parquet(delta).collect()}
     assert delta_ids == survivors
+
+
+def test_stream_dedup_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the sink with the SAME
+    batch_id (a post-write, pre-checkpoint crash replay) must not
+    duplicate survivors or their delta band rows — both writes are
+    per-batch dynamic partition overwrites."""
+    from spark_schema_guard.operators.dedup import minhash_band_index
+    from spark_schema_guard.streaming import stream_dedup_sink
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8)
+    index = minhash_band_index(corpus, "doc_id", "text", **kw)
+    out = str(tmp_path / "rp_out")
+    delta = str(tmp_path / "rp_delta")
+    sink = stream_dedup_sink(index, "doc_id", "text", out,
+                             min_shared_bands=2, index_delta_path=delta, **kw)
+
+    batch = spark.createDataFrame(
+        [(10, "a totally new document about watermark semantics in spark"),
+         (11, "another fresh page describing parquet bucketing strategies")],
+        "doc_id long, text string")
+    sink(batch, 0)
+    sink(batch, 0)  # replay of the same micro-batch
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [10, 11]  # no doubles
+    n_delta = spark.read.parquet(delta).count()
+    sink(batch, 0)  # and again, now with the delta present
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(delta).count() == n_delta
+
+    # a later batch still appends (its own partition), earlier kept
+    batch2 = spark.createDataFrame(
+        [(20, "completely different content for the second micro batch")],
+        "doc_id long, text string")
+    sink(batch2, 1)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_dedup_sink_fails_loudly_on_bad_delta(spark, tmp_path):
+    """Only the first-batch missing-path case is rescued; a corrupt delta
+    must raise, not silently stop deduplicating against history."""
+    import pytest as _pytest
+
+    from spark_schema_guard.operators.dedup import minhash_band_index
+    from spark_schema_guard.streaming import stream_dedup_sink
+
+    corpus = spark.createDataFrame([(1, "some corpus text here")],
+                                   "doc_id long, text string")
+    index = minhash_band_index(corpus, "doc_id", "text")
+    bad_delta = tmp_path / "bad_delta"
+    bad_delta.mkdir()
+    (bad_delta / "junk.parquet").write_bytes(b"not a parquet file")
+    sink = stream_dedup_sink(index, "doc_id", "text",
+                             str(tmp_path / "bd_out"),
+                             index_delta_path=str(bad_delta))
+    batch = spark.createDataFrame([(10, "whatever text")],
+                                  "doc_id long, text string")
+    with _pytest.raises(Exception):
+        sink(batch, 0)

@@ -497,3 +497,110 @@ def test_webgen_replica_stride_is_long(spark):
            .agg(F.max(F.expr("CAST(regexp_extract(url, '([0-9]+)$', 1) AS LONG)"))
                 .alias("m")).collect()[0]["m"])
     assert top == 1 + 29999 * 100000
+
+
+# --- round-3 code-review findings --------------------------------------------
+
+
+def test_take_token_budget_integer_strata(spark):
+    """The boundary frame's __stratum DDL used to hardcode 'string',
+    crashing createDataFrame for any non-string strata column."""
+    from spark_schema_guard.operators.sampling import take_token_budget
+
+    rows = [(i, i % 3, 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp int, tok long")
+    out = take_token_budget(df, "doc_id", "tok", strata_col="grp",
+                            budgets={0: 50, 1: 100}, default_budget=0)
+    got = out.groupBy("grp").agg(F.sum("tok").alias("t")).collect()
+    by = {r["grp"]: r["t"] for r in got}
+    assert by.get(0, 0) == 50 and by.get(1, 0) == 100 and 2 not in by
+
+
+def test_varsql_json_literal_regex_matches_scalars():
+    """The raw-string '\\\\s*$' tail made the rescue regex unmatchable —
+    it must accept exactly what the typed path's literal_ok accepts."""
+    import re
+
+    from spark_schema_guard.columnar import varsql
+
+    for ok in ["123", "-4.5", "1e10", "true", "false", "null",
+               '"x"', ' 42 ', '  "quoted"  ']:
+        assert re.search(varsql._JSON_LITERAL_RE, ok), ok
+    for bad in ["{", "[1", "abc", ""]:
+        assert not re.search(varsql._JSON_LITERAL_RE, bad), bad
+
+
+def test_decimal_bound_matches_reference_codegen_roundtrip(spark, reference):
+    """fastjsonschema interpolates bounds into generated source via
+    str(), so ``Decimal('1e18') + 0.1`` COMPARES as the re-parsed float
+    literal 1e18 (BIGINT 10^18 passes) while integral Decimals compare
+    as exact int literals — and the MESSAGE keeps str(Decimal).  Pin
+    that round trip on both engines (rowcheck + variant SQL)."""
+    import json
+    from decimal import Decimal
+
+    import spark_schema_guard as ssg
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    cases = [
+        # (bound, doc, key-value as Python)
+        (Decimal("1000000000000000000.1"), 1000000000000000000),
+        (Decimal("1000000000000000000.1"), 999999999999999999),
+        (Decimal("10000000000000000001"), 10000000000000000000),
+        (Decimal("2.5"), 2),
+        (Decimal("2.5"), 3),
+        # JSON integers beyond 2^63 land in the variant's DECIMAL(p,0)
+        # tag — exact there too, for plain int bounds alike
+        (10 ** 19 + 1, 10 ** 19),
+        (10 ** 19 + 1, 10 ** 19 + 2),
+    ]
+    for bound, val in cases:
+        schema = {"type": "object", "required": ["k"],
+                  "properties": {"k": {"type": "integer", "minimum": bound}}}
+        doc = f'{{"k": {val}}}'
+        ref = reference.compile(schema)
+        try:
+            ref(json.loads(doc))
+            expected, ref_msg = True, None
+        except Exception as e:
+            expected, ref_msg = False, str(e)
+
+        # python engine: verdict AND byte-equal message
+        mine = ssg.compile(schema, fast_fail=False)
+        errs = mine.collect(json.loads(doc))
+        assert (not errs) == expected, (bound, val)
+        if ref_msg is not None:
+            assert errs[0].message == ref_msg, (bound, val)
+
+        # variant SQL engine
+        df = spark.createDataFrame([(doc,)], "js string")
+        row = validate_json_column(df, "js", schema,
+                                   engine="columnar").collect()[0]
+        assert row["verdict"] == expected, (bound, val)
+        if ref_msg is not None:
+            assert row["violations"][0]["message"] == ref_msg, (bound, val)
+
+
+def test_connected_components_checkpointdir_scratch_cleanup(spark, tmp_path):
+    """With a checkpoint dir set, the loop derives an ssg_cc_* scratch
+    subdir — it created it, so it must also remove it (previously only
+    the mkdtemp base was cleaned; object-store scratch accumulated two
+    label snapshots per call)."""
+    import os
+
+    from spark_schema_guard.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    ck = str(tmp_path / "ck")
+    sc.setCheckpointDir(ck)
+    try:
+        edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a long, id_b long")
+        out = connected_components(edges, driver_max_edges=0)
+        assert {(r["id"], r["component"]) for r in out.collect()} == \
+            {(1, 1), (2, 1), (3, 1)}
+        leftovers = [d for d in os.listdir(ck) if d.startswith("ssg_cc_")]
+        assert leftovers == []
+    finally:
+        # reset so later tests see the no-checkpoint-dir default again
+        sc._jsc.sc().setCheckpointDir(None)
