@@ -128,8 +128,10 @@ def cum_bounded(df: DataFrame, order_col: str,
     running total over rows with ``order_col`` <= this row's, via the
     same B×B broadcast triangular join as :func:`rank_bounded` (and for
     the same reason — no empty-partition-spec window).  All input
-    columns are carried through.  Shared by ``drift.ks_by_unit`` and
-    ``drift.ks_drift(mode="grid")``.
+    columns are carried through.  Used by ``drift.ks_by_unit``'s pooled
+    CDF (which must stay a frame — it joins against the per-unit rows);
+    ``ks_drift(mode="grid")`` instead finishes its CDF driver-side over
+    the collected <= B bins.
     """
     keep = list(df.columns)
     right = df.select(

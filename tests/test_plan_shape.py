@@ -287,11 +287,11 @@ def test_dedup_lines_plan_shape(spark, sf_dir):
 
 
 def test_topk_and_grid_cdf_plans_have_no_window(spark, sf_dir):
-    """heavy_hitters / token_vocabulary rank their <= k rows and
-    ks_drift(mode="grid") builds its <= B-bucket CDF via broadcast
-    triangular joins — zero Window nodes, so the WindowExec
-    "No Partition Defined" warning can only ever mean a REAL global
-    window regressed in somewhere."""
+    """heavy_hitters / token_vocabulary rank their <= k rows via the
+    broadcast triangular join (stats.rank_bounded) and
+    ks_drift(mode="grid") finishes its <= B-bucket CDF on the driver —
+    zero Window nodes, so the WindowExec "No Partition Defined" warning
+    can only ever mean a REAL global window regressed in somewhere."""
     from spark_schema_guard.operators import heavy_hitters, ks_drift
     from spark_schema_guard.operators.textstats import token_vocabulary
 
