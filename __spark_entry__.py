@@ -246,6 +246,24 @@ def q_web_uniqueness_summary(spark, sf_dir):
     return uniqueness_report(web, "url")
 
 
+def q_web_extraction(spark, sf_dir):
+    """The north rule's per-row invariant as a first-class check:
+    re-extracting text from the html BYTES must reproduce the ``text``
+    column byte-identically per url (operators/extraction.py — pure
+    Column projection: is_valid_utf8 over the binary reinterpret cast +
+    one regexp tag-strip, zero shuffle).  doc_id%59 texts are
+    deterministically perturbed so the mismatch branch is exercised;
+    webgen's planted NULL-html (%41) and non-UTF-8 (%43) rows exercise
+    the other verdicts."""
+    from spark_schema_guard.operators.extraction import extraction_report
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    perturbed = web.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 59 == 0,
+               F.concat(F.col("text"), F.lit("!"))).otherwise(F.col("text")))
+    return extraction_report(perturbed, "html", "text", "doc_id")
+
+
 def q_fk_orders_customer(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     customer = _read(spark, sf_dir, "customer")
@@ -843,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_duplicate_urls": q_web_duplicate_urls,
         "web_url_normalize": q_web_url_normalize,
         "web_uniqueness_summary": q_web_uniqueness_summary,
+        "web_extraction": q_web_extraction,
         "fk_orders_customer": q_fk_orders_customer,
         "fk_web_lang": q_fk_web_lang,
         "stats_documents": q_stats_documents,
@@ -1021,6 +1040,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
                      AS surplus_rows
             FROM c
+        """,
+        "web_extraction": f"""
+            WITH {WEB_CTE}, p AS (
+              -- html was BUILT as wrap(text) and the corpus texts carry no
+              -- '<' (asserted by the engine-side test), so the true
+              -- extracted body IS web.text; the perturbed comparison
+              -- column diverges on doc_id%59
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 59 = 0 THEN text || '!' ELSE text END
+                       AS ptext
+              FROM web
+            ), v AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 41 = 0 OR text IS NULL
+                            THEN 'missing_html'
+                          WHEN doc_id % 43 = 0 THEN 'undecodable'
+                          WHEN ptext = text THEN 'match'
+                          ELSE 'mismatch' END AS extraction_verdict
+              FROM p
+            )
+            SELECT extraction_verdict, COUNT(*) AS n_rows,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM v GROUP BY extraction_verdict ORDER BY extraction_verdict
         """,
         "fk_orders_customer": """
             SELECT o_orderkey, o_custkey FROM orders o

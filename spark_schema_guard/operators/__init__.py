@@ -8,6 +8,8 @@ from .sampling import (assign_splits, downsample, stratified_sample,
                        take_token_budget)
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
+from .extraction import (extracted_text, extraction_check,
+                         extraction_report, html_is_utf8)
 
 __all__ = [
     "column_profile",
@@ -31,4 +33,8 @@ __all__ = [
     "duplicate_urls_normalized",
     "normalize_url",
     "ngram_decontaminate",
+    "extracted_text",
+    "extraction_check",
+    "extraction_report",
+    "html_is_utf8",
 ]

@@ -1037,3 +1037,56 @@ def test_dedup_against_index_keep_and_null_policy(spark):
         sigs = minhash_signatures(batch.where("doc_id = 12"), "doc_id",
                                   "text", num_hashes=16, hash_fn=hash_fn)
         assert sigs.count() == 0, hash_fn
+
+
+def test_extraction_check_verdicts(spark):
+    """Every verdict branch on hand-built rows; the plan stays a pure
+    JVM projection (no Python eval nodes) — extraction is the north
+    rule's byte-identity invariant and must be free at scale."""
+    from spark_schema_guard.operators.extraction import (
+        extraction_check, extraction_report, extracted_text, html_is_utf8)
+
+    rows = [
+        (1, b"<html><body><p>hi there</p></body></html>", "hi there"),
+        (2, b"<p>one</p>", "two"),                       # mismatch
+        (3, None, "orphan text"),                        # missing_html
+        (4, b"\xff\xfe\xfdbroken", "broken"),            # undecodable
+        (5, b"<p>no extract ran</p>", None),             # missing_text
+        (6, b"", ""),                                    # empty html == ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html binary, text string")
+    got = {r["doc_id"]: r["extraction_verdict"]
+           for r in extraction_check(df).collect()}
+    assert got == {1: "match", 2: "mismatch", 3: "missing_html",
+                   4: "undecodable", 5: "missing_text", 6: "match"}
+
+    rep = {r["extraction_verdict"]: (r["n_rows"], r["min_id"], r["max_id"])
+           for r in extraction_report(df, id_col="doc_id").collect()}
+    assert rep["match"] == (2, 1, 6)
+    assert rep["undecodable"] == (1, 4, 4)
+
+    ext = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", extracted_text("html").alias("e")).collect()}
+    assert ext[1] == "hi there" and ext[4] is None and ext[3] is None
+    valid = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", html_is_utf8("html").alias("v")).collect()}
+    assert valid == {1: True, 2: True, 3: None, 4: False, 5: True, 6: True}
+
+    plan = extraction_check(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extraction_custom_extractor_and_no_tags_in_testdata(spark, sf_dir):
+    """Caller-supplied extractor Column wins; and the oracle's
+    strip(wrap(text)) == text equivalence premise holds on the shipped
+    corpora: no document text contains a '<'."""
+    from spark_schema_guard.operators.extraction import extraction_check
+
+    df = spark.createDataFrame(
+        [(1, b"NOISEhello", "hello")], "doc_id int, html binary, text string")
+    checked = extraction_check(
+        df, extract=lambda s: F.regexp_replace(s, "^NOISE", ""))
+    assert checked.collect()[0]["extraction_verdict"] == "match"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.where(F.col("text").contains("<")).count() == 0
