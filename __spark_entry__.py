@@ -498,6 +498,77 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(lined_docs(docs), "doc_id", "text", min_len=10)
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Per-lang boilerplate-line removal over the same deterministic
+    line-structured view ``dedup_lines`` uses (8-token lines), with a
+    per-lang copyright footer appended to every doc — the footer appears
+    in 100% of each lang's docs, so strip_boilerplate must remove it
+    from ALL of them (plus any organic line clearing the 30% document-
+    frequency bar).  The DuckDB oracle replays the construction and the
+    identical (min_docs, min_frac) rule over raw lines."""
+    from spark_schema_guard.operators.dedup import strip_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        & F.col("lang").isNotNull())
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=8)
+    lined = (chunks.groupBy("doc_id")
+             .agg(F.array_join(
+                 F.sort_array(F.collect_list(
+                     F.struct("chunk_id", "chunk_text")))
+                 .getField("chunk_text"), "\n").alias("text")))
+    footer = F.concat(F.lit("(c) corpus-"), F.col("lang"),
+                      F.lit(" - all rights reserved"))
+    wf = (lined.join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("text", F.concat(F.col("text"), F.lit("\n"), footer)))
+    return strip_boilerplate(wf, "doc_id", "text", "lang",
+                             min_docs=2, min_frac=0.3)
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-aware canonical selection: the dedup_clusters pipeline's
+    clusters, but the representative is the member with the MAX text
+    length (tie -> min id) instead of keep-lowest-id.  Exercises the
+    driver union-find CC path (vs dedup_clusters' forced-distributed
+    path) AND the min(struct(-score, id)) argmax aggregate; the oracle
+    recomputes components with a recursive CTE and picks the same rep
+    with a row_number window."""
+    from spark_schema_guard.operators.dedup import (cluster_representatives,
+                                                    duplicate_clusters)
+
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    edges = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
+                               shingle_k=8, hash_fn="md5").where(
+        F.col("shared_bands") >= 3)
+    members = duplicate_clusters(
+        docs.select("doc_id", F.length("text").alias("score")),
+        "doc_id", edges)
+    reps = cluster_representatives(members, "doc_id", "cluster_id",
+                                   score_col="score")
+    return reps.select("cluster_id", "rep_id", "n_members")
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """End-to-end quality-aware dedup: same clusters as dedup_canonical,
+    then keep_canonical filters the corpus to representatives +
+    never-clustered rows.  The oracle keeps every doc that is not a
+    non-rank-1 member."""
+    from spark_schema_guard.operators.dedup import (duplicate_clusters,
+                                                    keep_canonical)
+
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    edges = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
+                               shingle_k=8, hash_fn="md5").where(
+        F.col("shared_bands") >= 3)
+    members = duplicate_clusters(
+        docs.select("doc_id", F.length("text").alias("score")),
+        "doc_id", edges)
+    kept = keep_canonical(docs, members, "doc_id", score_col="score")
+    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Token-budget data mixing: per-lang deterministic md5-order
     selection up to a token budget (en 5000 / de 9999 (= keep-all at
@@ -878,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
+        "strip_boilerplate": q_strip_boilerplate,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_keep": q_dedup_incremental_keep,
         "web_domain_skew": q_web_domain_skew,
@@ -1484,6 +1558,152 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_lines,
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept
             FROM k GROUP BY doc_id
+        """,
+        "strip_boilerplate": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                AND lang IS NOT NULL
+            ), ids AS (
+              SELECT doc_id, lang, t,
+                     CAST(ceil(greatest(n, 1) / 8.0) AS INT) AS n_chunks
+              FROM toks WHERE n > 0
+            ), chunks AS (
+              SELECT doc_id, lang, g AS chunk_id,
+                     array_to_string(t[g*8+1 : g*8+8], ' ') AS line
+              FROM (SELECT doc_id, lang, t,
+                           unnest(generate_series(0, n_chunks - 1)) AS g
+                    FROM ids)
+            ), lined AS (
+              SELECT doc_id, lang,
+                     string_agg(line, chr(10) ORDER BY chunk_id)
+                       || chr(10) || '(c) corpus-' || lang
+                       || ' - all rights reserved' AS text
+              FROM chunks GROUP BY doc_id, lang
+            ), l AS (
+              SELECT doc_id, lang, i - 1 AS pos, ls[i] AS line
+              FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ls
+                    FROM lined) s,
+                   UNNEST(generate_series(1, len(ls))) AS u(i)
+            ), nd AS (
+              SELECT lang, COUNT(*) AS ndocs FROM lined GROUP BY lang
+            ), dfq AS (
+              SELECT lang, line, COUNT(DISTINCT doc_id) AS dfreq
+              FROM l GROUP BY lang, line
+            ), bp AS (
+              SELECT lang, line, TRUE AS is_bp
+              FROM dfq JOIN nd USING (lang)
+              WHERE dfreq >= 2 AND dfreq >= 0.3 * ndocs
+            )
+            SELECT doc_id, lang,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE is_bp IS NULL), '') AS text,
+                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE is_bp IS NULL) AS INT)
+                     AS n_kept
+            FROM l LEFT JOIN bp USING (lang, line)
+            GROUP BY doc_id, lang
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM (SELECT doc_id,
+                           unnest([substr(text, i, 8)
+                                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                    FROM documents WHERE doc_id < 200 AND length(text) >= 8)
+              GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+            members AS (
+              SELECT d.doc_id,
+                     COALESCE(c.component, d.doc_id) AS cluster_id,
+                     length(d.text) AS score
+              FROM (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 200 AND length(text) >= 8) d
+              LEFT JOIN comp c ON c.id = d.doc_id),
+            ranked AS (
+              SELECT cluster_id, doc_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY score DESC, doc_id ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+              FROM members)
+            SELECT cluster_id, doc_id AS rep_id, CAST(nm AS INT) AS n_members
+            FROM ranked WHERE rn = 1
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM (SELECT doc_id,
+                           unnest([substr(text, i, 8)
+                                   for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+                    FROM documents WHERE doc_id < 200 AND length(text) >= 8)
+              GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+            members AS (
+              SELECT d.doc_id,
+                     COALESCE(c.component, d.doc_id) AS cluster_id,
+                     length(d.text) AS score
+              FROM (SELECT doc_id, text FROM documents
+                    WHERE doc_id < 200 AND length(text) >= 8) d
+              LEFT JOIN comp c ON c.id = d.doc_id),
+            losers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY score DESC, doc_id ASC)
+                         AS rn
+                FROM members)
+              WHERE rn > 1)
+            SELECT d.doc_id, md5(d.text) AS text_md5
+            FROM documents d LEFT JOIN losers x USING (doc_id)
+            WHERE d.doc_id < 200 AND length(d.text) >= 8
+              AND x.doc_id IS NULL
         """,
         "sample_splits": """
             SELECT doc_id,

@@ -122,6 +122,92 @@ def dedup_lines(
     return deduped.unionByName(passthrough)
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    min_docs: int = 2,
+    min_frac: float = 0.5,
+    split_pattern: str = "\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Per-group boilerplate-LINE removal — the CCNet/RefinedWeb cleanup
+    step ``dedup_lines`` deliberately does not do: a line that appears in
+    at least ``min_docs`` documents AND at least ``min_frac`` of the
+    documents **of the same group** (domain, site, lang) is boilerplate
+    (nav bars, cookie banners, copyright footers) and is removed from
+    EVERY document of that group — including its first occurrence, which
+    is exactly where this differs from first-occurrence line dedup.
+    There is no minimum line length: short lines ("Home", "Menu") are
+    the canonical boilerplate, the opposite of ``dedup_lines``'s policy.
+
+    Returns ``(id, group, text, n_lines, n_kept)`` with ``text`` rebuilt
+    from the surviving lines in original order ('' when every line was
+    boilerplate; NULL text stays NULL).
+
+    NULL policy (mirrors ``dedup_lines``): rows whose id OR group is
+    NULL pass through unchanged — a NULL group names no cohort to count
+    document frequency against, and a NULL id cannot be reassembled
+    deterministically.  Their lines never count toward any group's
+    document frequencies.
+
+    Scale shape (10^12-row argument): posexplode(split) -> per-line
+    ``(group, md5(line), id)`` map-side-partial DISTINCT (a line repeated
+    inside one doc counts that doc once) -> ``groupBy(group, line_hash)``
+    document-frequency count -> join against the per-group doc counts
+    (tiny: one row per group, broadcast) -> the boilerplate set is one
+    row per DISTINCT offending line per group — small, broadcast-eligible
+    — left-joined back onto the line stream (no duplicate build keys, so
+    AQE's skew split covers hot lines) -> ONE ``groupBy(id)`` reassembly
+    ordered by position (per-document memory, no corpus-wide sort).
+    Shuffle volume ~ corpus lines, same as ``dedup_lines``.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    gid, grp, txt = F.col(id_col), F.col(group_col), F.col(text_col)
+    n_lines_of = F.when(txt.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(txt, split_pattern))).cast("int")
+    passthrough = df.where(gid.isNull() | grp.isNull()).select(
+        gid, grp, txt, n_lines_of.alias("n_lines")
+    ).withColumn("n_kept", F.col("n_lines"))
+
+    lines = df.where(gid.isNotNull() & grp.isNotNull()).select(
+        gid, grp,
+        F.posexplode_outer(F.split(txt, split_pattern)).alias("pos", "line"),
+    ).withColumn("__h", F.md5("line"))
+
+    group_docs = (df.where(gid.isNotNull() & grp.isNotNull())
+                  .groupBy(group_col).agg(F.count(F.lit(1)).alias("__nd")))
+    line_df = (lines.where(F.col("line").isNotNull())
+               .select(group_col, "__h", id_col).distinct()
+               .groupBy(group_col, "__h")
+               .agg(F.count(F.lit(1)).alias("__df")))
+    boiler = (line_df.join(group_docs, group_col)
+              .where((F.col("__df") >= F.lit(min_docs))
+                     & (F.col("__df") >= F.lit(min_frac) * F.col("__nd")))
+              .select(group_col, "__h", F.lit(True).alias("__bp")))
+
+    marked = lines.join(boiler, [group_col, "__h"], "left")
+    kept_line = F.col("line").isNotNull() & F.col("__bp").isNull()
+    surviving = F.when(kept_line, F.struct(F.col("pos"), F.col("line")))
+    out = (marked.groupBy(id_col, group_col).agg(
+        F.array_join(F.sort_array(F.collect_list(surviving))
+                      .getField("line"), join_sep).alias("__text"),
+        F.count("line").alias("n_lines"),
+        F.count(F.when(kept_line, 1)).alias("n_kept"),
+        F.max(F.col("line").isNotNull()).alias("__has"))
+        .select(F.col(id_col), F.col(group_col),
+                F.when(F.col("__has"), F.col("__text"))
+                 .otherwise(F.lit(None).cast("string")).alias(text_col),
+                F.col("n_lines").cast("int").alias("n_lines"),
+                F.col("n_kept").cast("int").alias("n_kept")))
+    return out.unionByName(passthrough)
+
+
 def _shingle_array(text: Column, k: int) -> Column:
     """All k-character shingles of a string as an array (JVM-side);
     strings shorter than k shingle to themselves."""
@@ -715,6 +801,87 @@ def duplicate_clusters(
         .drop("component")
     )
     return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+
+
+def cluster_representatives(
+    members: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    *,
+    score_col: str | None = None,
+) -> DataFrame:
+    """One representative per duplicate cluster: ``(cluster, rep_id,
+    n_members)`` — the RefinedWeb-style "keep the best copy" policy,
+    where ``duplicate_clusters``'s keep-lowest-id default is replaced by
+    an explicit quality score (token count, text length, a model score).
+
+    Representative = the member with the MAXIMUM ``score_col``, ties
+    broken by MINIMUM id; with ``score_col=None`` it degrades to plain
+    keep-lowest-id.  NULL scores lose to every non-NULL score (a doc the
+    scorer could not rate must never displace a rated one); an all-NULL
+    cluster falls back to lowest id.
+
+    Single ``groupBy(cluster)`` with a ``min(struct(-score, id))``
+    aggregate — map-side partial, whole-stage codegen, ONE shuffle whose
+    volume is one row per cluster.  No window function: a global
+    ``row_number() over (partition by cluster)`` would funnel each
+    cluster through one partition, which for the giant near-clique
+    clusters web dedup produces (template farms: 10^8 members) is the
+    same single-partition trap the ANN rank stage had.  The ordering key
+    casts the score to double — at 10^12 docs any plausible quality
+    score (tokens, bytes, log-probs) is far below 2^53, and ties on the
+    double view fall through to the exact id tiebreak anyway.
+    """
+    mid, mcl = F.col(id_col), F.col(cluster_col)
+    if score_col is None:
+        key = F.struct(F.lit(0.0).alias("s"), mid.alias("i"))
+    else:
+        # -score, with NULL -> +infinity so NULL-scored members sort
+        # AFTER (lose to) every scored member under min()
+        neg = F.when(F.col(score_col).isNull(),
+                     F.lit(float("inf"))).otherwise(
+            -F.col(score_col).cast("double"))
+        key = F.struct(neg.alias("s"), mid.alias("i"))
+    return (members.where(mid.isNotNull() & mcl.isNotNull())
+            .groupBy(mcl.alias(cluster_col))
+            .agg(F.min(key).alias("__best"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select(F.col(cluster_col),
+                    F.col("__best.i").alias("rep_id"),
+                    F.col("n_members").cast("int").alias("n_members")))
+
+
+def keep_canonical(
+    df: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    *,
+    cluster_col: str = "cluster_id",
+    member_id_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Filter ``df`` down to the rows a quality-aware dedup keeps: for
+    every cluster in ``members`` (``member_id_col``/``cluster_col``, with
+    an optional ``score_col`` — see :func:`cluster_representatives`),
+    only the representative survives; rows of ``df`` that appear in no
+    cluster pass through untouched (they are their own singleton).
+
+    Shape: the representatives table is one row per CLUSTER and the
+    losers table one row per non-representative MEMBER — both small
+    relative to a 10^12-row ``df`` after LSH candidate generation, so
+    the final ``left_anti`` join broadcasts in practice; when the dup
+    set is genuinely huge AQE falls back to a shuffled anti join on the
+    id, which is the correct shape anyway.
+    """
+    mid = member_id_col or id_col
+    reps = cluster_representatives(members, mid, cluster_col,
+                                   score_col=score_col)
+    losers = (members.where(F.col(mid).isNotNull()
+                            & F.col(cluster_col).isNotNull())
+              .join(reps.select(cluster_col, "rep_id"), cluster_col)
+              .where(F.col(mid) != F.col("rep_id"))
+              .select(F.col(mid).alias(id_col)).distinct())
+    return df.join(losers, id_col, "left_anti")
 
 
 def embedding_near_dups(

@@ -874,6 +874,102 @@ def test_dedup_lines_matches_reference_loop(spark):
     ], key=str)
 
 
+def test_strip_boilerplate_hand_computed(spark):
+    from spark_schema_guard.operators.dedup import strip_boilerplate
+
+    footer = "(c) example.com"
+    docs = [
+        # example.com: 3 docs, footer in all 3 (df=3 >= 0.5*3), "Home" in
+        # 2 of 3 (df=2 >= 1.5) -> both boilerplate; unique lines survive
+        (1, "example.com", f"Home\nalpha body\n{footer}"),
+        (2, "example.com", f"Home\nbeta body\n{footer}"),
+        (3, "example.com", f"gamma body\n{footer}"),
+        # other.net: 2 docs, no line repeats across BOTH docs except
+        # "Home" (df=2 >= 0.5*2 AND >= min_docs=2) — group-scoped: the
+        # example.com footer appearing once here is NOT boilerplate
+        (4, "other.net", f"Home\ndelta body\n{footer}"),
+        (5, "other.net", "Home\nepsilon body"),
+        # repeated INSIDE one doc only: df counts distinct docs -> kept
+        (6, "solo.org", "twice\ntwice\nsolo body"),
+        (7, "solo.org", "unrelated"),
+        (8, "example.com", None),     # NULL text stays NULL
+        (None, "example.com", "null id passes through\nuntouched"),
+        (9, None, "null group passes through"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, dom string, text string")
+    got = {}
+    for r in strip_boilerplate(df, "doc_id", "text", "dom",
+                               min_docs=2, min_frac=0.5).collect():
+        got[(r["doc_id"], r["dom"])] = (r["text"], r["n_lines"], r["n_kept"])
+    assert got[(1, "example.com")] == ("alpha body", 3, 1)
+    assert got[(2, "example.com")] == ("beta body", 3, 1)
+    assert got[(3, "example.com")] == ("gamma body", 2, 1)
+    assert got[(4, "other.net")] == (f"delta body\n{footer}", 3, 2)
+    assert got[(5, "other.net")] == ("epsilon body", 2, 1)
+    assert got[(6, "solo.org")] == ("twice\ntwice\nsolo body", 3, 3)
+    assert got[(7, "solo.org")] == ("unrelated", 1, 1)
+    assert got[(8, "example.com")] == (None, 0, 0)
+    assert got[(None, "example.com")] == \
+        ("null id passes through\nuntouched", 2, 2)
+    assert got[(9, None)] == ("null group passes through", 1, 1)
+    assert len(got) == len(docs)
+
+    # min_frac=1.0: the NULL-text doc 8 still counts toward example.com's
+    # group size (4 docs), so the footer's df=3 no longer clears the bar
+    # and every line is kept
+    tight = {r["doc_id"]: r["n_kept"]
+             for r in strip_boilerplate(df, "doc_id", "text", "dom",
+                                        min_docs=2, min_frac=1.0).collect()
+             if r["dom"] == "example.com" and r["doc_id"] is not None}
+    # 4 example.com docs (incl. the NULL-text one) -> nothing reaches
+    # df == 4, so every line is kept
+    assert tight == {1: 3, 2: 3, 3: 2, 8: 0}
+
+    with pytest.raises(ValueError):
+        strip_boilerplate(df, "doc_id", "text", "dom", min_docs=0)
+    with pytest.raises(ValueError):
+        strip_boilerplate(df, "doc_id", "text", "dom", min_frac=0.0)
+
+
+def test_cluster_representatives_and_keep_canonical(spark):
+    from spark_schema_guard.operators.dedup import (cluster_representatives,
+                                                    keep_canonical)
+
+    members = spark.createDataFrame(
+        [
+            (1, 100, 10.0),   # cluster 100: 3 -> max score
+            (2, 100, 30.0),
+            (3, 100, 20.0),
+            (4, 200, 5.0),    # cluster 200: tie on score -> min id wins
+            (5, 200, 5.0),
+            (6, 300, None),   # cluster 300: NULL score loses to scored
+            (7, 300, 1.0),
+            (8, 400, None),   # all-NULL cluster -> lowest id
+            (9, 400, None),
+            (None, 500, 9.0),     # NULL id: ignored
+            (10, None, 9.0),      # NULL cluster: ignored
+        ],
+        "id long, cluster_id long, score double")
+    reps = {r["cluster_id"]: (r["rep_id"], r["n_members"])
+            for r in cluster_representatives(
+                members, "id", "cluster_id", score_col="score").collect()}
+    assert reps == {100: (2, 3), 200: (4, 2), 300: (7, 2), 400: (8, 2)}
+
+    # score_col=None degrades to keep-lowest-id
+    noscore = {r["cluster_id"]: r["rep_id"]
+               for r in cluster_representatives(
+                   members, "id", "cluster_id").collect()}
+    assert noscore == {100: 1, 200: 4, 300: 6, 400: 8}
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 13)], "id long, text string")
+    kept = sorted(r["id"] for r in keep_canonical(
+        corpus, members, "id", score_col="score").collect())
+    # losers 1,3 (cluster 100), 5 (200), 6 (300), 9 (400) are dropped;
+    # 10 (NULL cluster), 11, 12 (never clustered) pass through
+    assert kept == [2, 4, 7, 8, 10, 11, 12]
+
+
 def test_token_vocabulary_hand_computed(spark):
     from spark_schema_guard.operators.textstats import token_vocabulary
 
