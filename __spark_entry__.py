@@ -569,6 +569,38 @@ def q_dedup_keep_best(spark, sf_dir):
     return kept.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+def q_suggest_documents(spark, sf_dir):
+    """Constraint mining (Deequ-style suggestion re-expressed over this
+    engine's keyword set): profile the documents table into suggested
+    required/bounds/length/enum constraints — one row per column.  The
+    DuckDB oracle recomputes every stat and the enum-eligibility rule
+    (string column, 1 <= exact distinct <= 16, no value embedding the
+    separator) per column."""
+    from spark_schema_guard.operators.suggest import suggest_constraints
+
+    return suggest_constraints(_read(spark, sf_dir, "documents"),
+                               distinct="exact")
+
+
+def q_suggest_validate(spark, sf_dir):
+    """Mine a schema from the doc_id % 7 == 0 slice, then validate the
+    FULL table against the mined contract through the columnar engine —
+    the mine-on-trusted-snapshot / validate-every-batch workflow.  Rows
+    outside the slice's observed bounds/enums violate deterministically;
+    the oracle replays the mining rules (bounds, lengths, enum
+    eligibility, required) in SQL and counts the same (name, rule)
+    violations."""
+    from spark_schema_guard.operators.suggest import suggested_schema
+
+    docs = _read(spark, sf_dir, "documents")
+    mined = suggested_schema(docs.where(F.col("doc_id") % 7 == 0),
+                             distinct="exact")
+    plan = ssg.compile_plan(mined, docs.schema)
+    rows = plan.violation_rows(docs, keys=["doc_id"])
+    return (rows.groupBy("name", "rule")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Token-budget data mixing: per-lang deterministic md5-order
     selection up to a token budget (en 5000 / de 9999 (= keep-all at
@@ -952,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "dedup_canonical": q_dedup_canonical,
         "dedup_keep_best": q_dedup_keep_best,
+        "suggest_documents": q_suggest_documents,
+        "suggest_validate": q_suggest_validate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_keep": q_dedup_incremental_keep,
         "web_domain_skew": q_web_domain_skew,
@@ -1365,6 +1399,162 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "suggest_documents": """
+            SELECT 'doc_id' AS "column", 'bigint' AS spark_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+                   CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
+                   CAST(NULL AS VARCHAR) AS enum_vals,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS required
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(NULL AS VARCHAR),
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(n_chars))
+            FROM documents
+            UNION ALL
+            SELECT 'text', 'string', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(text) AS BIGINT),
+                   CAST(COUNT(DISTINCT text) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(MIN(length(text)) AS INT),
+                   CAST(MAX(length(text)) AS INT),
+                   CASE WHEN COUNT(DISTINCT text) BETWEEN 1 AND 16
+                             AND COALESCE(MAX(CASE WHEN contains(text, ',')
+                                                     OR contains(text, chr(10))
+                                                   THEN 1 ELSE 0 END), 0) = 0
+                        THEN (SELECT string_agg(v, ',' ORDER BY v)
+                              FROM (SELECT DISTINCT text AS v FROM documents
+                                    WHERE text IS NOT NULL))
+                        END,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(text))
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   CAST(COUNT(DISTINCT lang) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(MIN(length(lang)) AS INT),
+                   CAST(MAX(length(lang)) AS INT),
+                   CASE WHEN COUNT(DISTINCT lang) BETWEEN 1 AND 16
+                             AND COALESCE(MAX(CASE WHEN contains(lang, ',')
+                                                     OR contains(lang, chr(10))
+                                                   THEN 1 ELSE 0 END), 0) = 0
+                        THEN (SELECT string_agg(v, ',' ORDER BY v)
+                              FROM (SELECT DISTINCT lang AS v FROM documents
+                                    WHERE lang IS NOT NULL))
+                        END,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(lang))
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(MIN(length(source)) AS INT),
+                   CAST(MAX(length(source)) AS INT),
+                   CASE WHEN COUNT(DISTINCT source) BETWEEN 1 AND 16
+                             AND COALESCE(MAX(CASE WHEN contains(source, ',')
+                                                     OR contains(source, chr(10))
+                                                   THEN 1 ELSE 0 END), 0) = 0
+                        THEN (SELECT string_agg(v, ',' ORDER BY v)
+                              FROM (SELECT DISTINCT source AS v FROM documents
+                                    WHERE source IS NOT NULL))
+                        END,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(source))
+            FROM documents
+        """,
+        "suggest_validate": """
+            WITH s AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+            m AS (SELECT
+                MIN(doc_id) AS id_mn, MAX(doc_id) AS id_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS id_req,
+                MIN(n_chars) AS nc_mn, MAX(n_chars) AS nc_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(n_chars)) AS nc_req,
+                MIN(length(text)) AS t_mn, MAX(length(text)) AS t_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(text)) AS t_req,
+                MIN(length(lang)) AS l_mn, MAX(length(lang)) AS l_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(lang)) AS l_req,
+                COUNT(DISTINCT lang) AS l_nd,
+                COALESCE(MAX(CASE WHEN contains(lang, ',')
+                                    OR contains(lang, chr(10))
+                                  THEN 1 ELSE 0 END), 0) AS l_sep,
+                MIN(length(source)) AS sr_mn, MAX(length(source)) AS sr_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(source)) AS sr_req,
+                COUNT(DISTINCT source) AS sr_nd,
+                COALESCE(MAX(CASE WHEN contains(source, ',')
+                                    OR contains(source, chr(10))
+                                  THEN 1 ELSE 0 END), 0) AS sr_sep
+              FROM s),
+            v AS (
+              SELECT 'data.doc_id' AS name, 'minimum' AS rule
+              FROM documents, m
+              WHERE doc_id IS NOT NULL AND id_mn IS NOT NULL
+                AND doc_id < id_mn
+              UNION ALL
+              SELECT 'data.doc_id', 'maximum' FROM documents, m
+              WHERE doc_id IS NOT NULL AND id_mx IS NOT NULL
+                AND doc_id > id_mx
+              UNION ALL
+              SELECT 'data.n_chars', 'minimum' FROM documents, m
+              WHERE n_chars IS NOT NULL AND nc_mn IS NOT NULL
+                AND n_chars < nc_mn
+              UNION ALL
+              SELECT 'data.n_chars', 'maximum' FROM documents, m
+              WHERE n_chars IS NOT NULL AND nc_mx IS NOT NULL
+                AND n_chars > nc_mx
+              UNION ALL
+              SELECT 'data.text', 'minLength' FROM documents, m
+              WHERE text IS NOT NULL AND t_mn IS NOT NULL
+                AND length(text) < t_mn
+              UNION ALL
+              SELECT 'data.text', 'maxLength' FROM documents, m
+              WHERE text IS NOT NULL AND t_mx IS NOT NULL
+                AND length(text) > t_mx
+              UNION ALL
+              SELECT 'data.lang', 'minLength' FROM documents, m
+              WHERE lang IS NOT NULL AND l_mn IS NOT NULL
+                AND length(lang) < l_mn
+              UNION ALL
+              SELECT 'data.lang', 'maxLength' FROM documents, m
+              WHERE lang IS NOT NULL AND l_mx IS NOT NULL
+                AND length(lang) > l_mx
+              UNION ALL
+              SELECT 'data.source', 'minLength' FROM documents, m
+              WHERE source IS NOT NULL AND sr_mn IS NOT NULL
+                AND length(source) < sr_mn
+              UNION ALL
+              SELECT 'data.source', 'maxLength' FROM documents, m
+              WHERE source IS NOT NULL AND sr_mx IS NOT NULL
+                AND length(source) > sr_mx
+              UNION ALL
+              SELECT 'data.lang', 'enum' FROM documents, m
+              WHERE lang IS NOT NULL AND l_nd BETWEEN 1 AND 16 AND l_sep = 0
+                AND lang NOT IN (SELECT lang FROM s WHERE lang IS NOT NULL)
+              UNION ALL
+              SELECT 'data.source', 'enum' FROM documents, m
+              WHERE source IS NOT NULL AND sr_nd BETWEEN 1 AND 16
+                AND sr_sep = 0
+                AND source NOT IN (SELECT source FROM s
+                                   WHERE source IS NOT NULL)
+              UNION ALL
+              SELECT 'data', 'required' FROM documents, m
+              WHERE (id_req AND doc_id IS NULL)
+                 OR (nc_req AND n_chars IS NULL)
+                 OR (t_req AND text IS NULL)
+                 OR (l_req AND lang IS NULL)
+                 OR (sr_req AND source IS NULL)
+            )
+            SELECT name, rule, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM v GROUP BY name, rule
         """,
         "dedup_incremental": """
             WITH sh AS (

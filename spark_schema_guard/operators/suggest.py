@@ -1,0 +1,239 @@
+"""Constraint suggestion — mine a validation schema FROM the data.
+
+The reference direction is schema → validator
+(/root/reference/fastjsonschema/__init__.py:212 `compile`); production
+tables usually start from the other end: terabytes of rows and no
+written contract.  This operator profiles a table into the constraint
+vocabulary the engine already validates (the Deequ
+ConstraintSuggestion idea re-expressed over this engine's keyword set):
+``required`` (null-free columns), ``minimum``/``maximum`` (numeric
+bounds), ``minLength``/``maxLength`` (string lengths), ``enum``
+(low-cardinality string columns).  ``suggested_schema`` turns the
+profile into a plain JSON-schema dict that feeds straight back into
+``ssg.compile`` / ``ssg.compile_plan`` — mine on a trusted snapshot,
+then validate every future batch against the mined contract.
+
+Scale shape (10^12-row argument):
+
+* ``distinct="approx"`` (default): ONE full-table aggregation computes
+  count / nulls / min / max / lengths for every column plus
+  HyperLogLog++ distinct sketches (``approx_count_distinct`` — merges
+  map-side; the shuffle is a few hundred bytes per partition).  The
+  single wide row is collected (bounded: one row) and enum-eligible
+  string columns get a SECOND bounded pass: melt only the eligible
+  columns, DISTINCT (map-side combining; result ≤ |eligible| × distinct
+  values, known small), one tiny groupBy.  Two scans total, no
+  per-column jobs, no unbounded collect.
+* ``distinct="exact"``: same two-pass plan with ``count_distinct``
+  (Catalyst expands the aggregate — one duplicated pass per distinct
+  column).  This is the ORACLE mode for small-SF differential checks;
+  the sketch mode is the 100-TB mode.
+
+The driver round-trip between the two jobs is deliberate and bounded
+(one row) — the same broadcast-threshold-style adaptivity
+``connected_components`` uses: which columns deserve an enum pass is a
+plan-level decision, not a per-row one.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+#: profile output schema — stable for oracles and for suggested_schema()
+_OUT_COLS = ("column", "spark_type", "n_rows", "n_nulls", "n_distinct",
+             "min_num", "max_num", "min_len", "max_len", "enum_vals",
+             "required")
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    enum_max: int = 16,
+    enum_sep: str = ",",
+    distinct: str = "approx",
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column:
+
+    ``(column, spark_type, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_len, max_len, enum_vals, required)``
+
+    * ``min_num``/``max_num``: double view of numeric columns (NULL
+      otherwise);
+    * ``min_len``/``max_len``: character lengths of string columns;
+    * ``enum_vals``: ``enum_sep``-joined SORTED distinct values of a
+      string column whose non-null distinct count is in
+      ``[1, enum_max]`` — NULL for every other column;
+    * ``required``: the column has rows and zero NULLs (NULL means
+      absent under this engine's row-object convention, so a null-free
+      column is evidence for ``required``).
+
+    ``distinct="exact"`` swaps the HLL++ sketch for ``count_distinct``
+    (oracle parity; enum eligibility is then exact too).  Values
+    containing ``enum_sep`` or a newline never produce an enum
+    suggestion (the joined rendering would be ambiguous) — such a
+    column reports ``enum_vals`` NULL.
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError("distinct must be 'approx' or 'exact'")
+    if enum_max < 1:
+        raise ValueError("enum_max must be >= 1")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = list(columns or fields)
+    for c in columns:
+        if c not in fields:
+            raise ValueError(f"no such column: {c}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(col, distinct_rsd)
+                        .alias(f"{c}__nd"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(col.cast("double")).alias(f"{c}__min"))
+            aggs.append(F.max(col.cast("double")).alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if isinstance(fields[c], T.StringType):
+            aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
+            # a value embedding the separator (or a newline) makes the
+            # joined enum rendering ambiguous — poisons eligibility
+            bad = F.max((col.contains(enum_sep) | col.contains("\n"))
+                        .cast("int"))
+            aggs.append(F.coalesce(bad, F.lit(0)).alias(f"{c}__sep"))
+        else:
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmax"))
+            aggs.append(F.lit(1).alias(f"{c}__sep"))
+
+    stats = df.agg(*aggs).collect()[0]  # bounded: exactly one row
+
+    eligible = [c for c in columns
+                if isinstance(fields[c], T.StringType)
+                and 1 <= stats[f"{c}__nd"] <= enum_max
+                and stats[f"{c}__sep"] == 0]
+    enum_vals: dict[str, str] = {}
+    if eligible:
+        melted = df.select(F.expr(
+            "stack({n}, {args}) as (column, val)".format(
+                n=len(eligible),
+                args=", ".join(f"'{c}', `{c}`" for c in eligible)))
+        ).where(F.col("val").isNotNull()).distinct()
+        per_col = (melted.groupBy("column")
+                   .agg(F.array_join(F.sort_array(F.collect_set("val")),
+                                     enum_sep).alias("vals"),
+                        F.count(F.lit(1)).alias("nd"))
+                   .collect())
+        for r in per_col:
+            # approx sketch may have under-counted: re-check the bar on
+            # the exact distinct row count of this bounded pass
+            if r["nd"] <= enum_max:
+                enum_vals[r["column"]] = r["vals"]
+
+    spark = df.sparkSession
+    rows = []
+    for c in columns:
+        n_rows = stats["__rows"]
+        n_nulls = stats[f"{c}__nulls"] or 0
+        rows.append((
+            c, fields[c].simpleString(), n_rows, n_nulls,
+            int(stats[f"{c}__nd"]),
+            stats[f"{c}__min"], stats[f"{c}__max"],
+            stats[f"{c}__lmin"], stats[f"{c}__lmax"],
+            enum_vals.get(c),
+            bool(n_rows > 0 and n_nulls == 0),
+        ))
+    schema = T.StructType([
+        T.StructField("column", T.StringType()),
+        T.StructField("spark_type", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_nulls", T.LongType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("min_num", T.DoubleType()),
+        T.StructField("max_num", T.DoubleType()),
+        T.StructField("min_len", T.IntegerType()),
+        T.StructField("max_len", T.IntegerType()),
+        T.StructField("enum_vals", T.StringType()),
+        T.StructField("required", T.BooleanType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def suggested_schema(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    enum_max: int = 16,
+    enum_sep: str = ",",
+    distinct: str = "approx",
+    distinct_rsd: float = 0.05,
+    profile: DataFrame | None = None,
+) -> dict:
+    """Mine ``df`` (or reuse a ``suggest_constraints`` ``profile``) into
+    a JSON-schema dict the engine compiles directly::
+
+        schema = suggested_schema(trusted_snapshot)
+        plan = ssg.compile_plan(schema, next_batch.schema)
+        plan.verdicts(next_batch)
+
+    Per column: the Spark type maps to its JSON type (integral →
+    ``integer``, float/decimal → ``number``, boolean → ``boolean``,
+    string → ``string``; other types get no type keyword), numeric
+    columns gain observed ``minimum``/``maximum`` (exact ints for
+    integral columns), string columns gain ``minLength``/``maxLength``
+    and — when eligible — ``enum``.  Null-free columns with data are
+    ``required``.  The mined contract is CLOSED over the snapshot: every
+    profiled row satisfies it by construction (pinned by test).
+    """
+    if profile is None:
+        profile = suggest_constraints(df, columns, enum_max=enum_max,
+                                      enum_sep=enum_sep, distinct=distinct,
+                                      distinct_rsd=distinct_rsd)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    properties: dict[str, dict] = {}
+    required: list[str] = []
+    for r in profile.collect():
+        c = r["column"]
+        dtype = fields.get(c)
+        prop: dict = {}
+        if isinstance(dtype, _INTEGRAL):
+            prop["type"] = "integer"
+            if r["min_num"] is not None:
+                prop["minimum"] = int(r["min_num"])
+                prop["maximum"] = int(r["max_num"])
+        elif isinstance(dtype, _NUMERIC):
+            prop["type"] = "number"
+            if r["min_num"] is not None:
+                prop["minimum"] = r["min_num"]
+                prop["maximum"] = r["max_num"]
+        elif isinstance(dtype, T.BooleanType):
+            prop["type"] = "boolean"
+        elif isinstance(dtype, T.StringType):
+            prop["type"] = "string"
+            if r["min_len"] is not None:
+                prop["minLength"] = int(r["min_len"])
+                prop["maxLength"] = int(r["max_len"])
+            if r["enum_vals"] is not None:
+                prop["enum"] = r["enum_vals"].split(enum_sep)
+        properties[c] = prop
+        if r["required"]:
+            required.append(c)
+    schema: dict = {"type": "object", "properties": properties}
+    if required:
+        schema["required"] = sorted(required)
+    return schema

@@ -970,6 +970,112 @@ def test_cluster_representatives_and_keep_canonical(spark):
     assert kept == [2, 4, 7, 8, 10, 11, 12]
 
 
+def test_suggest_constraints_hand_computed(spark):
+    from spark_schema_guard.operators.suggest import suggest_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "x", "a,b", "only"),
+            (2, -1.0, "y", "c", "only"),
+            (None, 7.25, "x", "c", "only"),
+            (4, None, None, "c", "only"),
+        ],
+        "id long, score double, tag string, sep string, solo string")
+    got = {r["column"]: r for r in
+           suggest_constraints(df, distinct="exact").collect()}
+    assert set(got) == {"id", "score", "tag", "sep", "solo"}
+
+    r = got["id"]
+    assert (r["spark_type"], r["n_rows"], r["n_nulls"], r["n_distinct"]) \
+        == ("bigint", 4, 1, 3)
+    assert (r["min_num"], r["max_num"]) == (1.0, 4.0)
+    assert r["min_len"] is None and r["enum_vals"] is None
+    assert r["required"] is False
+
+    r = got["score"]
+    assert (r["min_num"], r["max_num"]) == (-1.0, 7.25)
+    assert r["required"] is False and r["enum_vals"] is None
+
+    r = got["tag"]
+    assert (r["n_nulls"], r["n_distinct"]) == (1, 2)
+    assert (r["min_len"], r["max_len"]) == (1, 1)
+    assert r["enum_vals"] == "x,y" and r["required"] is False
+
+    # a value embedding the separator poisons enum eligibility
+    r = got["sep"]
+    assert r["n_distinct"] == 2 and r["enum_vals"] is None
+    assert r["required"] is True
+
+    r = got["solo"]
+    assert r["enum_vals"] == "only" and r["required"] is True
+
+    # enum_max bar: tag has 2 distinct -> ineligible at enum_max=1
+    tight = {r["column"]: r["enum_vals"] for r in
+             suggest_constraints(df, ["tag", "solo"], enum_max=1,
+                                 distinct="exact").collect()}
+    assert tight == {"tag": None, "solo": "only"}
+
+    # approx mode agrees on tiny data (HLL exact at these cardinalities)
+    approx = {(r["column"], r["n_distinct"], r["enum_vals"], r["required"])
+              for r in suggest_constraints(df).collect()}
+    exact = {(r["column"], r["n_distinct"], r["enum_vals"], r["required"])
+             for r in suggest_constraints(df, distinct="exact").collect()}
+    assert approx == exact
+
+    # empty input: no rows -> nothing is required, no enums
+    empty = {r["column"]: r for r in suggest_constraints(
+        spark.createDataFrame([], "id long, tag string"),
+        distinct="exact").collect()}
+    assert empty["id"]["required"] is False
+    assert empty["tag"]["enum_vals"] is None
+    assert empty["id"]["n_rows"] == 0
+
+    with pytest.raises(ValueError):
+        suggest_constraints(df, ["nope"])
+    with pytest.raises(ValueError):
+        suggest_constraints(df, distinct="bogus")
+    with pytest.raises(ValueError):
+        suggest_constraints(df, enum_max=0)
+
+
+def test_suggested_schema_roundtrip(spark):
+    import spark_schema_guard as ssg
+    from spark_schema_guard.operators.suggest import suggested_schema
+
+    snapshot = spark.createDataFrame(
+        [(i, f"doc number {i:03d}", ["en", "de"][i % 2]) for i in range(20)],
+        "doc_id long, text string, lang string")
+    mined = suggested_schema(snapshot, distinct="exact")
+    assert mined["required"] == ["doc_id", "lang", "text"]
+    assert mined["properties"]["lang"]["enum"] == ["de", "en"]
+    assert mined["properties"]["doc_id"] == {
+        "type": "integer", "minimum": 0, "maximum": 19}
+    assert mined["properties"]["text"]["minLength"] == 14
+
+    # the mined contract is CLOSED over the snapshot it was mined from
+    plan = ssg.compile_plan(mined, snapshot.schema)
+    assert plan.apply(snapshot).where(~F.col("verdict")).count() == 0
+
+    # and it catches drift in a later batch, through BOTH engines
+    batch = spark.createDataFrame(
+        [(25, "doc number 025", "en"),      # id past mined maximum
+         (3, "short", "de"),                # below mined minLength
+         (4, "doc number 004", "fr"),       # lang outside mined enum
+         (None, "doc number 005", "en")],   # missing required doc_id
+        "doc_id long, text string, lang string")
+    rules = sorted((r["name"], r["rule"]) for r in
+                   plan.violation_rows(batch, keys=["text"]).collect())
+    assert rules == [("data", "required"), ("data.doc_id", "maximum"),
+                     ("data.lang", "enum"), ("data.text", "minLength")]
+
+    validator = ssg.compile(mined)
+    assert validator({"doc_id": 7, "text": "doc number 007", "lang": "de"}) \
+        == {"doc_id": 7, "text": "doc number 007", "lang": "de"}
+    bad = validator.collect({"doc_id": 25, "text": "doc number 025",
+                             "lang": "en"})
+    assert [v.rule for v in bad] == ["maximum"]
+
+
 def test_token_vocabulary_hand_computed(spark):
     from spark_schema_guard.operators.textstats import token_vocabulary
 
