@@ -601,6 +601,28 @@ def q_suggest_validate(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
 
 
+def q_constraint_drift(spark, sf_dir):
+    """Contract diff between two snapshots' mined profiles: even vs odd
+    doc_id slices, with the odd slice gaining a column (source) and
+    retyping one (n_chars -> string) — presence, type, bounds, length
+    and enum drift all exercised.  The oracle recomputes both slices'
+    stats and emits the same (column, finding) rows."""
+    from spark_schema_guard.operators.suggest import (constraint_drift,
+                                                      suggest_constraints)
+
+    docs = _read(spark, sf_dir, "documents")
+    a = suggest_constraints(
+        docs.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text", "lang", "n_chars"),
+        distinct="exact")
+    b = suggest_constraints(
+        docs.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", "lang", "source",
+                    F.col("n_chars").cast("string").alias("n_chars")),
+        distinct="exact")
+    return constraint_drift(a, b)
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Token-budget data mixing: per-lang deterministic md5-order
     selection up to a token budget (en 5000 / de 9999 (= keep-all at
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_keep_best": q_dedup_keep_best,
         "suggest_documents": q_suggest_documents,
+        "constraint_drift": q_constraint_drift,
         "suggest_validate": q_suggest_validate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_keep": q_dedup_incremental_keep,
@@ -1399,6 +1422,141 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "constraint_drift": """
+            WITH a AS (SELECT doc_id, text, lang, n_chars FROM documents
+                       WHERE doc_id % 2 = 0),
+            b AS (SELECT doc_id, text, lang, source,
+                         CAST(n_chars AS VARCHAR) AS n_chars
+                  FROM documents WHERE doc_id % 2 = 1),
+            sa AS (SELECT
+                CAST(MIN(doc_id) AS DOUBLE) AS id_mn,
+                CAST(MAX(doc_id) AS DOUBLE) AS id_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS id_req,
+                CAST(MIN(length(text)) AS DOUBLE) AS t_mn,
+                CAST(MAX(length(text)) AS DOUBLE) AS t_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(text)) AS t_req,
+                CAST(MIN(length(lang)) AS DOUBLE) AS l_mn,
+                CAST(MAX(length(lang)) AS DOUBLE) AS l_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(lang)) AS l_req,
+                (COUNT(DISTINCT lang) BETWEEN 1 AND 16
+                 AND COALESCE(MAX(CASE WHEN contains(lang, ',')
+                                         OR contains(lang, chr(10))
+                                       THEN 1 ELSE 0 END), 0) = 0) AS l_enum
+              FROM a),
+            sb AS (SELECT
+                CAST(MIN(doc_id) AS DOUBLE) AS id_mn,
+                CAST(MAX(doc_id) AS DOUBLE) AS id_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS id_req,
+                CAST(MIN(length(text)) AS DOUBLE) AS t_mn,
+                CAST(MAX(length(text)) AS DOUBLE) AS t_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(text)) AS t_req,
+                CAST(MIN(length(lang)) AS DOUBLE) AS l_mn,
+                CAST(MAX(length(lang)) AS DOUBLE) AS l_mx,
+                (COUNT(*) > 0 AND COUNT(*) = COUNT(lang)) AS l_req,
+                (COUNT(DISTINCT lang) BETWEEN 1 AND 16
+                 AND COALESCE(MAX(CASE WHEN contains(lang, ',')
+                                         OR contains(lang, chr(10))
+                                       THEN 1 ELSE 0 END), 0) = 0) AS l_enum
+              FROM b),
+            v AS (
+              SELECT 'source' AS "column", 'column_added' AS finding,
+                     FALSE AS breaking, CAST(NULL AS DOUBLE) AS old_num,
+                     CAST(NULL AS DOUBLE) AS new_num,
+                     CAST(NULL AS VARCHAR) AS detail
+              UNION ALL
+              SELECT 'n_chars', 'type_changed', TRUE, NULL, NULL,
+                     'bigint->string'
+              UNION ALL
+              SELECT 'doc_id', 'min_widened', TRUE, sa.id_mn, sb.id_mn, NULL
+              FROM sa, sb WHERE sb.id_mn < sa.id_mn
+              UNION ALL
+              SELECT 'doc_id', 'min_narrowed', FALSE, sa.id_mn, sb.id_mn,
+                     NULL
+              FROM sa, sb WHERE sb.id_mn > sa.id_mn
+              UNION ALL
+              SELECT 'doc_id', 'max_widened', TRUE, sa.id_mx, sb.id_mx, NULL
+              FROM sa, sb WHERE sb.id_mx > sa.id_mx
+              UNION ALL
+              SELECT 'doc_id', 'max_narrowed', FALSE, sa.id_mx, sb.id_mx,
+                     NULL
+              FROM sa, sb WHERE sb.id_mx < sa.id_mx
+              UNION ALL
+              SELECT 'doc_id', 'became_nullable', TRUE, NULL, NULL, NULL
+              FROM sa, sb WHERE sa.id_req AND NOT sb.id_req
+              UNION ALL
+              SELECT 'doc_id', 'became_required', FALSE, NULL, NULL, NULL
+              FROM sa, sb WHERE NOT sa.id_req AND sb.id_req
+              UNION ALL
+              SELECT 'text', 'minlen_widened', TRUE, sa.t_mn, sb.t_mn, NULL
+              FROM sa, sb WHERE sb.t_mn < sa.t_mn
+              UNION ALL
+              SELECT 'text', 'minlen_narrowed', FALSE, sa.t_mn, sb.t_mn,
+                     NULL
+              FROM sa, sb WHERE sb.t_mn > sa.t_mn
+              UNION ALL
+              SELECT 'text', 'maxlen_widened', TRUE, sa.t_mx, sb.t_mx, NULL
+              FROM sa, sb WHERE sb.t_mx > sa.t_mx
+              UNION ALL
+              SELECT 'text', 'maxlen_narrowed', FALSE, sa.t_mx, sb.t_mx,
+                     NULL
+              FROM sa, sb WHERE sb.t_mx < sa.t_mx
+              UNION ALL
+              SELECT 'text', 'became_nullable', TRUE, NULL, NULL, NULL
+              FROM sa, sb WHERE sa.t_req AND NOT sb.t_req
+              UNION ALL
+              SELECT 'text', 'became_required', FALSE, NULL, NULL, NULL
+              FROM sa, sb WHERE NOT sa.t_req AND sb.t_req
+              UNION ALL
+              SELECT 'lang', 'minlen_widened', TRUE, sa.l_mn, sb.l_mn, NULL
+              FROM sa, sb WHERE sb.l_mn < sa.l_mn
+              UNION ALL
+              SELECT 'lang', 'minlen_narrowed', FALSE, sa.l_mn, sb.l_mn,
+                     NULL
+              FROM sa, sb WHERE sb.l_mn > sa.l_mn
+              UNION ALL
+              SELECT 'lang', 'maxlen_widened', TRUE, sa.l_mx, sb.l_mx, NULL
+              FROM sa, sb WHERE sb.l_mx > sa.l_mx
+              UNION ALL
+              SELECT 'lang', 'maxlen_narrowed', FALSE, sa.l_mx, sb.l_mx,
+                     NULL
+              FROM sa, sb WHERE sb.l_mx < sa.l_mx
+              UNION ALL
+              SELECT 'lang', 'became_nullable', TRUE, NULL, NULL, NULL
+              FROM sa, sb WHERE sa.l_req AND NOT sb.l_req
+              UNION ALL
+              SELECT 'lang', 'became_required', FALSE, NULL, NULL, NULL
+              FROM sa, sb WHERE NOT sa.l_req AND sb.l_req
+              UNION ALL
+              SELECT 'lang', 'enum_values_added', TRUE, NULL, NULL,
+                     (SELECT string_agg(v, ',' ORDER BY v)
+                      FROM (SELECT DISTINCT lang AS v FROM b
+                            WHERE lang IS NOT NULL
+                              AND lang NOT IN (SELECT lang FROM a
+                                               WHERE lang IS NOT NULL)))
+              FROM sa, sb WHERE sa.l_enum AND sb.l_enum
+                AND EXISTS (SELECT 1 FROM b WHERE lang IS NOT NULL
+                            AND lang NOT IN (SELECT lang FROM a
+                                             WHERE lang IS NOT NULL))
+              UNION ALL
+              SELECT 'lang', 'enum_values_removed', FALSE, NULL, NULL,
+                     (SELECT string_agg(v, ',' ORDER BY v)
+                      FROM (SELECT DISTINCT lang AS v FROM a
+                            WHERE lang IS NOT NULL
+                              AND lang NOT IN (SELECT lang FROM b
+                                               WHERE lang IS NOT NULL)))
+              FROM sa, sb WHERE sa.l_enum AND sb.l_enum
+                AND EXISTS (SELECT 1 FROM a WHERE lang IS NOT NULL
+                            AND lang NOT IN (SELECT lang FROM b
+                                             WHERE lang IS NOT NULL))
+              UNION ALL
+              SELECT 'lang', 'enum_dropped', TRUE, NULL, NULL, NULL
+              FROM sa, sb WHERE sa.l_enum AND NOT sb.l_enum
+              UNION ALL
+              SELECT 'lang', 'enum_gained', FALSE, NULL, NULL, NULL
+              FROM sa, sb WHERE NOT sa.l_enum AND sb.l_enum
+            )
+            SELECT * FROM v
         """,
         "suggest_documents": """
             SELECT 'doc_id' AS "column", 'bigint' AS spark_type,

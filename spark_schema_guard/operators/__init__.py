@@ -10,7 +10,7 @@ from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
-from .suggest import suggest_constraints, suggested_schema
+from .suggest import constraint_drift, suggest_constraints, suggested_schema
 
 __all__ = [
     "column_profile",
@@ -40,4 +40,5 @@ __all__ = [
     "html_is_utf8",
     "suggest_constraints",
     "suggested_schema",
+    "constraint_drift",
 ]

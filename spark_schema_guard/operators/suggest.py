@@ -37,9 +37,10 @@ plan-level decision, not a per-row one.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -237,3 +238,110 @@ def suggested_schema(
     if required:
         schema["required"] = sorted(required)
     return schema
+
+
+def constraint_drift(
+    profile_a: DataFrame,
+    profile_b: DataFrame,
+    *,
+    enum_sep: str = ",",
+) -> DataFrame:
+    """Contract diff between two ``suggest_constraints`` profiles (an
+    old trusted snapshot vs a new batch): one row per
+    ``(column, finding)`` with ``breaking`` = TRUE when data satisfying
+    the NEW profile can violate a schema mined from the OLD one.
+
+    Findings (emitted only when they hold):
+
+    * ``column_added`` / ``column_removed`` (removal breaks iff the old
+      column was required) — presence changes suppress all others;
+    * ``type_changed`` (``detail`` = ``old->new``; suppresses the
+      value-level findings below);
+    * ``became_nullable`` (breaking) / ``became_required``;
+    * ``min_widened`` / ``max_widened`` (new data exceeds old bounds —
+      breaking) and ``min_narrowed`` / ``max_narrowed``, with the two
+      numbers in ``old_num`` / ``new_num``; same for string lengths as
+      ``minlen_*`` / ``maxlen_*``;
+    * ``enum_values_added`` (breaking; ``detail`` = the new values,
+      sorted, ``enum_sep``-joined) / ``enum_values_removed`` /
+      ``enum_dropped`` (cardinality exploded past the bar — breaking) /
+      ``enum_gained``.
+
+    Profiles are one row per COLUMN, so everything here is driver-scale:
+    a full-outer join of two tiny frames plus a union of filtered
+    projections — zero data-scale work (the scans already happened in
+    ``suggest_constraints``).
+    """
+    need = set(_OUT_COLS)
+    for side, p in (("a", profile_a), ("b", profile_b)):
+        missing = need - set(p.columns)
+        if missing:
+            raise ValueError(
+                f"profile_{side} lacks suggest_constraints columns: "
+                f"{sorted(missing)}")
+    a = profile_a.select([F.col(c).alias(f"a_{c}") for c in _OUT_COLS])
+    b = profile_b.select([F.col(c).alias(f"b_{c}") for c in _OUT_COLS])
+    j = a.join(b, a["a_column"] == b["b_column"], "full_outer").select(
+        F.coalesce(a["a_column"], b["b_column"]).alias("column"),
+        "*").drop("a_column", "b_column")
+
+    both = F.col("a_spark_type").isNotNull() & F.col("b_spark_type").isNotNull()
+    same_type = F.col("a_spark_type") == F.col("b_spark_type")
+    no_num = F.lit(None).cast("double")
+    no_det = F.lit(None).cast("string")
+
+    def finding(cond, name, breaking, old_num=None, new_num=None,
+                detail=None):
+        return j.where(cond).select(
+            "column", F.lit(name).alias("finding"),
+            (breaking if isinstance(breaking, Column)
+             else F.lit(breaking)).alias("breaking"),
+            (old_num if old_num is not None else no_num)
+            .cast("double").alias("old_num"),
+            (new_num if new_num is not None else no_num)
+            .cast("double").alias("new_num"),
+            (detail if detail is not None else no_det).alias("detail"))
+
+    an, bn = F.col("a_min_num"), F.col("b_min_num")
+    ax, bx = F.col("a_max_num"), F.col("b_max_num")
+    aln, bln = F.col("a_min_len").cast("double"), F.col("b_min_len").cast("double")
+    alx, blx = F.col("a_max_len").cast("double"), F.col("b_max_len").cast("double")
+    ae, be = F.col("a_enum_vals"), F.col("b_enum_vals")
+    sep_pat = re.escape(enum_sep)  # split() takes a regex; sep is literal
+    a_set, b_set = F.split(ae, sep_pat, -1), F.split(be, sep_pat, -1)
+    added = F.array_join(F.array_sort(F.array_except(b_set, a_set)), enum_sep)
+    removed = F.array_join(F.array_sort(F.array_except(a_set, b_set)), enum_sep)
+
+    parts = [
+        finding(F.col("a_spark_type").isNull(), "column_added", False),
+        finding(F.col("b_spark_type").isNull(), "column_removed",
+                F.coalesce(F.col("a_required"), F.lit(False))),
+        finding(both & ~same_type, "type_changed", True,
+                detail=F.concat(F.col("a_spark_type"), F.lit("->"),
+                                F.col("b_spark_type"))),
+    ]
+    live = both & same_type  # value-level findings only on stable typing
+    parts += [
+        finding(live & F.col("a_required") & ~F.col("b_required"),
+                "became_nullable", True),
+        finding(live & ~F.col("a_required") & F.col("b_required"),
+                "became_required", False),
+        finding(live & (bn < an), "min_widened", True, an, bn),
+        finding(live & (bn > an), "min_narrowed", False, an, bn),
+        finding(live & (bx > ax), "max_widened", True, ax, bx),
+        finding(live & (bx < ax), "max_narrowed", False, ax, bx),
+        finding(live & (bln < aln), "minlen_widened", True, aln, bln),
+        finding(live & (bln > aln), "minlen_narrowed", False, aln, bln),
+        finding(live & (blx > alx), "maxlen_widened", True, alx, blx),
+        finding(live & (blx < alx), "maxlen_narrowed", False, alx, blx),
+        finding(live & ae.isNotNull() & be.isNotNull() & (added != ""),
+                "enum_values_added", True, detail=added),
+        finding(live & ae.isNotNull() & be.isNotNull() & (removed != ""),
+                "enum_values_removed", False, detail=removed),
+        finding(live & ae.isNotNull() & be.isNull(), "enum_dropped", True),
+        finding(live & ae.isNull() & be.isNotNull(), "enum_gained", False),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

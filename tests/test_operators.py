@@ -1076,6 +1076,72 @@ def test_suggested_schema_roundtrip(spark):
     assert [v.rule for v in bad] == ["maximum"]
 
 
+def test_constraint_drift_hand_computed(spark):
+    from spark_schema_guard.operators.suggest import (constraint_drift,
+                                                      suggest_constraints)
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "x", "aaa", "k", 5),
+         (2, 20.0, "y", "bb", "k", 6)],
+        "id long, score double, tag string, txt string, gone string, "
+        "retyped long")
+    new = spark.createDataFrame(
+        [(0, 15.0, "x", "c", "5", 1.0, None),
+         (3, 18.0, "z", "dddd", "6", 2.0, "fresh")],
+        "id long, score double, tag string, txt string, retyped string, "
+        "extra double, maybe string")
+    a = suggest_constraints(old, distinct="exact")
+    b = suggest_constraints(new, distinct="exact")
+    got = {(r["finding"], r["column"]):
+           (r["breaking"], r["old_num"], r["new_num"], r["detail"])
+           for r in constraint_drift(a, b).collect()}
+
+    assert got[("column_removed", "gone")] == (True, None, None, None)
+    assert got[("column_added", "extra")] == (False, None, None, None)
+    assert got[("column_added", "maybe")] == (False, None, None, None)
+    assert got[("type_changed", "retyped")] == \
+        (True, None, None, "bigint->string")
+    # id: [1,2] -> [0,3] widened both ends (breaking)
+    assert got[("min_widened", "id")] == (True, 1.0, 0.0, None)
+    assert got[("max_widened", "id")] == (True, 2.0, 3.0, None)
+    # score: [10,20] -> [15,18] narrowed both ends (non-breaking)
+    assert got[("min_narrowed", "score")] == (False, 10.0, 15.0, None)
+    assert got[("max_narrowed", "score")] == (False, 20.0, 18.0, None)
+    # txt lengths: [2,3] -> [1,4] widened both ends
+    assert got[("minlen_widened", "txt")] == (True, 2.0, 1.0, None)
+    assert got[("maxlen_widened", "txt")] == (True, 3.0, 4.0, None)
+    # tag enum {x,y} -> {x,z}
+    assert got[("enum_values_added", "tag")] == (True, None, None, "z")
+    assert got[("enum_values_removed", "tag")] == (False, None, None, "y")
+    # txt is low-cardinality on both sides too: {aaa,bb} -> {c,dddd}
+    assert got[("enum_values_added", "txt")] == (True, None, None, "c,dddd")
+    assert got[("enum_values_removed", "txt")] == \
+        (False, None, None, "aaa,bb")
+    # no spurious findings beyond the asserted set
+    assert len(got) == 14
+
+    # nullability transitions + enum_dropped/enum_gained
+    a2 = suggest_constraints(
+        spark.createDataFrame([("u", "p"), ("v", None)],
+                              "req string, opt string"),
+        distinct="exact")
+    b2 = suggest_constraints(
+        spark.createDataFrame([("u", "p"), (None, "q")],
+                              "req string, opt string"),
+        enum_max=1, distinct="exact")
+    got2 = {(r["finding"], r["column"]): r["breaking"]
+            for r in constraint_drift(a2, b2).collect()}
+    assert got2[("became_nullable", "req")] is True
+    assert got2[("became_required", "opt")] is False
+    # req enum {u,v} -> {u} (b2 still eligible: 1 distinct <= enum_max=1)
+    assert got2[("enum_values_removed", "req")] is False
+    # opt: eligible {p} -> 2 distinct past enum_max=1 -> dropped
+    assert got2[("enum_dropped", "opt")] is True
+
+    with pytest.raises(ValueError):
+        constraint_drift(a, b.drop("enum_vals"))
+
+
 def test_token_vocabulary_hand_computed(spark):
     from spark_schema_guard.operators.textstats import token_vocabulary
 
