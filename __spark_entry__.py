@@ -430,6 +430,29 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_verify(spark, sf_dir):
+    """The VERIFY stage of the LSH pipeline: exact shingle-set Jaccard
+    for every banded candidate pair, side by side with the MinHash
+    agreement ESTIMATE from the same 4 signature components.  The oracle
+    rebuilds the shingle sets, candidates, intersections and signature
+    agreements in SQL."""
+    from spark_schema_guard.operators.dedup import (minhash_jaccard_estimate,
+                                                    verify_jaccard)
+
+    docs = _read(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= 8))
+    pairs = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
+                               shingle_k=8, hash_fn="md5")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=4,
+                              shingle_k=8, hash_fn="md5")
+    exact = verify_jaccard(docs, "doc_id", "text", pairs, shingle_k=8)
+    est = minhash_jaccard_estimate(sigs, pairs, id_col="doc_id")
+    return exact.join(est, ["id_a", "id_b"]).select(
+        "id_a", "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Cluster resolution: LSH candidate pairs -> connected components ->
     canonical-doc selection (keep lowest id per cluster)."""
@@ -1001,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_verify": q_dedup_verify,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1422,6 +1446,53 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "dedup_verify": r"""
+            WITH shing AS (
+              SELECT doc_id,
+                     unnest([substr(text, i, 8)
+                             for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+              FROM documents WHERE doc_id < 200 AND length(text) >= 8),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('s0|' || sh)) AS sig_0,
+                     MIN(md5('s1|' || sh)) AS sig_1,
+                     MIN(md5('s2|' || sh)) AS sig_2,
+                     MIN(md5('s3|' || sh)) AS sig_3
+              FROM shing GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, sig_0 AS bucket FROM sigs
+              UNION ALL SELECT doc_id, 1, sig_1 FROM sigs
+              UNION ALL SELECT doc_id, 2, sig_2 FROM sigs
+              UNION ALL SELECT doc_id, 3, sig_3 FROM sigs),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sets AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM shing),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sets x ON x.doc_id = c.id_a
+              JOIN sets y ON y.doc_id = c.id_b AND y.h = x.h
+              GROUP BY 1, 2)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                         / (za.n + zb.n - COALESCE(i.i, 0)), 6) AS jaccard,
+                   round((CAST(sa.sig_0 = sb.sig_0 AS INT)
+                          + CAST(sa.sig_1 = sb.sig_1 AS INT)
+                          + CAST(sa.sig_2 = sb.sig_2 AS INT)
+                          + CAST(sa.sig_3 = sb.sig_3 AS INT)) / 4.0, 6)
+                     AS jaccard_est
+            FROM cand c
+            JOIN sz za ON za.doc_id = c.id_a
+            JOIN sz zb ON zb.doc_id = c.id_b
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
         """,
         "constraint_drift": """
             WITH a AS (SELECT doc_id, text, lang, n_chars FROM documents

@@ -1076,6 +1076,62 @@ def test_suggested_schema_roundtrip(spark):
     assert [v.rule for v in bad] == ["maximum"]
 
 
+def test_verify_jaccard_hand_computed(spark):
+    from spark_schema_guard.operators.dedup import verify_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "abc"),        # k=2 shingles {ab, bc}
+         (2, "abd"),        # {ab, bd}            -> J(1,2) = 1/3
+         (3, "abc"),        # {ab, bc}            -> J(1,3) = 1
+         (4, "xy"),         # {xy}                -> J(1,4) = 0
+         (5, "aabab"),      # {aa, ab, ba} dup 'ab' counted once
+         (6, None)],        # unshingleable
+        "id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in verify_jaccard(docs, "id", "text", pairs,
+                                   shingle_k=2).collect()}
+    assert got[(1, 2)] == pytest.approx(1 / 3)
+    assert got[(1, 3)] == 1.0
+    assert got[(1, 4)] == 0.0
+    # {ab,bc} vs {aa,ab,ba}: inter {ab} = 1, union = 4
+    assert got[(1, 5)] == pytest.approx(0.25)
+    assert (1, 6) not in got and len(got) == 4  # NULL text pair drops
+
+    kept = verify_jaccard(docs, "id", "text", pairs, shingle_k=2,
+                          min_jaccard=0.3).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in kept) == [(1, 2), (1, 3)]
+
+
+def test_minhash_jaccard_estimate_hand_computed(spark):
+    from spark_schema_guard.operators.dedup import (minhash_jaccard_estimate,
+                                                    minhash_signatures)
+
+    sigs = spark.createDataFrame(
+        [(1, 10, 20, 30, 40),
+         (2, 10, 20, 31, 41),    # agrees on 2 of 4 with doc 1
+         (3, 10, 20, 30, 40)],   # agrees on 4 of 4 with doc 1
+        "id long, sig_0 long, sig_1 long, sig_2 long, sig_3 long")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 9)],
+                                  "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+           for r in minhash_jaccard_estimate(sigs, pairs).collect()}
+    assert got == {(1, 2): 0.5, (1, 3): 1.0}  # unsigned doc 9 drops
+
+    with pytest.raises(ValueError):
+        minhash_jaccard_estimate(sigs.select("id"), pairs)
+
+    # identical docs estimate 1.0 through the real signature pipeline
+    docs = spark.createDataFrame(
+        [(1, "the same text body"), (2, "the same text body")],
+        "id long, text string")
+    real = minhash_signatures(docs, "id", "text", num_hashes=4, shingle_k=4)
+    est = minhash_jaccard_estimate(
+        real, spark.createDataFrame([(1, 2)], "id_a long, id_b long"))
+    assert est.collect()[0]["jaccard_est"] == 1.0
+
+
 def test_constraint_drift_hand_computed(spark):
     from spark_schema_guard.operators.suggest import (constraint_drift,
                                                       suggest_constraints)
