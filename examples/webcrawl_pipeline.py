@@ -5,18 +5,23 @@ a production crawl-ingest job would use them.
 
 Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
 
-1. schema validation  — compiled plan, verdict + violations columns
+1. schema validation  — compiled plan, verdict + violations columns;
+                        html->text extraction byte-identity check
 2. quality gates      — per-column stats, url uniqueness, lang drift,
                         repetition signals, benchmark decontamination,
                         PII scan
-3. dedup              — MinHash LSH candidates -> connected components ->
-                        keep canonical doc per cluster
+3. dedup              — MinHash LSH candidates -> exact-Jaccard VERIFY
+                        stage -> connected components -> keep the
+                        highest-quality doc per cluster
 4. data mixing        — deterministic per-lang sampling + per-lang
                         token budgets
 5. chunk + audited write — 256-token training windows; clean corpus +
                         violation rows + per-file audit metrics
                         (resumable: re-running skips completed input
                         files)
+6. contract mining    — profile the shipped corpus into a JSON-schema
+                        contract, prove it closed, diff it against the
+                        raw crawl (constraint drift)
 """
 
 from __future__ import annotations
@@ -62,6 +67,14 @@ def main():
     validated = plan.apply(web)
     verdicts = validated.groupBy("verdict").count().collect()
     report["validation"] = {str(r["verdict"]): r["count"] for r in verdicts}
+
+    # extraction consistency: re-extracting text from the html bytes must
+    # reproduce the text column byte-identically per url (the invariant
+    # every downstream dedup/fingerprint/token count silently assumes)
+    from spark_schema_guard.operators import extraction_report
+    report["extraction"] = {
+        r["extraction_verdict"]: r["n_rows"]
+        for r in extraction_report(web, "html", "text", "url").collect()}
 
     # -- 2. quality gates -------------------------------------------------
     profile = column_profile(web, ["url", "text", "lang"]).collect()
@@ -114,8 +127,22 @@ def main():
         .withColumn("text", F.coalesce("redacted", "text")).drop("redacted")
     edges = minhash_candidates(clean, "doc_id", "text",
                                num_hashes=8, bands=4, shingle_k=8)
-    clustered = duplicate_clusters(clean, "doc_id", edges)
-    deduped = clustered.where(F.col("is_canonical"))
+    # VERIFY stage: LSH candidates are probabilistic — keep only pairs
+    # whose EXACT shingle Jaccard clears the near-dup bar before linking
+    from spark_schema_guard.operators.dedup import verify_jaccard
+    verified = verify_jaccard(clean, "doc_id", "text", edges,
+                              shingle_k=8, min_jaccard=0.5)
+    report["verify_stage"] = {"candidates": edges.count(),
+                              "verified": verified.count()}
+    clustered = duplicate_clusters(clean, "doc_id", verified)
+    # quality-aware canonical: keep the LONGEST member per cluster (not
+    # the lowest id) — cluster_representatives' argmax aggregate
+    from spark_schema_guard.operators.dedup import keep_canonical
+    deduped = keep_canonical(
+        clean,
+        clustered.join(clean.select(
+            "doc_id", F.length("text").alias("score")), "doc_id"),
+        "doc_id", score_col="score")
     report["dedup"] = {"before": clean.count(), "after": deduped.count()}
 
     # incremental leg: persist the survivors' band index once, then any
@@ -177,6 +204,29 @@ def main():
     report["chunks"] = {"n": spark.read.parquet(chunks_path).count()}
     plan.violation_rows(web, keys=["url"]).write.mode("overwrite") \
         .parquet(os.path.join(out_dir, "violations"))
+
+    # -- 6. mine the corpus contract + watch it drift ----------------------
+    # profile the shipped corpus into a JSON-schema contract (bounds,
+    # lengths, enums, required) and diff it against the raw crawl: the
+    # findings are exactly what the cleaning stages changed
+    from spark_schema_guard.operators import (constraint_drift,
+                                              suggest_constraints,
+                                              suggested_schema)
+    corpus_cols = ["url", "lang", "text"]
+    mined = suggested_schema(mixed, corpus_cols)
+    report["mined_contract"] = {
+        "required": mined.get("required", []),
+        "lang_enum": mined["properties"]["lang"].get("enum")}
+    # the mined contract is closed over the corpus it was mined from
+    closed = ssg.compile_plan(mined, mixed.select(*corpus_cols).schema) \
+        .apply(mixed.select(*corpus_cols))
+    report["mined_contract"]["corpus_violations"] = \
+        closed.where(~F.col("verdict")).count()
+    drift = constraint_drift(suggest_constraints(mixed, corpus_cols),
+                             suggest_constraints(web, corpus_cols))
+    report["contract_drift_vs_raw"] = {
+        f"{r['column']}.{r['finding']}": bool(r["breaking"])
+        for r in drift.collect()}
 
     from spark_schema_guard.audit import AuditedRun
 

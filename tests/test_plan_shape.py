@@ -354,3 +354,52 @@ def test_bucketed_band_index_join_shuffles_batch_only(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS band_idx_plan_test")
+
+
+def test_strip_boilerplate_plan_shape(spark, sf_dir):
+    """strip_boilerplate must stay groupBy-shaped: document frequency and
+    reassembly as partial-combining aggregates, no corpus window, no
+    cartesian product, no Python nodes, no lambda HOFs."""
+    from spark_schema_guard.operators.dedup import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    text = _physical(strip_boilerplate(docs, "doc_id", "text", "lang",
+                                       min_docs=2, min_frac=0.3))
+    assert "Window" not in text, text[:2000]
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert text.count("partial_") >= 2, text[:2000]
+    assert "lambdafunction" not in text.lower(), text[:2000]
+
+
+def test_cluster_representatives_plan_shape(spark, sf_dir):
+    """Canonical selection must be ONE map-side-combining aggregate — no
+    per-cluster window (the giant-near-clique single-partition trap)."""
+    from spark_schema_guard.operators.dedup import cluster_representatives
+
+    members = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"), (F.col("doc_id") % 50).alias("cluster_id"),
+        F.col("n_chars").alias("score"))
+    text = _physical(cluster_representatives(members, "doc_id", "cluster_id",
+                                             score_col="score"))
+    assert "Window" not in text, text[:2000]
+    assert text.count("partial_") >= 1, text[:2000]
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_verify_jaccard_plan_shape(spark, sf_dir):
+    """The verify stage's shingle reduction must combine map-side
+    (DISTINCT + size aggregates) and never window or go cartesian; the
+    candidate restriction must appear as joins, not a Python filter."""
+    from spark_schema_guard.operators.dedup import verify_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b")).limit(100)
+    text = _physical(verify_jaccard(docs, "doc_id", "text", pairs))
+    assert "Window" not in text, text[:2000]
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert text.count("partial_") >= 2, text[:2000]
