@@ -281,6 +281,47 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).agg(
         F.count(F.lit(1)), F.sum("n_chunk_tokens"),
         F.sum(F.length("chunk_text"))).collect())
+    from spark_schema_guard.operators import extraction_report
+    # runs on the FULL amplified web table: the verdict column forces the
+    # tag-strip + byte compare on every row (the north rule's invariant)
+    timed("web_extraction", lambda: extraction_report(
+        web, "html", "text", "doc_id").collect())
+    from spark_schema_guard.operators.dedup import (cluster_representatives,
+                                                    strip_boilerplate,
+                                                    verify_jaccard)
+    # docs text is single-line, so split on spaces: every token is a
+    # candidate "line" — maximal work for the document-frequency cut;
+    # consumer forces the reassembled text
+    timed("strip_boilerplate", lambda: strip_boilerplate(
+        docs, "doc_id", "text", "lang", min_docs=2, min_frac=0.5,
+        split_pattern=" ", join_sep=" ").agg(
+        F.sum(F.length("text"))).collect())
+
+    def verify_leg():
+        # deterministic candidate list: every even doc paired with its
+        # successor (n/2 pairs) — times the verify machinery (two shingle
+        # reductions + pair join), not candidate discovery
+        pairs = docs.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"))
+        return verify_jaccard(docs, "doc_id", "text", pairs,
+                              shingle_k=8).agg(F.sum("jaccard")).collect()
+
+    timed("dedup_verify", verify_leg)
+    timed("dedup_canonical", lambda: cluster_representatives(
+        docs.select("doc_id", (F.col("doc_id") % 512).alias("cluster_id"),
+                    F.col("n_chars").alias("score")),
+        "doc_id", "cluster_id", score_col="score").collect())
+    from spark_schema_guard.operators import (constraint_drift,
+                                              suggest_constraints)
+    profile_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    timed("suggest", lambda: suggest_constraints(
+        docs, profile_cols).collect())
+    timed("constraint_drift", lambda: constraint_drift(
+        suggest_constraints(docs.where(F.col("doc_id") % 2 == 0),
+                            profile_cols),
+        suggest_constraints(docs.where(F.col("doc_id") % 2 == 1),
+                            profile_cols)).collect())
 
     docs_per_sec = round(n_docs / timings["web_validate"], 1)
     spark.stop()

@@ -357,6 +357,13 @@ def verify_jaccard(
     the corpus.  Pairs with an unshingleable member (NULL text never
     shingles) drop: no exact score exists — such docs never band into
     candidates in the first place (see ``minhash_signatures``).
+
+    ``pairs`` is referenced three times in the DAG (id set, sizes join,
+    intersection join): passing the LAZY ``minhash_candidates`` frame is
+    fine — AQE exchange reuse dedupes the identical candidate subtrees
+    at runtime (A/B at sf0.01: lazy costs ~12% over a
+    ``localCheckpoint``-ed list, not 3x) — but a pipeline that also
+    feeds the same candidates to clustering should materialize them once.
     """
     sh = (df.select(
         F.col(id_col).alias("__id"),

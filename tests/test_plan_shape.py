@@ -403,3 +403,36 @@ def test_verify_jaccard_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert text.count("partial_") >= 2, text[:2000]
+
+
+def test_constraint_drift_single_plan_no_union(spark, sf_dir):
+    """The contract diff must be ONE exploded projection over the joined
+    profiles — no N-way union: a LAZY caller-supplied profile (here a
+    plain aggregate over parquet) must scan its table exactly once."""
+    from spark_schema_guard.operators import constraint_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def lazy_profile(side):
+        # minimal hand-built profile satisfying the contract columns
+        return docs.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_nulls"),
+            F.approx_count_distinct("text").alias("n_distinct"),
+            F.min(F.col("n_chars").cast("double") * side).alias("min_num"),
+            F.max(F.col("n_chars").cast("double") * side).alias("max_num"),
+            F.min(F.length("text")).cast("int").alias("min_len"),
+            F.max(F.length("text")).cast("int").alias("max_len"),
+        ).select(
+            F.lit("text").alias("column"), F.lit("string").alias("spark_type"),
+            "n_rows", "n_nulls", "n_distinct", "min_num", "max_num",
+            "min_len", "max_len", F.lit(None).cast("string").alias("enum_vals"),
+            F.lit(True).alias("required"))
+
+    out = constraint_drift(lazy_profile(1), lazy_profile(2))
+    text = _physical(out)
+    assert "Union" not in text, text[:2000]
+    # one parquet scan per profile side, never one per finding
+    assert text.count("Scan parquet") <= 2, text[:3000]
+    rows = out.collect()
+    assert {r["finding"] for r in rows} >= {"max_widened"}
