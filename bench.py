@@ -72,7 +72,12 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         timings[name] = round(best, 3)
         return result
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the base docs table is ONE small parquet file = one input split:
+    # every explode-amplifying op (shingles, n-grams) would run its map
+    # side in a single task.  Repartition once at load — the real
+    # corpora these ops target have splits >> cores (same reason webgen
+    # repartitions before its explode).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_base = docs.count(); events.count(); emb.count()

@@ -349,21 +349,27 @@ def verify_jaccard(
 
     Scale shape: shingle sets reduce to narrow DISTINCT
     ``(id, md5(shingle))`` rows (map-side combining dedup; md5 keeps the
-    shuffle row ~fixed-width no matter the shingle text), restricted up
-    front to docs that appear in some pair (inner join with the tiny
-    candidate-id set — broadcast).  Set sizes are one groupBy; the
-    intersection join fans out Σ_pairs |shingles(A)| rows — the
-    inherent verify cost, proportional to the CANDIDATE volume, never
-    the corpus.  Pairs with an unshingleable member (NULL text never
-    shingles) drop: no exact score exists — such docs never band into
-    candidates in the first place (see ``minhash_signatures``).
+    shuffle row ~fixed-width no matter the shingle text); each pair is
+    unpivoted into two ``(member_id, pair, side)`` membership rows that
+    join the shingle stream ONCE (broadcast when the candidate list is
+    small, plain hash join otherwise) — restriction to paired docs,
+    fan-out, and side-tagging in a single join.  One
+    ``groupBy(pair, hash)`` marks which sides carry each shingle, one
+    ``groupBy(pair)`` sums sizes and the intersection: jaccard =
+    i / (na + nb - i), all from the same stream — no per-pair
+    intersection join, no separate sizes branch (the old 3-join shape
+    measured 2x slower at sf0.1).  Total shuffled volume is
+    Σ_pairs (|shingles(A)| + |shingles(B)|) — the inherent verify cost,
+    proportional to the CANDIDATE volume, never the corpus.  Pairs with
+    an unshingleable member (NULL text never shingles) drop: no exact
+    score exists — such docs never band into candidates in the first
+    place (see ``minhash_signatures``).
 
-    ``pairs`` is referenced three times in the DAG (id set, sizes join,
-    intersection join): passing the LAZY ``minhash_candidates`` frame is
-    fine — AQE exchange reuse dedupes the identical candidate subtrees
-    at runtime (A/B at sf0.01: lazy costs ~12% over a
-    ``localCheckpoint``-ed list, not 3x) — but a pipeline that also
-    feeds the same candidates to clustering should materialize them once.
+    ``pairs`` is referenced twice in the DAG (one unpivot per side):
+    passing the LAZY ``minhash_candidates`` frame is fine — AQE
+    exchange reuse dedupes the identical candidate subtrees at runtime
+    — but a pipeline that also feeds the same candidates to clustering
+    should still materialize them once.
     """
     sh = (df.select(
         F.col(id_col).alias("__id"),
@@ -371,22 +377,21 @@ def verify_jaccard(
         .where(F.col("__s").isNotNull())
         .select("__id", F.md5("__s").alias("__h")).distinct())
     p = pairs.select(id_a, id_b)
-    ids = (p.select(F.col(id_a).alias("__id"))
-           .unionByName(p.select(F.col(id_b).alias("__id"))).distinct())
-    sh = sh.join(ids, "__id")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    inter = (p.join(sh.select(F.col("__id").alias(id_a), "__h"), id_a)
-             .join(sh.select(F.col("__id").alias(id_b), "__h"), [id_b, "__h"])
-             .groupBy(id_a, id_b).agg(F.count(F.lit(1)).alias("__i")))
-    out = (p.join(sizes.select(F.col("__id").alias(id_a),
-                               F.col("__n").alias("__na")), id_a)
-           .join(sizes.select(F.col("__id").alias(id_b),
-                              F.col("__n").alias("__nb")), id_b)
-           .join(inter, [id_a, id_b], "left")
+    memb = (p.select(F.col(id_a).alias("__id"), id_a, id_b,
+                     F.lit(0).alias("__side"))
+            .unionByName(p.select(F.col(id_b).alias("__id"), id_a, id_b,
+                                  F.lit(1).alias("__side"))))
+    per_h = (sh.join(memb, "__id")
+             .groupBy(id_a, id_b, "__h")
+             .agg(F.max((F.col("__side") == 0).cast("long")).alias("__a"),
+                  F.max((F.col("__side") == 1).cast("long")).alias("__b")))
+    stats = per_h.groupBy(id_a, id_b).agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__i"))
+    out = (stats.where((F.col("__na") > 0) & (F.col("__nb") > 0))
            .select(F.col(id_a), F.col(id_b),
-                   (F.coalesce(F.col("__i"), F.lit(0))
-                    / (F.col("__na") + F.col("__nb")
-                       - F.coalesce(F.col("__i"), F.lit(0))))
+                   (F.col("__i")
+                    / (F.col("__na") + F.col("__nb") - F.col("__i")))
                    .alias("jaccard")))
     if min_jaccard is not None:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))

@@ -376,6 +376,44 @@ def stream_text_quality_by_window(
     )
 
 
+def stream_extraction_by_window(
+    stream_df: DataFrame,
+    *,
+    time_col: str,
+    html_col: str = "html",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    extract=None,
+) -> DataFrame:
+    """Watermarked windowed extraction-consistency counters — the north
+    rule's per-row html->text byte-identity invariant watched on a live
+    ingest stream (an extractor regression shows up as a rising
+    ``n_mismatch`` in the CURRENT window, not in next week's batch
+    audit).  ``operators/extraction.extraction_check`` is a pure Column
+    projection, so the identical builder serves batch and stream;
+    per-window state is six counters — bounded by windows-in-horizon."""
+    from .operators.extraction import extraction_check
+
+    checked = extraction_check(stream_df, html_col, text_col,
+                               extract=extract)
+    v = F.col("extraction_verdict")
+
+    def n(name):
+        return F.sum((v == name).cast("long")).alias(f"n_{name}")
+
+    return (
+        checked.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("rows"), n("match"), n("mismatch"),
+             n("missing_html"), n("missing_text"), n("undecodable"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "rows", "n_match", "n_mismatch", "n_missing_html",
+                "n_missing_text", "n_undecodable")
+    )
+
+
 def stream_repetition_by_window(
     stream_df: DataFrame,
     text_col: str,

@@ -579,3 +579,39 @@ def test_stream_dedup_sink_fails_loudly_on_bad_delta(spark, tmp_path):
                                   "doc_id long, text string")
     with _pytest.raises(Exception):
         sink(batch, 0)
+
+
+def test_stream_extraction_window(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_extraction_by_window
+
+    rows = [
+        (1, bytearray(b"<html><p>good text</p></html>"), "good text",
+         "2024-03-01 00:10:00"),                       # match
+        (2, bytearray(b"<html><p>page says A</p></html>"), "page says B",
+         "2024-03-01 00:20:00"),                       # mismatch
+        (3, None, "orphan text", "2024-03-01 00:30:00"),  # missing_html
+        (4, bytearray(b"\xff\xfe\x00bad"), "x",
+         "2024-03-01 00:40:00"),                       # undecodable
+        (5, bytearray(b"<p>z</p>"), "z", "2024-03-02 12:00:00"),  # sentinel
+    ]
+    src = str(tmp_path / "ext_src")
+    df = spark.createDataFrame(
+        rows, "doc_id long, html binary, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_extraction_by_window(
+        stream, time_col="ts", window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("ext")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM ext").collect()}
+    row = got["2024-03-01 00:00:00"]
+    assert row["rows"] == 4
+    assert row["n_match"] == 1
+    assert row["n_mismatch"] == 1
+    assert row["n_missing_html"] == 1
+    assert row["n_undecodable"] == 1
+    assert row["n_missing_text"] == 0

@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 START = "<!-- family-scaling:start -->"
 END = "<!-- family-scaling:end -->"
 FAMILIES = ("dedup_minhash", "dedup_clusters", "ann_topk_lsh",
-            "decontaminate")
+            "decontaminate", "strip_boilerplate", "dedup_verify")
 
 
 def _amplify(df, id_col, copies, varier=None):
@@ -81,7 +81,9 @@ def run_leg(cores: int) -> dict:
 
     from spark_schema_guard.operators import ngram_decontaminate
     from spark_schema_guard.operators.dedup import (duplicate_clusters,
-                                                    minhash_candidates)
+                                                    minhash_candidates,
+                                                    strip_boilerplate,
+                                                    verify_jaccard)
     from spark_schema_guard.operators.similarity import cosine_topk_lsh
     from spark_schema_guard.session import build_session, load_table
 
@@ -130,6 +132,18 @@ def run_leg(cores: int) -> dict:
         "decontaminate": lambda: ngram_decontaminate(
             docs, "doc_id", "text", bench, "text", n=8).agg(
             F.sum(F.col("contaminated").cast("long"))).collect(),
+        # docs text is single-line: split on spaces so every token is a
+        # candidate "line" — the df-count/join/reassembly machinery runs
+        # at full line volume; the consumer forces the rebuilt text
+        "strip_boilerplate": lambda: strip_boilerplate(
+            docs, "doc_id", "text", "lang", min_docs=2, min_frac=0.5,
+            split_pattern=" ", join_sep=" ").agg(
+            F.sum(F.length("text"))).collect(),
+        # the verify stage over the PERSISTED candidate edges — isolates
+        # the exact-Jaccard shingle reduction from candidate generation
+        "dedup_verify": lambda: verify_jaccard(
+            docs, "doc_id", "text", edges, shingle_k=8).agg(
+            F.sum("jaccard")).collect(),
     }
     timings = {}
     for name, job in jobs.items():
