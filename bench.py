@@ -447,9 +447,48 @@ def scaling_run():
     }))
 
 
+def refresh_full_table():
+    """Re-run ONLY the local[32] full-query leg and replace the
+    'Full query timings' table in BENCH/BASELINE.md, keeping the
+    (expensive, independent) scaling ladder above it intact.  Use after
+    a change that touches query legs but not the web_validate job."""
+    full = subprocess.run(
+        [sys.executable, __file__, "--single-json"],
+        env={**os.environ, "SPARK_GRAFT_CPUS": "32"},
+        capture_output=True, text=True, timeout=3600)
+    full_result = json.loads(full.stdout.strip().splitlines()[-1])
+    path = os.path.join(os.path.dirname(__file__), "BENCH", "BASELINE.md")
+    with open(path) as fh:
+        text = fh.read()
+    head, marker, _ = text.partition("## Full query timings")
+    if not marker:
+        raise SystemExit("no 'Full query timings' section to replace; "
+                         "run --scaling first")
+    # preserve any tool-appended sections AFTER the table (single-core
+    # baseline, memory probe, family scaling markers)
+    rest = text[len(head) + len(marker):]
+    after = ""
+    for bound in ("\n## ", "\n<!-- "):
+        i = rest.find(bound)
+        if i != -1:
+            after = rest[i:]
+            break
+    lines = [marker.rstrip("\n") + " at local[32] (2M-row web table)", "",
+             "| query | sec |", "|---|---|"]
+    for name, sec in full_result["queries"].items():
+        lines.append(f"| {name} | {sec} |")
+    with open(path, "w") as fh:
+        fh.write(head + "\n".join(lines) + "\n" + after)
+    print(json.dumps({"refreshed": len(full_result["queries"]),
+                      "report": path}))
+
+
 def main():
     if "--scaling" in sys.argv:
         scaling_run()
+        return
+    if "--refresh-full" in sys.argv:
+        refresh_full_table()
         return
     result = run_bench(CPUS, SF_DIR)
     line = {
