@@ -1636,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
                    CAST(MIN(doc_id) AS DOUBLE) AS min_num,
                    CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_int,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_int,
                    CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
                    CAST(NULL AS VARCHAR) AS enum_vals,
                    (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS required
@@ -1645,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
                    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
                    CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
                    CAST(NULL AS INT), CAST(NULL AS INT),
                    CAST(NULL AS VARCHAR),
                    (COUNT(*) > 0 AND COUNT(*) = COUNT(n_chars))
@@ -1654,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(text) AS BIGINT),
                    CAST(COUNT(DISTINCT text) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(MIN(length(text)) AS INT),
                    CAST(MAX(length(text)) AS INT),
                    CASE WHEN COUNT(DISTINCT text) BETWEEN 1 AND 16
@@ -1671,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(lang) AS BIGINT),
                    CAST(COUNT(DISTINCT lang) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(MIN(length(lang)) AS INT),
                    CAST(MAX(length(lang)) AS INT),
                    CASE WHEN COUNT(DISTINCT lang) BETWEEN 1 AND 16
@@ -1688,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(source) AS BIGINT),
                    CAST(COUNT(DISTINCT source) AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(MIN(length(source)) AS INT),
                    CAST(MAX(length(source)) AS INT),
                    CASE WHEN COUNT(DISTINCT source) BETWEEN 1 AND 16

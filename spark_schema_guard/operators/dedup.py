@@ -335,6 +335,7 @@ def verify_jaccard(
     id_a: str = "id_a",
     id_b: str = "id_b",
     min_jaccard: float | None = None,
+    restrict: bool = False,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard for a given candidate-pair list — the
     VERIFY stage of the classic LSH dedup pipeline (candidates are
@@ -348,12 +349,23 @@ def verify_jaccard(
     work is one shingle reduction, not a self-join.
 
     Scale shape: shingle sets reduce to narrow DISTINCT
-    ``(id, md5(shingle))`` rows (map-side combining dedup; md5 keeps the
-    shuffle row ~fixed-width no matter the shingle text); each pair is
-    unpivoted into two ``(member_id, pair, side)`` membership rows that
-    join the shingle stream ONCE (broadcast when the candidate list is
-    small, plain hash join otherwise) — restriction to paired docs,
-    fan-out, and side-tagging in a single join.  One
+    ``(id, md5(shingle))`` rows (map-side combining dedup; md5 keeps
+    the shuffle row ~fixed-width no matter the shingle text); each pair
+    is unpivoted into two ``(member_id, pair, side)`` membership rows
+    that join the shingle stream ONCE (broadcast when the candidate
+    list is small, plain hash join otherwise) — restriction to paired
+    docs, fan-out, and side-tagging in a single join.
+
+    ``restrict=True`` additionally left-semi-joins the CORPUS to the
+    pair-member id set BEFORE shingling, so shingle+md5+distinct cost
+    is ∝ candidate coverage instead of corpus size — the right setting
+    whenever the pairs reference a minority of the corpus (incremental
+    verification, an externally scored pair list, a 10^12-row corpus
+    with a 1% candidate slice).  It is OFF by default because at HIGH
+    coverage the extra id-set join only re-partitions the corpus ahead
+    of the heavy shingle map (A/B at sf0.1, candidates covering every
+    doc: 1.85s -> 4.5s); at 65% coverage with a broadcastable id set it
+    already wins (4.4s -> 2.7s).  One
     ``groupBy(pair, hash)`` marks which sides carry each shingle, one
     ``groupBy(pair)`` sums sizes and the intersection: jaccard =
     i / (na + nb - i), all from the same stream — no per-pair
@@ -365,18 +377,23 @@ def verify_jaccard(
     score exists — such docs never band into candidates in the first
     place (see ``minhash_signatures``).
 
-    ``pairs`` is referenced twice in the DAG (one unpivot per side):
-    passing the LAZY ``minhash_candidates`` frame is fine — AQE
-    exchange reuse dedupes the identical candidate subtrees at runtime
-    — but a pipeline that also feeds the same candidates to clustering
-    should still materialize them once.
+    ``pairs`` is referenced twice in the DAG (one unpivot per side;
+    three with ``restrict``): passing the LAZY ``minhash_candidates``
+    frame is fine — AQE exchange reuse dedupes the identical candidate
+    subtrees at runtime — but a pipeline that also feeds the same
+    candidates to clustering should still materialize them once.
     """
-    sh = (df.select(
+    p = pairs.select(id_a, id_b)
+    src = df
+    if restrict:
+        ids = (p.select(F.col(id_a).alias(id_col))
+               .unionByName(p.select(F.col(id_b).alias(id_col))).distinct())
+        src = df.join(ids, id_col, "left_semi")
+    sh = (src.select(
         F.col(id_col).alias("__id"),
         F.explode(_shingle_array(F.col(text_col), shingle_k)).alias("__s"))
         .where(F.col("__s").isNotNull())
         .select("__id", F.md5("__s").alias("__h")).distinct())
-    p = pairs.select(id_a, id_b)
     memb = (p.select(F.col(id_a).alias("__id"), id_a, id_b,
                      F.lit(0).alias("__side"))
             .unionByName(p.select(F.col(id_b).alias("__id"), id_a, id_b,
@@ -642,12 +659,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32,
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
                       bits: int = 32, max_hamming: int = 3,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket: int | None = 10000) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on bit-block
     equality: a pair within distance d must agree on at least one of d+1
     disjoint bit blocks (pigeonhole), so the blocking is LOSSLESS — the
     blocked join returns exactly the all-pairs answer, which is how the
-    DuckDB oracle verifies this scale path with a brute-force query."""
+    DuckDB oracle verifies this scale path with a brute-force query.
+
+    ``max_bucket`` drops (blk, key) buckets larger than the cap before
+    the self-join, mirroring ``minhash_candidates``: a degenerate bucket
+    (near-constant fingerprints) would otherwise join quadratically.
+    Losslessness then holds for every surviving bucket (the gate runs at
+    a scale where no bucket nears the default cap, so the oracle still
+    sees the exact all-pairs answer).  Corpus-scale sizing note: the
+    EXPECTED bucket population is n / 2^(bits/(d+1)) — 32-bit
+    fingerprints with d=3 give 8-bit keys, fine for per-cohort
+    (domain / lang / snapshot) dedup but quadratic on a whole 10^12-row
+    corpus; use ``bits=60`` (15-bit keys) and run per cohort, or prefer
+    the MinHash LSH path whose bucket width does not shrink with d."""
     # simhash's per-doc groupBy Exchange doubles as the materialization
     # point the self-join below reuses — without one, each join side
     # would re-run the whole token-hash fold over the text
@@ -663,6 +693,12 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
     banded = hashed.select(id_col, "simhash",
                            F.explode(F.array(*structs)).alias("b")) \
                    .select(id_col, "simhash", "b.blk", "b.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("blk", "key").agg(
+            F.count(F.lit(1)).alias("__bn"))
+        banded = banded.join(
+            sizes.where(F.col("__bn") <= max_bucket).select("blk", "key"),
+            ["blk", "key"])
     left = banded.select("blk", "key", F.col(id_col).alias("id_a"),
                          F.col("simhash").alias("sh_a"))
     right = banded.select("blk", "key", F.col(id_col).alias("id_b"),

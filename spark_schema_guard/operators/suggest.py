@@ -48,7 +48,12 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
-#: profile output schema — stable for oracles and for suggested_schema()
+#: profile output schema — stable for oracles and for suggested_schema().
+#: This is also the set constraint_drift REQUIRES; the profile carries two
+#: more columns (min_int/max_int — exact long bounds for integral columns,
+#: NULL otherwise) that suggested_schema prefers when present: the double
+#: view rounds past 2^53, and a rounded-UP minimum would break the mined
+#: contract's closure guarantee on huge ids.
 _OUT_COLS = ("column", "spark_type", "n_rows", "n_nulls", "n_distinct",
              "min_num", "max_num", "min_len", "max_len", "enum_vals",
              "required")
@@ -109,6 +114,13 @@ def suggest_constraints(
         else:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
             aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if isinstance(fields[c], _INTEGRAL):
+            # exact long bounds: the double view rounds past 2^53
+            aggs.append(F.min(col).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.max(col).cast("long").alias(f"{c}__imax"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imax"))
         if isinstance(fields[c], T.StringType):
             aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
             aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
@@ -155,6 +167,7 @@ def suggest_constraints(
             c, fields[c].simpleString(), n_rows, n_nulls,
             int(stats[f"{c}__nd"]),
             stats[f"{c}__min"], stats[f"{c}__max"],
+            stats[f"{c}__imin"], stats[f"{c}__imax"],
             stats[f"{c}__lmin"], stats[f"{c}__lmax"],
             enum_vals.get(c),
             bool(n_rows > 0 and n_nulls == 0),
@@ -167,6 +180,8 @@ def suggest_constraints(
         T.StructField("n_distinct", T.LongType()),
         T.StructField("min_num", T.DoubleType()),
         T.StructField("max_num", T.DoubleType()),
+        T.StructField("min_int", T.LongType()),
+        T.StructField("max_int", T.LongType()),
         T.StructField("min_len", T.IntegerType()),
         T.StructField("max_len", T.IntegerType()),
         T.StructField("enum_vals", T.StringType()),
@@ -214,7 +229,15 @@ def suggested_schema(
         prop: dict = {}
         if isinstance(dtype, _INTEGRAL):
             prop["type"] = "integer"
-            if r["min_num"] is not None:
+            # exact long bounds when the profile carries them (the double
+            # view rounds past 2^53 — a rounded-up minimum would exclude
+            # the true min and break closure); caller-built profiles
+            # without min_int fall back to the double view
+            exact = "min_int" in r.__fields__ and r["min_int"] is not None
+            if exact:
+                prop["minimum"] = int(r["min_int"])
+                prop["maximum"] = int(r["max_int"])
+            elif r["min_num"] is not None:
                 prop["minimum"] = int(r["min_num"])
                 prop["maximum"] = int(r["max_num"])
         elif isinstance(dtype, _NUMERIC):
@@ -261,7 +284,10 @@ def constraint_drift(
     * ``min_widened`` / ``max_widened`` (new data exceeds old bounds —
       breaking) and ``min_narrowed`` / ``max_narrowed``, with the two
       numbers in ``old_num`` / ``new_num``; same for string lengths as
-      ``minlen_*`` / ``maxlen_*``;
+      ``minlen_*`` / ``maxlen_*``.  Bounds diffing uses the profile's
+      double view — integer drift smaller than a double ULP past 2^53
+      is not flagged (drift is a signal; the mined CONTRACT itself uses
+      the exact ``min_int``/``max_int``);
     * ``enum_values_added`` (breaking; ``detail`` = the new values,
       sorted, ``enum_sep``-joined) / ``enum_values_removed`` /
       ``enum_dropped`` (cardinality exploded past the bar — breaking) /

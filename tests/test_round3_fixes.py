@@ -604,3 +604,65 @@ def test_connected_components_checkpointdir_scratch_cleanup(spark, tmp_path):
     finally:
         # reset so later tests see the no-checkpoint-dir default again
         sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_simhash_near_dups_bucket_cap(spark):
+    """A degenerate (blk, key) bucket — e.g. many identical texts —
+    must be droppable via max_bucket (quadratic-join guard, mirroring
+    minhash_candidates); the default cap leaves small corpora exact."""
+    from spark_schema_guard.operators.dedup import simhash_near_dups
+
+    rows = [(i, "the same exact text repeated") for i in range(40)] + \
+           [(100, "something else entirely here"),
+            (101, "something else entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # default cap (10000): all-pairs answer — the 40-clone clique links
+    full = simhash_near_dups(df, "doc_id", "text", bits=32, max_hamming=3)
+    assert full.where(F.col("id_a") < 40).count() == 40 * 39 // 2
+
+    # cap below the clique: its buckets drop, the small pair survives
+    capped = simhash_near_dups(df, "doc_id", "text", bits=32,
+                               max_hamming=3, max_bucket=8)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)
+
+
+def test_verify_jaccard_restrict_parity(spark, sf_dir):
+    """restrict=True (semi-join the corpus to pair members before
+    shingling) must return exactly the default path's scores."""
+    from spark_schema_guard.operators.dedup import verify_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    pairs = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 3).alias("id_b"))
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in verify_jaccard(docs, "doc_id", "text", pairs).collect()}
+    rest = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in verify_jaccard(docs, "doc_id", "text", pairs,
+                                    restrict=True).collect()}
+    assert base and base == rest
+
+
+def test_suggested_schema_exact_bounds_past_2_53(spark):
+    """Mined integer bounds must come from the exact long view: the
+    double view rounds past 2^53 and a rounded-up minimum would exclude
+    the true min — breaking the mined contract's closure guarantee."""
+    import spark_schema_guard as ssg
+    from spark_schema_guard.operators import (suggest_constraints,
+                                              suggested_schema)
+
+    lo, hi = (1 << 60) + 1, (1 << 60) + 4049
+    df = spark.createDataFrame([(lo,), (hi,)], "big_id long")
+    prof = {r["column"]: r for r in suggest_constraints(df).collect()}
+    assert prof["big_id"]["min_int"] == lo          # exact
+    assert prof["big_id"]["max_int"] == hi
+    assert float(prof["big_id"]["min_num"]) != lo   # the double view rounds
+
+    mined = suggested_schema(df)
+    assert mined["properties"]["big_id"]["minimum"] == lo
+    assert mined["properties"]["big_id"]["maximum"] == hi
+    out = ssg.compile_plan(mined, df.schema).apply(df)
+    assert out.where(~F.col("verdict")).count() == 0  # closed over snapshot

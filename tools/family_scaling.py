@@ -139,11 +139,16 @@ def run_leg(cores: int) -> dict:
             docs, "doc_id", "text", "lang", min_docs=2, min_frac=0.5,
             split_pattern=" ", join_sep=" ").agg(
             F.sum(F.length("text"))).collect(),
-        # the verify stage over the PERSISTED candidate edges — isolates
-        # the exact-Jaccard shingle reduction from candidate generation
+        # the verify stage over a deterministic 1/64 slice of the
+        # PERSISTED candidate edges with restrict=True — the
+        # sparse-coverage scale path (shingle work ∝ covered docs);
+        # the FULL amplified edge list (~6M pairs at 64x) fans out
+        # ~2.5B shingle rows, which times the box's memory ceiling
+        # rather than the plan's scaling
         "dedup_verify": lambda: verify_jaccard(
-            docs, "doc_id", "text", edges, shingle_k=8).agg(
-            F.sum("jaccard")).collect(),
+            docs, "doc_id", "text",
+            edges.where((F.col("id_a") + F.col("id_b")) % 64 == 0),
+            shingle_k=8, restrict=True).agg(F.sum("jaccard")).collect(),
     }
     timings = {}
     for name, job in jobs.items():
