@@ -646,6 +646,95 @@ def q_constraint_drift(spark, sf_dir):
     return constraint_drift(a, b)
 
 
+def _json_suggest_doc():
+    """Deterministic rich JSON doc from event_id: always-present int /
+    enum-string / double keys, sparse boolean / explicit-null / array /
+    object / mixed-type keys, and every 31st doc a non-object (array
+    root or broken syntax) — exercising every branch of the JSON-key
+    profiler.  The oracle builds the identical docs in SQL."""
+    i = F.col("event_id")
+    obj = F.concat(
+        F.lit('{"k": '), (i % 97).cast("string"),
+        F.lit(', "lang": "l'), (i % 5).cast("string"), F.lit('"'),
+        F.lit(', "score": '), ((i % 8) / 4.0).cast("string"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(', "flag": '),
+            F.when(i % 6 == 0, F.lit("true")).otherwise(F.lit("false"))))
+         .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(', "note": null')).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(', "tags": [1, 2]')).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(', "meta": {"a": 1}')).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.concat(
+            F.lit(', "mix": '),
+            F.when(i % 8 == 0, (i % 50).cast("string"))
+             .otherwise(F.concat(F.lit('"m'), (i % 3).cast("string"),
+                                 F.lit('"')))))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    return F.when(i % 31 == 0,
+                  F.when(i % 62 == 0, F.lit("[1, 2]"))
+                   .otherwise(F.lit('{"broken'))).otherwise(obj)
+
+
+#: the same docs in DuckDB SQL, verbatim semantics (shared by the
+#: suggest_json and suggest_json_validate oracles)
+_JSON_SUGGEST_DOCS_SQL = """
+  SELECT CASE WHEN event_id % 31 = 0 THEN
+           CASE WHEN event_id % 62 = 0 THEN '[1, 2]' ELSE '{"broken' END
+         ELSE '{"k": ' || (event_id % 97)
+           || ', "lang": "l' || (event_id % 5) || '"'
+           || ', "score": '
+           || CAST(CAST(event_id % 8 AS DOUBLE) / 4.0 AS VARCHAR)
+           || CASE WHEN event_id % 3 = 0 THEN ', "flag": ' ||
+                CASE WHEN event_id % 6 = 0 THEN 'true' ELSE 'false' END
+              ELSE '' END
+           || CASE WHEN event_id % 7 = 0 THEN ', "note": null' ELSE '' END
+           || CASE WHEN event_id % 5 = 0 THEN ', "tags": [1, 2]'
+              ELSE '' END
+           || CASE WHEN event_id % 13 = 0 THEN ', "meta": {"a": 1}'
+              ELSE '' END
+           || CASE WHEN event_id % 4 = 0 THEN ', "mix": ' ||
+                CASE WHEN event_id % 8 = 0 THEN CAST(event_id % 50 AS VARCHAR)
+                     ELSE '"m' || (event_id % 3) || '"' END
+              ELSE '' END
+           || '}'
+         END AS doc
+  FROM events
+"""
+
+
+def q_suggest_json(spark, sf_dir):
+    """Schema mining over a DYNAMIC JSON column — the inverse of
+    validate_json_column: one exploded variant scan profiles every
+    runtime key (observed JSON types, presence, explicit nulls, exact
+    integer bounds, double bounds, string lengths, enum eligibility,
+    required).  The DuckDB oracle recomputes every per-key stat with
+    json_keys + dynamic-path json_type/json_extract."""
+    from spark_schema_guard.operators.suggest import suggest_json_constraints
+
+    events = _read(spark, sf_dir, "events")
+    df = events.select("event_id", _json_suggest_doc().alias("doc"))
+    return suggest_json_constraints(df, "doc", distinct="exact")
+
+
+def q_suggest_json_validate(spark, sf_dir):
+    """Mine a JSON schema from the column, then validate the SAME column
+    with it through the columnar engine (mine-on-snapshot closure: every
+    object doc satisfies its own mined contract by construction;
+    non-object docs fail with the invalid-JSON sentinel).  The oracle
+    counts object docs arithmetically."""
+    from spark_schema_guard.jsoncol import validate_json_column
+    from spark_schema_guard.operators.suggest import suggested_json_schema
+
+    events = _read(spark, sf_dir, "events")
+    df = events.select("event_id", _json_suggest_doc().alias("doc"))
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    out = validate_json_column(df, "doc", mined, engine="columnar")
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("verdict").cast("long")).alias("n_valid"))
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Token-budget data mixing: per-lang deterministic md5-order
     selection up to a token budget (en 5000 / de 9999 (= keep-all at
@@ -1033,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_documents": q_suggest_documents,
         "constraint_drift": q_constraint_drift,
         "suggest_validate": q_suggest_validate,
+        "suggest_json": q_suggest_json,
+        "suggest_json_validate": q_suggest_json_validate,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_keep": q_dedup_incremental_keep,
         "web_domain_skew": q_web_domain_skew,
@@ -1790,6 +1881,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT name, rule, CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM v GROUP BY name, rule
+        """,
+        "suggest_json": f"""
+            WITH docs AS ({_JSON_SUGGEST_DOCS_SQL}),
+            counts AS (
+              SELECT CAST(SUM(CASE WHEN json_valid(doc)
+                                    AND json_type(doc) = 'OBJECT'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_obj,
+                     CAST(SUM(CASE WHEN json_valid(doc)
+                                    AND json_type(doc) = 'OBJECT'
+                                   THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+              FROM docs
+            ),
+            kv AS (
+              -- dynamic-path json_type returns SQL NULL for an explicit
+              -- JSON null; the key came from json_keys so it IS present
+              -- and NULL can only mean the JSON null type
+              SELECT u.key AS key,
+                     json_type(doc, '$."' || u.key || '"') AS t,
+                     json_extract(doc, '$."' || u.key || '"') AS val
+              FROM docs, UNNEST(json_keys(
+                     CASE WHEN json_valid(doc) AND json_type(doc) = 'OBJECT'
+                          THEN doc END)) AS u(key)
+            ),
+            kv2 AS (
+              SELECT key,
+                     COALESCE(CASE t WHEN 'UBIGINT' THEN 'integer'
+                                     WHEN 'BIGINT' THEN 'integer'
+                                     WHEN 'DOUBLE' THEN 'number'
+                                     WHEN 'VARCHAR' THEN 'string'
+                                     WHEN 'BOOLEAN' THEN 'boolean'
+                                     WHEN 'OBJECT' THEN 'object'
+                                     WHEN 'ARRAY' THEN 'array' END,
+                              'null') AS jt,
+                     CASE WHEN t IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+                          THEN CAST(val AS DOUBLE) END AS d,
+                     CASE WHEN t IN ('UBIGINT', 'BIGINT')
+                          THEN CAST(val AS BIGINT) END AS l,
+                     CASE WHEN t = 'VARCHAR'
+                          THEN json_extract_string(val, '$') END AS s
+              FROM kv
+            )
+            SELECT key,
+                   string_agg(DISTINCT jt, ',' ORDER BY jt) AS json_types,
+                   (SELECT n_obj FROM counts) AS n_objects,
+                   (SELECT n_bad FROM counts) AS n_nonobject,
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CASE WHEN jt = 'null' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+                   MIN(d) AS min_num, MAX(d) AS max_num,
+                   MIN(l) AS min_int, MAX(l) AS max_int,
+                   CAST(MIN(length(s)) AS INT) AS min_len,
+                   CAST(MAX(length(s)) AS INT) AS max_len,
+                   CASE WHEN string_agg(DISTINCT jt, ',' ORDER BY jt)
+                             = 'string'
+                             AND COUNT(DISTINCT s) BETWEEN 1 AND 16
+                             AND COALESCE(MAX(CASE WHEN s LIKE '%,%'
+                                                    OR contains(s, chr(10))
+                                               THEN 1 ELSE 0 END), 0) = 0
+                        THEN string_agg(DISTINCT s, ',' ORDER BY s)
+                        END AS enum_vals,
+                   (COUNT(*) = (SELECT n_obj FROM counts)
+                    AND (SELECT n_obj FROM counts) > 0) AS required
+            FROM kv2
+            GROUP BY key
+        """,
+        "suggest_json_validate": f"""
+            WITH docs AS ({_JSON_SUGGEST_DOCS_SQL})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN json_valid(doc)
+                                  AND json_type(doc) = 'OBJECT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+            FROM docs
         """,
         "dedup_incremental": """
             WITH sh AS (

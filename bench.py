@@ -328,6 +328,27 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         suggest_constraints(docs.where(F.col("doc_id") % 2 == 1),
                             profile_cols)).collect())
 
+    # JSON-column schema mining over the full web table: one variant
+    # parse + explode + map-side-combined groupBy(key) per doc (approx
+    # sketch mode = the 100-TB path)
+    from spark_schema_guard.operators import suggest_json_constraints
+    wi = F.col("doc_id")
+    jdoc = F.concat(
+        F.lit('{"k": '), (wi % 97).cast("string"),
+        F.lit(', "lang": "l'), (wi % 5).cast("string"), F.lit('"'),
+        F.lit(', "score": '), ((wi % 8) / 4.0).cast("string"),
+        F.when(wi % 3 == 0, F.lit(', "flag": true')).otherwise(F.lit("")),
+        F.when(wi % 7 == 0, F.lit(', "note": null')).otherwise(F.lit("")),
+        F.when(wi % 4 == 0, F.concat(
+            F.lit(', "mix": '),
+            F.when(wi % 8 == 0, (wi % 50).cast("string"))
+             .otherwise(F.concat(F.lit('"m'), (wi % 3).cast("string"),
+                                 F.lit('"'))))).otherwise(F.lit("")),
+        F.lit("}"))
+    jdf = web.select(jdoc.alias("doc"))
+    timed("suggest_json", lambda: suggest_json_constraints(
+        jdf, "doc").collect())
+
     docs_per_sec = round(n_docs / timings["web_validate"], 1)
     spark.stop()
     return {"timings": timings, "rows": n_docs, "docs_per_sec": docs_per_sec,

@@ -228,6 +228,34 @@ def main():
         f"{r['column']}.{r['finding']}": bool(r["breaking"])
         for r in drift.collect()}
 
+    # the same loop over a DYNAMIC JSON column: every crawler carries a
+    # per-page metadata blob with no written contract — mine one from
+    # the snapshot (per-key types/bounds/enums from one exploded variant
+    # scan), then validate the column with it
+    from spark_schema_guard.jsoncol import validate_json_column
+    from spark_schema_guard.operators import suggested_json_schema
+    i = F.col("doc_id")
+    crawl_meta = F.concat(
+        F.lit('{"status": '),
+        F.when(i % 50 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit(', "content_type": "text/html", "fetch_ms": '),
+        ((i % 900) / 4.0).cast("string"),
+        F.when(i % 9 == 0, F.lit(', "redirected": true'))
+         .otherwise(F.lit("")),
+        F.lit("}"))
+    meta = web.select("url", crawl_meta.alias("crawl_meta"))
+    jmined = suggested_json_schema(meta, "crawl_meta")
+    jchecked = validate_json_column(meta, "crawl_meta", jmined,
+                                    engine="columnar")
+    report["json_contract"] = {
+        "keys": sorted(jmined["properties"]),
+        "required": jmined.get("required", []),
+        "status_bounds": [
+            jmined["properties"]["status"].get("minimum"),
+            jmined["properties"]["status"].get("maximum")],
+        "snapshot_violations":
+            jchecked.where(~F.col("verdict")).count()}
+
     from spark_schema_guard.audit import AuditedRun
 
     run = AuditedRun(spark, plan, corpus_path,

@@ -10,7 +10,9 @@ from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
-from .suggest import constraint_drift, suggest_constraints, suggested_schema
+from .suggest import (constraint_drift, json_constraint_drift,
+                      suggest_constraints, suggest_json_constraints,
+                      suggested_json_schema, suggested_schema)
 
 __all__ = [
     "column_profile",
@@ -41,4 +43,7 @@ __all__ = [
     "suggest_constraints",
     "suggested_schema",
     "constraint_drift",
+    "suggest_json_constraints",
+    "suggested_json_schema",
+    "json_constraint_drift",
 ]

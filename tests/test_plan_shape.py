@@ -436,3 +436,24 @@ def test_constraint_drift_single_plan_no_union(spark, sf_dir):
     assert text.count("Scan parquet") <= 2, text[:3000]
     rows = out.collect()
     assert {r["finding"] for r in rows} >= {"max_widened"}
+
+
+def test_suggest_json_kv_plan_shape(spark, sf_dir):
+    """suggest_json_constraints' stats pass: one variant parse exploded
+    to (key, value) rows feeding a groupBy(key) — all JVM, exactly one
+    Exchange, and a PARTIAL aggregate below it (map-side combine is what
+    absorbs the per-doc sentinel key and bounds the shuffle to
+    #keys x tasks rows)."""
+    from spark_schema_guard.operators.suggest import _json_kv_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = events.select(F.concat(
+        F.lit('{"k": '), (F.col("event_id") % 7).cast("string"),
+        F.lit(', "s": "x"}')).alias("doc"))
+    grouped = _json_kv_stream(df, "doc").groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"))
+    text = _physical(grouped)
+    assert "BatchEvalPython" not in text
+    assert "ArrowEvalPython" not in text
+    assert text.count("Exchange") == 1
+    assert "partial_count" in text  # map-side combine before the shuffle

@@ -1,0 +1,209 @@
+"""suggest_json_constraints / suggested_json_schema / json_constraint_drift:
+schema mining over dynamic JSON columns — the inverse of
+validate_json_column (reference direction: schema -> validator,
+/root/reference/fastjsonschema/__init__.py:212).
+
+Key invariants pinned here:
+* hand-computed per-key stats (types, presence, explicit nulls, bounds,
+  lengths, enum eligibility, required) on literal docs;
+* the mined contract is CLOSED over its snapshot (every object doc
+  validates), and with additionalProperties=False a novel key in a new
+  batch fails — the drift signal a mined contract exists for;
+* integer bounds are EXACT past 2^53 and OMITTED (never rounded) when a
+  value exceeded long range — a rounded bound would exclude real data;
+* the doc-count sentinel key never leaks into the profile, even when a
+  hostile doc carries the sentinel name itself.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_schema_guard.jsoncol import validate_json_column
+from spark_schema_guard.operators.suggest import (json_constraint_drift,
+                                                  suggest_json_constraints,
+                                                  suggested_json_schema)
+
+
+def _profile(spark, docs, **kw):
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    prof = suggest_json_constraints(df, "doc", distinct="exact", **kw)
+    return {r["key"]: r for r in prof.collect()}
+
+
+def test_hand_computed_profile(spark):
+    docs = [
+        '{"k": 5, "lang": "en", "score": 0.25}',
+        '{"k": -3, "lang": "de", "score": 1.5, "note": null}',
+        '{"k": 96, "lang": "en", "score": 0.0, "tags": [1, 2]}',
+        '{"k": 7, "lang": "fr", "score": 0.75, "meta": {"a": 1}, '
+        '"mix": "txt"}',
+        '{"k": 0, "lang": "en", "score": 1.0, "mix": 42, "flag": true}',
+        '[1, 2]',      # array root -> nonobject
+        '{"broken',    # malformed -> nonobject
+    ]
+    by = _profile(spark, docs)
+    assert set(by) == {"k", "lang", "score", "note", "tags", "meta",
+                       "mix", "flag"}
+    k = by["k"]
+    assert (k["json_types"], k["n_objects"], k["n_nonobject"]) == \
+        ("integer", 5, 2)
+    assert (k["n_present"], k["n_null"], k["required"]) == (5, 0, True)
+    assert (k["min_int"], k["max_int"]) == (-3, 96)
+    assert (k["min_num"], k["max_num"]) == (-3.0, 96.0)
+    lang = by["lang"]
+    assert lang["json_types"] == "string" and lang["required"]
+    assert (lang["n_distinct"], lang["enum_vals"]) == (3, "de,en,fr")
+    assert (lang["min_len"], lang["max_len"]) == (2, 2)
+    score = by["score"]
+    assert score["json_types"] == "number" and score["required"]
+    assert (score["min_num"], score["max_num"]) == (0.0, 1.5)
+    assert score["min_int"] is None  # no integer values
+    note = by["note"]
+    assert (note["json_types"], note["n_present"], note["n_null"],
+            note["required"]) == ("null", 1, 1, False)
+    assert by["tags"]["json_types"] == "array"
+    assert by["meta"]["json_types"] == "object"
+    mix = by["mix"]
+    assert mix["json_types"] == "integer,string"
+    assert (mix["min_int"], mix["max_int"]) == (42, 42)
+    assert (mix["min_len"], mix["max_len"]) == (3, 3)
+    assert mix["enum_vals"] is None  # mixed types: never an enum
+    assert by["flag"]["json_types"] == "boolean"
+
+
+def test_mined_schema_closure_and_novel_key(spark):
+    docs = [
+        '{"k": 5, "lang": "en", "score": 0.25}',
+        '{"k": -3, "lang": "de", "score": 1.5, "note": null}',
+        '{"k": 96, "lang": "en", "score": 0.0, "mix": "txt"}',
+        '{"k": 7, "lang": "fr", "score": 0.75, "mix": 42}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    assert mined["required"] == ["k", "lang", "score"]
+    assert mined["additionalProperties"] is False
+    assert mined["properties"]["k"] == {"type": "integer",
+                                        "minimum": -3, "maximum": 96}
+    assert mined["properties"]["lang"]["enum"] == ["de", "en", "fr"]
+    assert mined["properties"]["mix"]["type"] == ["integer", "string"]
+    assert mined["properties"]["note"]["type"] == "null"
+
+    # closure: every snapshot doc validates through BOTH engines
+    for engine in ("columnar", "python"):
+        out = validate_json_column(df, "doc", mined, engine=engine)
+        assert out.where(~F.col("verdict")).count() == 0, engine
+
+    # a novel key in the next batch fails (the contract is closed)
+    nxt = spark.createDataFrame(
+        [('{"k": 5, "lang": "en", "score": 0.25, "surprise": 1}',)],
+        "doc string")
+    out = validate_json_column(nxt, "doc", mined, engine="columnar")
+    assert out.where(F.col("verdict")).count() == 0
+
+
+def test_exact_int_bounds_past_2_53(spark):
+    lo, hi = (1 << 60) + 1, (1 << 60) + 4049
+    docs = ['{"big": %d}' % lo, '{"big": %d}' % hi]
+    by = _profile(spark, docs)
+    assert (by["big"]["min_int"], by["big"]["max_int"]) == (lo, hi)
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    assert mined["properties"]["big"] == {"type": "integer",
+                                          "minimum": lo, "maximum": hi}
+    out = validate_json_column(df, "doc", mined, engine="columnar")
+    assert out.where(~F.col("verdict")).count() == 0
+
+
+def test_long_overflow_omits_bounds(spark):
+    huge = 1 << 64  # DECIMAL(20,0) variant tag; long cast loses it
+    docs = ['{"big": 5}', '{"big": %d}' % huge]
+    by = _profile(spark, docs)
+    assert by["big"]["json_types"] == "integer"
+    assert by["big"]["min_int"] is None and by["big"]["max_int"] is None
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    assert "minimum" not in mined["properties"]["big"]  # omitted, not wrong
+    out = validate_json_column(df, "doc", mined, engine="python")
+    assert out.where(~F.col("verdict")).count() == 0
+
+
+def test_mixed_numeric_with_unsafe_int_omits_double_bounds(spark):
+    docs = ['{"x": 0.5}', '{"x": %d}' % ((1 << 60) + 1)]
+    by = _profile(spark, docs)
+    assert by["x"]["json_types"] == "integer,number"
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    # the double view rounds the 2^60 int: bounds must be omitted
+    assert "minimum" not in mined["properties"]["x"]
+    # a SAFE mixed key keeps double bounds
+    docs2 = ['{"x": 0.5}', '{"x": 7}']
+    df2 = spark.createDataFrame([(d,) for d in docs2], "doc string")
+    mined2 = suggested_json_schema(df2, "doc", distinct="exact")
+    assert mined2["properties"]["x"] == {"type": ["integer", "number"],
+                                         "minimum": 0.5, "maximum": 7.0}
+    out = validate_json_column(df2, "doc", mined2, engine="python")
+    assert out.where(~F.col("verdict")).count() == 0
+
+
+def test_enum_separator_poisoning_and_nullable(spark):
+    by = _profile(spark, ['{"s": "a,b"}', '{"s": "c"}'])
+    assert by["s"]["enum_vals"] is None  # value embeds the separator
+    # null-typed values make the key ineligible too (enum would reject null)
+    by2 = _profile(spark, ['{"s": "a"}', '{"s": null}'])
+    assert by2["s"]["json_types"] == "null,string"
+    assert by2["s"]["enum_vals"] is None
+
+
+def test_sentinel_key_collision_still_counts_once(spark):
+    docs = ['{"k": 1}', '{"k": 2, "\\u0000__doc__": 9}']
+    by = _profile(spark, docs)
+    assert by["k"]["n_objects"] == 2      # both docs counted exactly once
+    assert by["k"]["n_present"] == 2
+    assert "\x00__doc__" not in by        # sentinel never leaks
+
+
+def test_empty_and_nonobject_only(spark):
+    by = _profile(spark, ["[1]", "42", "null"])
+    assert by == {}
+    prof = suggest_json_constraints(
+        spark.createDataFrame([], "doc string"), "doc")
+    assert prof.collect() == []
+    with pytest.raises(ValueError):
+        suggest_json_constraints(
+            spark.createDataFrame([("{}",)], "doc string"), "doc",
+            distinct="bogus")
+
+
+def test_json_constraint_drift_findings(spark):
+    old = spark.createDataFrame(
+        [('{"k": 5, "lang": "en"}',), ('{"k": 9, "lang": "de"}',)],
+        "doc string")
+    new = spark.createDataFrame(
+        [('{"k": 50, "lang": "en", "extra": 1}',),
+         ('{"k": -2, "lang": 7}',)],
+        "doc string")
+    a = suggest_json_constraints(old, "doc", distinct="exact")
+    b = suggest_json_constraints(new, "doc", distinct="exact")
+    got = {(r["finding"], r["column"]): r
+           for r in json_constraint_drift(a, b).collect()}
+    assert ("column_added", "extra") in got
+    assert got[("type_changed", "lang")]["detail"] == \
+        "string->integer,string"
+    assert got[("type_changed", "lang")]["breaking"]
+    assert got[("min_widened", "k")]["new_num"] == -2.0
+    assert got[("max_widened", "k")]["new_num"] == 50.0
+    # 'extra' present in only one new doc: absence maps to nullability —
+    # but extra is column_added so no value findings for it; lang's
+    # type change suppresses its value findings likewise
+    assert not any(c == "lang" and f not in ("type_changed",)
+                   for (f, c) in got)
+
+
+def test_approx_mode_smoke(spark):
+    df = spark.createDataFrame(
+        [('{"k": %d, "lang": "l%d"}' % (i, i % 3),) for i in range(200)],
+        "doc string")
+    by = {r["key"]: r
+          for r in suggest_json_constraints(df, "doc").collect()}
+    assert by["k"]["required"] and by["k"]["min_int"] == 0
+    assert by["lang"]["enum_vals"] == "l0,l1,l2"
