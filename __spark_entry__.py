@@ -676,6 +676,19 @@ def _json_suggest_doc():
                    .otherwise(F.lit('{"broken'))).otherwise(obj)
 
 
+def q_suggest_by_unit(spark, sf_dir):
+    """Per-unit constraint mining: one grouped aggregation profiles
+    every (lang, column) pair — per-unit bounds, lengths, exact enum
+    values and required flags — entirely distributed (the unit count is
+    unbounded in production: one per input file).  The oracle recomputes
+    each column's stats with the same GROUP BY."""
+    from spark_schema_guard.operators.suggest import suggest_by_unit
+
+    docs = _read(spark, sf_dir, "documents")
+    return suggest_by_unit(docs, ["doc_id", "source", "n_chars"],
+                           unit_col="lang", distinct="exact")
+
+
 #: the same docs in DuckDB SQL, verbatim semantics (shared by the
 #: suggest_json and suggest_json_validate oracles)
 _JSON_SUGGEST_DOCS_SQL = """
@@ -1124,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_validate": q_suggest_validate,
         "suggest_json": q_suggest_json,
         "suggest_json_validate": q_suggest_json_validate,
+        "suggest_by_unit": q_suggest_by_unit,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_keep": q_dedup_incremental_keep,
         "web_domain_skew": q_web_domain_skew,
@@ -1954,6 +1968,48 @@ def oracle_sql() -> dict[str, str]:
                                   AND json_type(doc) = 'OBJECT'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM docs
+        """,
+        "suggest_by_unit": """
+            SELECT lang AS unit, 'doc_id' AS column, 'bigint' AS spark_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_int,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_int,
+                   CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
+                   CAST(NULL AS VARCHAR) AS enum_vals,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(doc_id)) AS required
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 'source', 'string',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(MIN(length(source)) AS INT),
+                   CAST(MAX(length(source)) AS INT),
+                   CASE WHEN COUNT(DISTINCT source) BETWEEN 1 AND 16
+                             AND COALESCE(MAX(CASE WHEN contains(source, ',')
+                                                    OR contains(source, chr(10))
+                                               THEN 1 ELSE 0 END), 0) = 0
+                        THEN string_agg(DISTINCT source, ','
+                                        ORDER BY source) END,
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(source))
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 'n_chars', 'bigint',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
+                   CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(NULL AS VARCHAR),
+                   (COUNT(*) > 0 AND COUNT(*) = COUNT(n_chars))
+            FROM documents GROUP BY lang
         """,
         "dedup_incremental": """
             WITH sh AS (

@@ -348,6 +348,10 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     jdf = web.select(jdoc.alias("doc"))
     timed("suggest_json", lambda: suggest_json_constraints(
         jdf, "doc").collect())
+    from spark_schema_guard.operators import suggest_by_unit
+    timed("suggest_by_unit", lambda: suggest_by_unit(
+        web, ["doc_id", "lang", "text"],
+        unit_col=(F.col("doc_id") % 64)).collect())
 
     docs_per_sec = round(n_docs / timings["web_validate"], 1)
     spark.stop()

@@ -11,8 +11,9 @@ from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
 from .suggest import (constraint_drift, json_constraint_drift,
-                      suggest_constraints, suggest_json_constraints,
-                      suggested_json_schema, suggested_schema)
+                      suggest_by_unit, suggest_constraints,
+                      suggest_json_constraints, suggested_json_schema,
+                      suggested_schema)
 
 __all__ = [
     "column_profile",
@@ -46,4 +47,5 @@ __all__ = [
     "suggest_json_constraints",
     "suggested_json_schema",
     "json_constraint_drift",
+    "suggest_by_unit",
 ]

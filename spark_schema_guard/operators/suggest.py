@@ -263,6 +263,162 @@ def suggested_schema(
     return schema
 
 
+def suggest_by_unit(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    unit_col: Column | str | None = None,
+    enum_max: int = 16,
+    enum_sep: str = ",",
+    distinct: str = "approx",
+    distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """Per-UNIT constraint mining: :func:`suggest_constraints`' profile,
+    one row per ``(unit, column)`` — the contract-tracking analog of the
+    ``*_by_unit`` drift operators (``unit_col=None`` units by
+    ``input_file_name()``, the audit table's work unit, so every crawl
+    snapshot / input file gets its own mined contract).  A unit's slice
+    feeds :func:`constraint_drift` directly::
+
+        prof = suggest_by_unit(web, ["lang", "text"], unit_col="source")
+        prof.persist()
+        constraint_drift(prof.where("unit = 'src1'").drop("unit"),
+                         prof.where("unit = 'src2'").drop("unit"))
+
+    Unlike the eager single-table miner this returns a LAZY frame and
+    never collects: the unit count may be unbounded (one per input
+    file), so the profile itself must be distributed.
+
+    Scale shape (10^12-row argument): ONE grouped aggregation
+    (``groupBy(unit)``, all-algebraic/HLL++ aggregates, map-side
+    partial) produces a row per unit; a compile-time exploded projection
+    unpivots it to (unit, column) rows — never a units × columns driver
+    loop.  The enum value pass is the same bounded second scan as
+    :func:`suggest_constraints`, made per-unit-safe by LEFT-SEMI-joining
+    the melted value stream against the (unit, column) pairs the first
+    pass found ELIGIBLE (≤ enum_max distinct), so no ``collect_set``
+    state ever exceeds enum_max values per group; the eligibility frame
+    derives from the same grouped aggregate, and AQE exchange reuse
+    dedupes the repeated subtree at runtime (persist the result if you
+    fan it out further).  ``distinct="exact"`` is the oracle mode.
+
+    Rows whose unit expression is NULL profile under the NULL unit, and
+    ``required`` means null-free WITHIN the unit.
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError("distinct must be 'approx' or 'exact'")
+    if enum_max < 1:
+        raise ValueError("enum_max must be >= 1")
+    if unit_col is None:
+        unit = F.input_file_name()
+    elif isinstance(unit_col, str):
+        unit = F.col(unit_col)
+    else:
+        unit = unit_col
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = list(columns or fields)
+    for c in columns:
+        if c not in fields:
+            raise ValueError(f"no such column: {c}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(col, distinct_rsd)
+                        .alias(f"{c}__nd"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(col.cast("double")).alias(f"{c}__min"))
+            aggs.append(F.max(col.cast("double")).alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if isinstance(fields[c], _INTEGRAL):
+            aggs.append(F.min(col).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.max(col).cast("long").alias(f"{c}__imax"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imax"))
+        if isinstance(fields[c], T.StringType):
+            aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
+            bad = F.max((col.contains(enum_sep) | col.contains("\n"))
+                        .cast("int"))
+            aggs.append(F.coalesce(bad, F.lit(0)).alias(f"{c}__sep"))
+        else:
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmax"))
+            aggs.append(F.lit(1).alias(f"{c}__sep"))
+    wide = df.groupBy(unit.alias("unit")).agg(*aggs)
+
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.lit(fields[c].simpleString()).alias("spark_type"),
+        F.col(f"{c}__nulls").alias("n_nulls"),
+        F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+        F.col(f"{c}__min").alias("min_num"),
+        F.col(f"{c}__max").alias("max_num"),
+        F.col(f"{c}__imin").alias("min_int"),
+        F.col(f"{c}__imax").alias("max_int"),
+        F.col(f"{c}__lmin").alias("min_len"),
+        F.col(f"{c}__lmax").alias("max_len"),
+        F.col(f"{c}__sep").alias("sep"),
+    ) for c in columns]
+    core = (wide.select("unit", F.col("__rows").alias("n_rows"),
+                        F.explode(F.array(*structs)).alias("s"))
+            .select("unit", "s.column", "s.spark_type", "n_rows",
+                    "s.n_nulls", "s.n_distinct", "s.min_num", "s.max_num",
+                    "s.min_int", "s.max_int", "s.min_len", "s.max_len",
+                    "s.sep"))
+
+    str_cols = [c for c in columns if isinstance(fields[c], T.StringType)]
+    if str_cols:
+        elig = core.where(
+            F.col("spark_type").eqNullSafe("string")
+            & F.col("n_distinct").between(1, enum_max)
+            & (F.col("sep") == 0)).select("unit", "column")
+        melted = df.select(
+            unit.alias("unit"),
+            F.expr("stack({n}, {args}) as (column, val)".format(
+                n=len(str_cols),
+                args=", ".join(f"'{c}', `{c}`" for c in str_cols)))
+        ).where(F.col("val").isNotNull())
+        # joins are NULL-SAFE on unit: rows whose unit expression is
+        # NULL profile under the NULL unit and must keep their enums
+        # (a plain equi-join would silently drop them)
+        e = elig.select(F.col("unit").alias("__eu"),
+                        F.col("column").alias("__ec"))
+        vals = melted.join(
+            F.broadcast(e),
+            F.col("unit").eqNullSafe(F.col("__eu"))
+            & (F.col("column") == F.col("__ec")),
+            "left_semi").distinct()
+        per = (vals.groupBy("unit", "column")
+               .agg(F.array_join(F.sort_array(F.collect_set("val")),
+                                 enum_sep).alias("enum_vals"),
+                    F.count(F.lit(1)).alias("__nd2"))
+               # the approx sketch may have under-counted eligibility:
+               # re-check the bar on this pass's exact distinct count
+               .where(F.col("__nd2") <= enum_max)
+               .select(F.col("unit").alias("__pu"),
+                       F.col("column").alias("__pc"), "enum_vals"))
+        out = core.join(
+            per,
+            F.col("unit").eqNullSafe(F.col("__pu"))
+            & (F.col("column") == F.col("__pc")),
+            "left").drop("__pu", "__pc")
+    else:
+        out = core.withColumn("enum_vals", F.lit(None).cast("string"))
+    return out.select(
+        "unit", "column", "spark_type", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_int", "max_int", "min_len", "max_len",
+        "enum_vals",
+        ((F.col("n_rows") > 0) & (F.col("n_nulls") == 0)).alias("required"))
+
+
 #: sentinel keys injected into the per-doc key/value stream so ONE
 #: exploded scan also yields doc-level counts (NUL-prefixed — no sane
 #: JSON key starts with "\\x00"; a colliding doc still counts once via

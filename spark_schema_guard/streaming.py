@@ -15,6 +15,15 @@ This module adds the streaming-specific conveniences:
 * :func:`stream_to_audit` — foreachBatch sink appending per-batch metric
   rows to the same audit table the batch runner uses, so a streaming job
   is resumable/observable identically.
+
+Dynamic JSON columns need no streaming-specific operator at all:
+``jsoncol.validate_json_column`` (columnar engine) is pure Column
+expressions, so it applies to a readStream frame unchanged — including
+with a contract MINED from a trusted batch snapshot by
+``operators.suggested_json_schema`` (mine once, stream-validate every
+later batch; novel keys and out-of-bounds values surface as violations
+under the closed contract — pinned by
+tests/test_cli_streaming.py::test_stream_validate_mined_json_contract).
 """
 
 from __future__ import annotations

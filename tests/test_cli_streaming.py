@@ -615,3 +615,49 @@ def test_stream_extraction_window(spark, tmp_path):
     assert row["n_missing_html"] == 1
     assert row["n_undecodable"] == 1
     assert row["n_missing_text"] == 0
+
+
+def test_stream_validate_mined_json_contract(spark, tmp_path):
+    """Mine-once / stream-validate-forever for a dynamic JSON column:
+    suggested_json_schema on a trusted batch snapshot, then
+    validate_json_column (pure Column expressions — stateless) applied
+    directly to a readStream of the next, drifted batch.  Stream
+    verdicts must equal the batch run's, and the drift (a novel key
+    under the closed contract, an out-of-bounds integer) is flagged."""
+    from spark_schema_guard.jsoncol import validate_json_column
+    from spark_schema_guard.operators import suggested_json_schema
+
+    snap = spark.createDataFrame(
+        [(i, '{"k": %d, "lang": "l%d"}' % (i % 50, i % 3))
+         for i in range(200)],
+        "event_id long, doc string")
+    mined = suggested_json_schema(snap, "doc", distinct="exact")
+    assert mined["additionalProperties"] is False
+
+    rows = []
+    for i in range(300):
+        extra = ', "surprise": 1' if i % 7 == 0 else ""
+        k = 999 if i % 11 == 0 else i % 50
+        rows.append((i, '{"k": %d, "lang": "l%d"%s}' % (k, i % 3, extra)))
+    batch = spark.createDataFrame(rows, "event_id long, doc string")
+    src = str(tmp_path / "json_stream_src")
+    batch.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = validate_json_column(stream, "doc", mined, engine="columnar")
+    q = (out.select("event_id", "verdict")
+         .writeStream.format("memory").queryName("jsonv")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["verdict"]
+           for r in spark.sql("SELECT * FROM jsonv").collect()}
+    want = {r["event_id"]: r["verdict"]
+            for r in validate_json_column(static, "doc", mined,
+                                          engine="columnar")
+            .select("event_id", "verdict").collect()}
+    assert len(got) == 300 and got == want
+    assert not want[0]        # novel key + out-of-bounds k
+    assert not want[7]        # novel key alone (closed contract)
+    assert not want[11]       # k past the mined maximum
+    assert want[1] and want[2]

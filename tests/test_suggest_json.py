@@ -207,3 +207,56 @@ def test_approx_mode_smoke(spark):
           for r in suggest_json_constraints(df, "doc").collect()}
     assert by["k"]["required"] and by["k"]["min_int"] == 0
     assert by["lang"]["enum_vals"] == "l0,l1,l2"
+
+
+def test_suggest_by_unit_matches_per_slice_miner(spark, sf_dir):
+    """The grouped per-unit profile must equal running the eager
+    single-table miner on each unit's slice (modulo the unit column)."""
+    from spark_schema_guard.operators.suggest import (suggest_by_unit,
+                                                      suggest_constraints)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id", "source", "n_chars"]
+    per_unit = {(r["unit"], r["column"]): r
+                for r in suggest_by_unit(docs, cols, unit_col="lang",
+                                         distinct="exact").collect()}
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert langs and set(u for u, _ in per_unit) == set(langs)
+    for lang in langs:
+        sliced = {r["column"]: r for r in suggest_constraints(
+            docs.where(F.col("lang") == lang).select(*cols),
+            distinct="exact").collect()}
+        for c in cols:
+            got, want = per_unit[(lang, c)], sliced[c]
+            for field in ("spark_type", "n_rows", "n_nulls", "n_distinct",
+                          "min_num", "max_num", "min_int", "max_int",
+                          "min_len", "max_len", "enum_vals", "required"):
+                assert got[field] == want[field], (lang, c, field)
+
+
+def test_suggest_by_unit_hand_computed(spark):
+    from spark_schema_guard.operators.suggest import suggest_by_unit
+
+    rows = [("a", "x", 1), ("a", "y", 2), ("a", None, 3),
+            ("b", "only", 9), ("b", "only", 4), (None, "nul-unit", 7)]
+    df = spark.createDataFrame(rows, "u string, s string, n long")
+    by = {(r["unit"], r["column"]): r
+          for r in suggest_by_unit(df, ["s", "n"], unit_col="u",
+                                   distinct="exact").collect()}
+    a_s = by[("a", "s")]
+    assert (a_s["n_rows"], a_s["n_nulls"], a_s["required"]) == (3, 1, False)
+    assert a_s["enum_vals"] == "x,y"
+    b_s = by[("b", "s")]
+    assert b_s["required"] and b_s["enum_vals"] == "only"
+    assert by[("b", "n")]["min_int"] == 4 and by[("b", "n")]["max_int"] == 9
+    # NULL unit profiles under the NULL unit — including its enum (the
+    # joins are null-safe on unit; a plain equi-join would drop it)
+    assert by[(None, "s")]["n_rows"] == 1
+    assert by[(None, "s")]["enum_vals"] == "nul-unit"
+    assert by[(None, "n")]["min_int"] == 7
+    # enum_max below a unit's cardinality: that unit loses its enum only
+    by2 = {(r["unit"], r["column"]): r
+           for r in suggest_by_unit(df, ["s"], unit_col="u", enum_max=1,
+                                    distinct="exact").collect()}
+    assert by2[("a", "s")]["enum_vals"] is None
+    assert by2[("b", "s")]["enum_vals"] == "only"
