@@ -8,6 +8,10 @@
   spark-submit --py-files engine.zip -m spark_schema_guard validate \\
       --schema schema.json --table in.parquet --out out_dir \\
       [--audit audit_dir] [--cores N]
+
+  # mine a schema FROM a table (typed columns, or a JSON string column
+  # with --json-col), then validate future batches with it
+  python -m spark_schema_guard suggest --table t.parquet --out schema.json
 """
 
 from __future__ import annotations
@@ -87,6 +91,40 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Mine a schema FROM a table (the inverse of validate): typed
+    columns via suggest_constraints/suggested_schema, or a dynamic JSON
+    string column via --json-col (suggest_json_constraints /
+    suggested_json_schema).  The emitted JSON feeds straight back into
+    ``plan --schema`` / ``validate --schema`` — mine on a trusted
+    snapshot, then gate every future batch with the mined contract."""
+    from spark_schema_guard.session import build_session
+
+    spark = build_session(cores=args.cores)
+    df = _read_table(spark, args.table, args.format)
+    if args.json_col:
+        from spark_schema_guard.operators.suggest import suggested_json_schema
+
+        mined = suggested_json_schema(df, args.json_col,
+                                      enum_max=args.enum_max,
+                                      distinct=args.distinct)
+    else:
+        from spark_schema_guard.operators.suggest import suggested_schema
+
+        cols = args.columns.split(",") if args.columns else None
+        mined = suggested_schema(df, cols, enum_max=args.enum_max,
+                                 distinct=args.distinct)
+    text = json.dumps(mined, indent=1, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(text + "\n")
+        print(json.dumps({"schema": args.out,
+                          "properties": len(mined.get("properties", {}))}))
+    else:
+        print(text)
+    return 0
+
+
 def cmd_package(args) -> int:
     """Build the ``--py-files`` zip for cluster submission: the whole
     ``spark_schema_guard`` package, importable from the zip root, so
@@ -139,6 +177,25 @@ def main(argv=None) -> int:
     p_val.add_argument("--format", default="parquet",
                        choices=["parquet", "csv", "json"])
     p_val.set_defaults(fn=cmd_validate)
+
+    p_sug = sub.add_parser(
+        "suggest", help="mine a JSON schema from a table (or from a "
+        "JSON string column with --json-col)")
+    p_sug.add_argument("--table", required=True)
+    p_sug.add_argument("--out", help="write the mined schema JSON here "
+                       "(stdout otherwise)")
+    p_sug.add_argument("--json-col", help="mine per-key constraints from "
+                       "this dynamic JSON string column instead of the "
+                       "table's typed columns")
+    p_sug.add_argument("--columns", help="comma-separated typed columns "
+                       "to profile (default: all)")
+    p_sug.add_argument("--enum-max", type=int, default=16)
+    p_sug.add_argument("--distinct", default="approx",
+                       choices=["approx", "exact"])
+    p_sug.add_argument("--cores", type=int, default=4)
+    p_sug.add_argument("--format", default="parquet",
+                       choices=["parquet", "csv", "json"])
+    p_sug.set_defaults(fn=cmd_suggest)
 
     p_pkg = sub.add_parser(
         "package", help="build the spark-submit --py-files zip")

@@ -661,3 +661,42 @@ def test_stream_validate_mined_json_contract(spark, tmp_path):
     assert not want[7]        # novel key alone (closed contract)
     assert not want[11]       # k past the mined maximum
     assert want[1] and want[2]
+
+
+def test_cli_suggest_mines_then_validates(sf_dir, tmp_path):
+    """suggest --table mines a schema whose JSON feeds straight back
+    into validate --schema; the mined contract is closed over its own
+    snapshot (zero False verdicts)."""
+    schema_out = tmp_path / "mined.json"
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "suggest",
+         "--table", f"{sf_dir}/documents.parquet",
+         "--columns", "doc_id,lang,n_chars",
+         "--distinct", "exact", "--out", str(schema_out), "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["properties"] == 3
+    mined = json.loads(schema_out.read_text())
+    assert mined["properties"]["doc_id"]["type"] == "integer"
+
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "validate",
+         "--schema", str(schema_out),
+         "--table", f"{sf_dir}/documents.parquet", "--cores", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    counts = json.loads(out.stdout.strip().splitlines()[-1])
+    assert counts == {"True": counts["True"]}  # closed: no False bucket
+
+
+def test_cli_suggest_json_col(sf_dir, tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "spark_schema_guard", "suggest",
+         "--table", f"{sf_dir}/events.parquet", "--json-col", "props",
+         "--distinct", "exact"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    mined = json.loads(out.stdout)
+    assert mined["properties"]["k"]["type"] == "integer"
+    assert mined["additionalProperties"] is False
