@@ -100,6 +100,11 @@ def cmd_suggest(args) -> int:
     snapshot, then gate every future batch with the mined contract."""
     from spark_schema_guard.session import build_session
 
+    if args.json_col and args.columns:
+        print("suggest: --json-col and --columns are mutually exclusive "
+              "(--columns selects typed columns; --json-col mines a "
+              "dynamic JSON column instead)", file=sys.stderr)
+        return 2
     spark = build_session(cores=args.cores)
     df = _read_table(spark, args.table, args.format)
     if args.json_col:

@@ -59,6 +59,50 @@ _OUT_COLS = ("column", "spark_type", "n_rows", "n_nulls", "n_distinct",
              "required")
 
 
+def _column_aggs(fields, columns, *, enum_sep, distinct, distinct_rsd):
+    """The per-column aggregate list both typed-column miners share
+    (``suggest_constraints`` ungrouped, ``suggest_by_unit`` grouped):
+    ``__rows`` plus, per column, nulls / distinct (exact or HLL++) /
+    double bounds / exact long bounds / string lengths / the
+    separator-poisoning flag — all algebraic or sketch-mergeable, so
+    map-side partial aggregation applies either way."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
+        else:
+            aggs.append(F.approx_count_distinct(col, distinct_rsd)
+                        .alias(f"{c}__nd"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(col.cast("double")).alias(f"{c}__min"))
+            aggs.append(F.max(col.cast("double")).alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if isinstance(fields[c], _INTEGRAL):
+            # exact long bounds: the double view rounds past 2^53
+            aggs.append(F.min(col).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.max(col).cast("long").alias(f"{c}__imax"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imin"))
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__imax"))
+        if isinstance(fields[c], T.StringType):
+            aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
+            # a value embedding the separator (or a newline) makes the
+            # joined enum rendering ambiguous — poisons eligibility
+            bad = F.max((col.contains(enum_sep) | col.contains("\n"))
+                        .cast("int"))
+            aggs.append(F.coalesce(bad, F.lit(0)).alias(f"{c}__sep"))
+        else:
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmin"))
+            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmax"))
+            aggs.append(F.lit(1).alias(f"{c}__sep"))
+    return aggs
+
+
 def suggest_constraints(
     df: DataFrame,
     columns: Sequence[str] | None = None,
@@ -99,41 +143,8 @@ def suggest_constraints(
         if c not in fields:
             raise ValueError(f"no such column: {c}")
 
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in columns:
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-        if distinct == "exact":
-            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
-        else:
-            aggs.append(F.approx_count_distinct(col, distinct_rsd)
-                        .alias(f"{c}__nd"))
-        if isinstance(fields[c], _NUMERIC):
-            aggs.append(F.min(col.cast("double")).alias(f"{c}__min"))
-            aggs.append(F.max(col.cast("double")).alias(f"{c}__max"))
-        else:
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
-        if isinstance(fields[c], _INTEGRAL):
-            # exact long bounds: the double view rounds past 2^53
-            aggs.append(F.min(col).cast("long").alias(f"{c}__imin"))
-            aggs.append(F.max(col).cast("long").alias(f"{c}__imax"))
-        else:
-            aggs.append(F.lit(None).cast("long").alias(f"{c}__imin"))
-            aggs.append(F.lit(None).cast("long").alias(f"{c}__imax"))
-        if isinstance(fields[c], T.StringType):
-            aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
-            aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
-            # a value embedding the separator (or a newline) makes the
-            # joined enum rendering ambiguous — poisons eligibility
-            bad = F.max((col.contains(enum_sep) | col.contains("\n"))
-                        .cast("int"))
-            aggs.append(F.coalesce(bad, F.lit(0)).alias(f"{c}__sep"))
-        else:
-            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmin"))
-            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmax"))
-            aggs.append(F.lit(1).alias(f"{c}__sep"))
-
+    aggs = _column_aggs(fields, columns, enum_sep=enum_sep,
+                        distinct=distinct, distinct_rsd=distinct_rsd)
     stats = df.agg(*aggs).collect()[0]  # bounded: exactly one row
 
     eligible = [c for c in columns
@@ -321,37 +332,8 @@ def suggest_by_unit(
         if c not in fields:
             raise ValueError(f"no such column: {c}")
 
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in columns:
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
-        if distinct == "exact":
-            aggs.append(F.count_distinct(col).alias(f"{c}__nd"))
-        else:
-            aggs.append(F.approx_count_distinct(col, distinct_rsd)
-                        .alias(f"{c}__nd"))
-        if isinstance(fields[c], _NUMERIC):
-            aggs.append(F.min(col.cast("double")).alias(f"{c}__min"))
-            aggs.append(F.max(col.cast("double")).alias(f"{c}__max"))
-        else:
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
-        if isinstance(fields[c], _INTEGRAL):
-            aggs.append(F.min(col).cast("long").alias(f"{c}__imin"))
-            aggs.append(F.max(col).cast("long").alias(f"{c}__imax"))
-        else:
-            aggs.append(F.lit(None).cast("long").alias(f"{c}__imin"))
-            aggs.append(F.lit(None).cast("long").alias(f"{c}__imax"))
-        if isinstance(fields[c], T.StringType):
-            aggs.append(F.min(F.length(col)).cast("int").alias(f"{c}__lmin"))
-            aggs.append(F.max(F.length(col)).cast("int").alias(f"{c}__lmax"))
-            bad = F.max((col.contains(enum_sep) | col.contains("\n"))
-                        .cast("int"))
-            aggs.append(F.coalesce(bad, F.lit(0)).alias(f"{c}__sep"))
-        else:
-            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmin"))
-            aggs.append(F.lit(None).cast("int").alias(f"{c}__lmax"))
-            aggs.append(F.lit(1).alias(f"{c}__sep"))
+    aggs = _column_aggs(fields, columns, enum_sep=enum_sep,
+                        distinct=distinct, distinct_rsd=distinct_rsd)
     wide = df.groupBy(unit.alias("unit")).agg(*aggs)
 
     structs = [F.struct(
@@ -388,11 +370,16 @@ def suggest_by_unit(
         ).where(F.col("val").isNotNull())
         # joins are NULL-SAFE on unit: rows whose unit expression is
         # NULL profile under the NULL unit and must keep their enums
-        # (a plain equi-join would silently drop them)
+        # (a plain equi-join would silently drop them).  No broadcast
+        # HINT: the eligibility frame is one row per eligible
+        # (unit, column) and the unit count is unbounded by this
+        # function's own contract — AQE picks broadcast at runtime
+        # whenever it actually fits, and falls back to a shuffle join
+        # when a million-file corpus makes it big.
         e = elig.select(F.col("unit").alias("__eu"),
                         F.col("column").alias("__ec"))
         vals = melted.join(
-            F.broadcast(e),
+            e,
             F.col("unit").eqNullSafe(F.col("__eu"))
             & (F.col("column") == F.col("__ec")),
             "left_semi").distinct()
@@ -419,12 +406,11 @@ def suggest_by_unit(
         ((F.col("n_rows") > 0) & (F.col("n_nulls") == 0)).alias("required"))
 
 
-#: sentinel keys injected into the per-doc key/value stream so ONE
+#: sentinel key injected into the per-doc key/value stream so ONE
 #: exploded scan also yields doc-level counts (NUL-prefixed — no sane
-#: JSON key starts with "\\x00"; a colliding doc still counts once via
-#: its own key, its value stats are simply attributed to the sentinel)
+#: JSON key starts with "\\x00"; see _json_kv_stream for the documented
+#: hostile-collision corner)
 _SENT_DOC = "\x00__doc__"
-_SENT_BAD = "\x00__nonobject__"
 
 #: the fixed JSON-type vocabulary the profiler can observe — per-type MAX
 #: flags in the corpus aggregation (codegen-friendly; no collect_set)
@@ -438,21 +424,35 @@ _JSON_TYPES = ("array", "boolean", "integer", "null", "number", "object",
 #: is_intdec / is_num predicates so mined types agree with validated ones)
 
 
-def _json_kv_stream(df: DataFrame, json_col: str):
-    """(key, v variant) rows — one per key of each JSON-object doc, plus
-    one ``_SENT_DOC`` row per object doc and one ``_SENT_BAD`` row per
-    non-object doc (NULL text, broken syntax, scalar/array root), so a
-    single exploded scan carries both per-key stats and doc counts."""
+def _variant_map(df: DataFrame, json_col: str):
+    """``map<string,variant>`` view of the JSON column — the ONE parse
+    recipe both mining passes share (a drifting copy would let the enum
+    pass profile differently-parsed values than the stats pass)."""
     # last-wins duplicate keys, like the reference's json.loads (same
     # session-wide conf note as jsoncol.validate_json_column)
     df.sparkSession.conf.set("spark.sql.variant.allowDuplicateKeys", "true")
-    m = F.try_variant_get(F.try_parse_json(F.col(json_col)),
-                          "$", "map<string,variant>")
+    return F.try_variant_get(F.try_parse_json(F.col(json_col)),
+                             "$", "map<string,variant>")
+
+
+def _json_kv_stream(df: DataFrame, json_col: str):
+    """(key, v variant) rows — one per key of each JSON-object doc, plus
+    exactly one ``_SENT_DOC`` row per input ROW whose variant VALUE
+    encodes the doc kind (JSON ``null`` = parsed to an object, ``false``
+    = everything else: NULL text, broken syntax, scalar/array root), so
+    a single exploded scan carries both per-key stats and doc counts.
+
+    Reserved-namespace corner (documented, pinned by test): a hostile
+    object doc that itself carries the NUL-prefixed sentinel key is
+    counted by its OWN entry's value (object iff that value is JSON
+    null) and that entry never reaches the profile."""
+    m = _variant_map(df, json_col)
     vnull = F.parse_json(F.lit("null"))
-    aug = (F.when(m.isNotNull() & ~F.map_contains_key(m, _SENT_DOC),
-                  F.map_concat(m, F.create_map(F.lit(_SENT_DOC), vnull)))
-           .when(m.isNotNull(), m)
-           .otherwise(F.create_map(F.lit(_SENT_BAD), vnull)))
+    vfalse = F.parse_json(F.lit("false"))
+    aug = (F.when(m.isNull(), F.create_map(F.lit(_SENT_DOC), vfalse))
+           .when(~F.map_contains_key(m, _SENT_DOC),
+                 F.map_concat(m, F.create_map(F.lit(_SENT_DOC), vnull)))
+           .otherwise(m))
     return df.select(F.explode(aug).alias("key", "v"))
 
 
@@ -517,6 +517,7 @@ def suggest_json_constraints(
     enum_sep: str = ",",
     distinct: str = "approx",
     distinct_rsd: float = 0.05,
+    max_keys: int = 10_000,
 ) -> DataFrame:
     """Mine per-KEY constraints from a dynamic JSON string column — the
     inverse of :func:`~spark_schema_guard.jsoncol.validate_json_column`
@@ -558,11 +559,19 @@ def suggest_json_constraints(
     value pass is a SECOND bounded scan over eligible keys only,
     exactly like :func:`suggest_constraints`; ``distinct="exact"`` is
     the oracle mode, ``"approx"`` (HLL++) the 100-TB mode.
+
+    ``max_keys`` bounds the per-key profile itself: a corpus that uses
+    JSON objects as MAPS (one key per entity id) has data-scale key
+    cardinality, and collecting its profile would be unbounded — the
+    miner fails loudly past the cap (the ``PlanTooLarge`` philosophy)
+    instead of OOMing the driver.
     """
     if distinct not in ("approx", "exact"):
         raise ValueError("distinct must be 'approx' or 'exact'")
     if enum_max < 1:
         raise ValueError("enum_max must be >= 1")
+    if max_keys < 1:
+        raise ValueError("max_keys must be >= 1")
     kv = _json_kv_stream(df, json_col)
     jtype, vnull, is_int, num, lng, s = _variant_exprs()
     nd = (F.count_distinct(s) if distinct == "exact"
@@ -586,13 +595,23 @@ def suggest_json_constraints(
         F.max(F.length(s)).cast("int").alias("max_len"),
         F.coalesce(F.max((s.contains(enum_sep) | s.contains("\n"))
                          .cast("int")), F.lit(0)).alias("sep"),
-    ).collect()  # bounded: one row per distinct key (+2 sentinels)
+    )
+    # the collect is bounded by max_keys, LOUDLY: a corpus that uses
+    # JSON objects as maps (id-keyed entries) has data-scale key
+    # cardinality, and a per-key profile of it is driver-unboundable —
+    # fail like PlanTooLarge instead of OOMing the driver
+    rows_in = grouped.limit(max_keys + 2).collect()
+    if len(rows_in) > max_keys + 1:  # +1: the sentinel key
+        raise ValueError(
+            f"more than max_keys={max_keys} distinct JSON keys — this "
+            "column uses objects as maps, not records; per-key mining "
+            "is not meaningful (raise max_keys, or profile a slice)")
 
-    by_key = {r["key"]: r for r in grouped}
-    n_objects = (by_key.pop(_SENT_DOC)["n_present"]
-                 if _SENT_DOC in by_key else 0)
-    n_nonobject = (by_key.pop(_SENT_BAD)["n_present"]
-                   if _SENT_BAD in by_key else 0)
+    by_key = {r["key"]: r for r in rows_in}
+    sent = by_key.pop(_SENT_DOC, None)
+    n_total = sent["n_present"] if sent is not None else 0
+    n_objects = (sent["n_null"] or 0) if sent is not None else 0
+    n_nonobject = n_total - n_objects
 
     def types_of(r):
         return {tn for tn in _JSON_TYPES if r[f"t_{tn}"]}
@@ -602,18 +621,24 @@ def suggest_json_constraints(
                 and 1 <= r["nd"] <= enum_max and r["sep"] == 0]
     enum_vals: dict[str, str] = {}
     if eligible:
-        # second bounded pass for eligible keys only — map_filter prunes
-        # the map BEFORE the explode so only eligible entries fan out
-        # (measured 5.6s -> 4.9s on the 2M-doc bench leg; the HOF is
-        # fine here: this pass is already CodegenFallback via the
-        # variant expressions)
-        df.sparkSession.conf.set(
-            "spark.sql.variant.allowDuplicateKeys", "true")
-        m = F.try_variant_get(F.try_parse_json(F.col(json_col)),
-                              "$", "map<string,variant>")
-        kv2 = df.select(F.explode(
-            F.map_filter(m, lambda k, _: k.isin(eligible))
-        ).alias("key", "v"))
+        # second bounded pass for eligible keys only.  Few keys: a
+        # map_filter over literal membership prunes the map BEFORE the
+        # explode (measured 5.6s -> 4.9s on the 2M-doc bench leg; the
+        # HOF is fine here — this pass is already CodegenFallback via
+        # the variant expressions).  Many keys: literals would put
+        # O(|eligible|) nodes in the plan (the documented driver-
+        # analysis trap, see similarity._probe_frame), so switch to a
+        # one-node local-relation semi-join over the exploded stream.
+        m = _variant_map(df, json_col)
+        if len(eligible) <= 64:
+            kv2 = df.select(F.explode(
+                F.map_filter(m, lambda k, _: k.isin(eligible))
+            ).alias("key", "v"))
+        else:
+            elig_df = df.sparkSession.createDataFrame(
+                [(k,) for k in eligible], "key string")
+            kv2 = (df.select(F.explode(m).alias("key", "v"))
+                   .join(F.broadcast(elig_df), "key", "left_semi"))
         _, _, _, _, _, s2 = _variant_exprs()
         per_key = (kv2.select("key", s2.alias("val"))
                    .where(F.col("val").isNotNull()).distinct()
@@ -667,12 +692,16 @@ def suggested_json_schema(
     when mixed; ``null`` observed → ``"null"`` joins the list), integer
     keys gain EXACT ``minimum``/``maximum`` (omitted when any value
     exceeded long range — a rounded bound would exclude real data),
-    mixed/float numeric keys gain double bounds (omitted when an
-    integer beyond 2^53 was seen: the double view rounds, and the
-    reference compares exactly), string keys gain
-    ``minLength``/``maxLength`` and — for pure-string low-cardinality
-    keys — ``enum``; keys present in every object doc become
-    ``required``.  ``additional_properties=False`` (default) CLOSES the
+    mixed/float numeric keys gain double bounds (omitted whenever any
+    numeric magnitude exceeds 2^53: past that the double view cannot
+    prove exactness — big integers round, and scale-0 decimal literals
+    type as "number" yet compare exactly in the columnar engine), and
+    boolean-bearing keys get NO bounds at all (both engines bound-check
+    booleans — bool is int in the reference — so a bound mined from the
+    numeric values would reject the snapshot's own ``false``); string
+    keys gain ``minLength``/``maxLength`` and — for pure-string
+    low-cardinality keys — ``enum``; keys present in every object doc
+    become ``required``.  ``additional_properties=False`` (default) CLOSES the
     contract: a future batch with a novel key fails validation, which
     is the drift signal a mined contract is for.
 
@@ -696,17 +725,37 @@ def suggested_json_schema(
             prop["type"] = tnames[0] if len(tnames) == 1 else tnames
         has_int = "integer" in types
         has_frac = "number" in types
-        if has_int and not has_frac:
+        # both engines bound-check BOOLEANS too (bool is int in the
+        # reference, draft04.py minimum's isinstance check; varsql's
+        # is_numlike includes the BOOLEAN tag) — a mined bound computed
+        # only over numeric values would reject a snapshot's own
+        # `false` (0 < minimum), so boolean-bearing keys get no bounds
+        has_bool = "boolean" in types
+        if has_bool:
+            pass
+        elif has_int and not has_frac:
             if r["min_int"] is not None:  # NULL = long overflow: omit
                 prop["minimum"] = int(r["min_int"])
                 prop["maximum"] = int(r["max_int"])
         elif has_frac:
-            # double bounds are exact for doubles; an integer past 2^53
-            # (or past long range entirely) makes them lossy — omit
-            safe = (not has_int
-                    or (r["min_int"] is not None
-                        and -two53 <= r["min_int"] and r["max_int"] <= two53))
-            if safe and r["min_num"] is not None:
+            # double bounds are exact only while every numeric value is
+            # double-representable.  Two lossy corners are omitted
+            # (never rounded): an INTEGER past 2^53 (its exact long is
+            # in min_int/max_int, but the double bound would round),
+            # and any numeric magnitude past 2^53 at all — a scale-0
+            # DECIMAL literal like 1152921504606846977.0 types as
+            # "number" (json.loads parity) yet the columnar engine
+            # compares it EXACTLY on the decimal view (varsql
+            # is_intdec), so a rounded double bound would reject the
+            # snapshot's own value
+            safe_int = (not has_int
+                        or (r["min_int"] is not None
+                            and -two53 <= r["min_int"]
+                            and r["max_int"] <= two53))
+            safe_dbl = (r["min_num"] is not None
+                        and abs(r["min_num"]) <= two53
+                        and abs(r["max_num"]) <= two53)
+            if safe_int and safe_dbl:
                 prop["minimum"] = r["min_num"]
                 prop["maximum"] = r["max_num"]
         if "string" in types and r["min_len"] is not None:

@@ -154,12 +154,64 @@ def test_enum_separator_poisoning_and_nullable(spark):
     assert by2["s"]["enum_vals"] is None
 
 
-def test_sentinel_key_collision_still_counts_once(spark):
+def test_sentinel_key_collision_documented_corner(spark):
+    """The NUL-prefixed sentinel key is a reserved namespace: a hostile
+    doc carrying it is counted by its OWN entry's value (object iff JSON
+    null) and that entry never reaches the profile — exactly one
+    documented corner, no inflation of unrelated counters."""
     docs = ['{"k": 1}', '{"k": 2, "\\u0000__doc__": 9}']
     by = _profile(spark, docs)
-    assert by["k"]["n_objects"] == 2      # both docs counted exactly once
-    assert by["k"]["n_present"] == 2
     assert "\x00__doc__" not in by        # sentinel never leaks
+    assert by["k"]["n_present"] == 2      # real keys fully profiled
+    # the colliding doc's sentinel value (9, not null) buckets it as
+    # non-object — the one documented miscount on the reserved key
+    assert by["k"]["n_objects"] == 1
+    assert by["k"]["n_nonobject"] == 1
+    # a colliding doc whose sentinel value IS null counts as an object
+    by2 = _profile(spark, ['{"k": 1}', '{"k": 2, "\\u0000__doc__": null}'])
+    assert by2["k"]["n_objects"] == 2 and by2["k"]["n_nonobject"] == 0
+
+
+def test_boolean_bearing_key_gets_no_bounds(spark):
+    """Both engines bound-check booleans (bool is int in the reference),
+    so a bound mined over the numeric values alone would reject the
+    snapshot's own `false` — boolean-bearing keys must omit bounds."""
+    docs = ['{"x": false}', '{"x": 5}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    assert mined["properties"]["x"]["type"] == ["boolean", "integer"]
+    assert "minimum" not in mined["properties"]["x"]
+    for engine in ("columnar", "python"):
+        out = validate_json_column(df, "doc", mined, engine=engine)
+        assert out.where(~F.col("verdict")).count() == 0, engine
+
+
+def test_integral_decimal_number_past_2_53_omits_double_bounds(spark):
+    """A scale-0 decimal literal past 2^53 types as "number"
+    (json.loads parity) but the columnar engine compares it EXACTLY on
+    the decimal view — a rounded double bound would reject the
+    snapshot's own value, so bounds must be omitted."""
+    v = (1 << 60) + 1
+    docs = ['{"x": %d.0}' % v, '{"x": 0.5}']
+    by = _profile(spark, docs)
+    assert by["x"]["json_types"] == "number"
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    mined = suggested_json_schema(df, "doc", distinct="exact")
+    assert "minimum" not in mined["properties"]["x"]
+    out = validate_json_column(df, "doc", mined, engine="columnar")
+    assert out.where(~F.col("verdict")).count() == 0
+
+
+def test_max_keys_guard_fails_loudly(spark):
+    """A map-shaped JSON column (one key per entity) must fail loudly
+    instead of collecting an unbounded per-key profile."""
+    df = spark.createDataFrame(
+        [('{"item_%d": 1}' % i,) for i in range(40)], "doc string")
+    with pytest.raises(ValueError, match="max_keys"):
+        suggest_json_constraints(df, "doc", max_keys=10)
+    # at or under the cap: fine
+    prof = suggest_json_constraints(df, "doc", max_keys=40)
+    assert prof.count() == 40
 
 
 def test_empty_and_nonobject_only(spark):
@@ -260,3 +312,17 @@ def test_suggest_by_unit_hand_computed(spark):
                                     distinct="exact").collect()}
     assert by2[("a", "s")]["enum_vals"] is None
     assert by2[("b", "s")]["enum_vals"] == "only"
+
+
+def test_enum_pass_many_eligible_keys_uses_local_relation(spark):
+    """Past 64 eligible keys the enum pass must not inline a literal
+    per key (O(n) plan nodes — the documented driver-analysis trap);
+    the local-relation semi-join path returns identical enums."""
+    df = spark.createDataFrame(
+        [('{"k%03d": "v%d"}' % (i, i % 3),) for i in range(100)],
+        "doc string")
+    prof = {r["key"]: r for r in
+            suggest_json_constraints(df, "doc", distinct="exact").collect()}
+    assert len(prof) == 100
+    assert prof["k007"]["enum_vals"] == "v1"
+    assert all(r["enum_vals"] is not None for r in prof.values())
