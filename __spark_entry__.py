@@ -765,6 +765,20 @@ def q_sample_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", F.col("tokens").cast("int").alias("tokens"))
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (XLM-R-style): per-lang quotas
+    proportional to n_lang**0.5, selection in (md5(id), id) order.  The
+    oracle recomputes the quota arithmetic (sqrt is correctly rounded
+    IEEE in both engines; the float sum runs in sorted-lang order on
+    both sides) and replays the selection with a per-lang row_number
+    window."""
+    from spark_schema_guard.operators import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(docs, "doc_id", "lang", 200, tau=0.5) \
+        .select("doc_id", "lang")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvecs = {r["vec_id"]: r["embedding"]
@@ -850,6 +864,20 @@ def q_text_fingerprints(spark, sf_dir):
 def q_text_repetition(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return repetition_features(docs, "doc_id", "text", ns=(2, 3))
+
+
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style hard quality gates (word-count window, mean word
+    length, symbol ratio, alphabetic fraction, stopword presence,
+    bullet/ellipsis lines): per-rule booleans + composite keep.
+    min_stop_hits=1 and max_word_len=4.6 so the stopword and word-length
+    rules actually vary on the synthetic corpus (its docs rarely carry
+    2+ Gopher stopwords and average ~4.6 chars/word)."""
+    from spark_schema_guard.operators.textstats import gopher_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text", min_stop_hits=1,
+                        max_word_len=4.6)
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1143,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_skew": q_web_domain_skew,
         "sample_mix": q_sample_mix,
         "sample_token_budget": q_sample_token_budget,
+        "sample_temperature": q_sample_temperature,
         "sample_splits": q_sample_splits,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dups": q_ann_near_dups,
@@ -1152,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
+        "text_gopher": q_text_gopher,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
@@ -2386,6 +2416,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(tokens AS INT) AS tokens
             FROM c WHERE cum - tokens < b
         """,
+        # quota arithmetic mirrors temperature_mix exactly: power(n, tau)
+        # matches Python's n ** tau bit-for-bit (both libm pow), the
+        # float sum runs in sorted-lang order on both sides (list_sum
+        # over an ORDER BY lang list vs a sorted() Python loop), and
+        # ceil/least close over identical doubles
+        "sample_temperature": """
+            WITH src AS (
+              SELECT doc_id, lang FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+            ), counts AS (
+              SELECT lang, COUNT(*) AS n FROM src GROUP BY lang
+            ), denom AS (
+              SELECT list_sum(list(power(CAST(n AS DOUBLE), 0.5)
+                                   ORDER BY lang)) AS d
+              FROM counts
+            ), quotas AS (
+              SELECT lang,
+                     least(n, CAST(ceil(200 * power(CAST(n AS DOUBLE), 0.5)
+                                        / d) AS BIGINT)) AS q
+              FROM counts, denom
+            ), ranked AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+                                doc_id) AS rn
+              FROM src
+            )
+            SELECT r.doc_id, r.lang
+            FROM ranked r JOIN quotas USING (lang) WHERE rn <= q
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -2439,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality": _text_quality_sql(),
+        "text_gopher": _text_gopher_sql(),
         "text_repetition": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -2863,6 +2925,71 @@ def _text_quality_sql() -> str:
                                       ELSE 0.0 END) * 5.0, 1.0)) * 0.15
                , 4) AS quality_score
         FROM base
+    """
+
+
+def _text_gopher_sql(min_stop_hits: int = 1,
+                     max_word_len: float = 4.6) -> str:
+    from spark_schema_guard.operators.textstats import GOPHER_STOPWORDS
+
+    stop_terms = " + ".join(
+        f"CAST(list_contains(tl, '{w}') AS INT)" for w in GOPHER_STOPWORDS)
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS tl,
+                 string_split(text, chr(10)) AS lines,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens
+          FROM documents
+        ), base AS (
+          SELECT doc_id, n_tokens,
+                 length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                 len(regexp_extract_all(text, '#|\.\.\.|…')) AS symbol_hits,
+                 len(list_filter(tl, t -> regexp_matches(t, '\p{{L}}')))
+                   AS alpha_hits,
+                 {stop_terms} AS stop_hits,
+                 len(list_filter(lines,
+                     l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                   AS bullet,
+                 len(list_filter(lines,
+                     l -> ends_with(rtrim(l), '...')
+                          OR ends_with(rtrim(l), '…'))) AS ellip,
+                 len(lines) AS n_lines
+          FROM toks
+        ), vals AS (
+          SELECT doc_id, n_tokens, stop_hits,
+                 CASE WHEN n_tokens > 0 THEN nonspace * 1.0 / n_tokens
+                      ELSE 0.0 END AS mean_wl,
+                 CASE WHEN n_tokens > 0 THEN symbol_hits * 1.0 / n_tokens
+                      ELSE 0.0 END AS sym_r,
+                 CASE WHEN n_tokens > 0 THEN alpha_hits * 1.0 / n_tokens
+                      ELSE 0.0 END AS alpha_f,
+                 bullet * 1.0 / n_lines AS bullet_f,
+                 ellip * 1.0 / n_lines AS ellip_f
+          FROM base
+        )
+        SELECT doc_id, n_tokens,
+               round(mean_wl, 4) AS mean_word_len,
+               round(sym_r, 4) AS symbol_ratio,
+               round(alpha_f, 4) AS alpha_frac,
+               stop_hits AS n_stop_hits,
+               round(bullet_f, 4) AS bullet_frac,
+               round(ellip_f, 4) AS ellipsis_frac,
+               (n_tokens >= 50 AND n_tokens <= 100000) AS r_tokens,
+               (mean_wl >= 3.0 AND mean_wl <= {max_word_len}) AS r_word_len,
+               (sym_r <= 0.1) AS r_symbol,
+               (alpha_f >= 0.8) AS r_alpha,
+               (stop_hits >= {min_stop_hits}) AS r_stop,
+               (bullet_f <= 0.9) AS r_bullet,
+               (ellip_f <= 0.3) AS r_ellipsis,
+               ((n_tokens >= 50 AND n_tokens <= 100000)
+                AND (mean_wl >= 3.0 AND mean_wl <= {max_word_len})
+                AND (sym_r <= 0.1) AND (alpha_f >= 0.8)
+                AND (stop_hits >= {min_stop_hits})
+                AND (bullet_f <= 0.9) AND (ellip_f <= 0.3)) AS keep
+        FROM vals
     """
 
 

@@ -213,6 +213,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             budgets={}, default_budget=max(1, n_base * 5)).count()
 
     timed("sample_token_budget", token_budget)
+    from spark_schema_guard.operators import temperature_mix
+    timed("sample_temperature", lambda: temperature_mix(
+        docs, "doc_id", "lang", n_base // 3, tau=0.5).count())
     qvecs = [(r["vec_id"], r["embedding"])
              for r in emb.where(F.col("vec_id") < 3).collect()]
     timed("ann_topk", lambda: cosine_topk(
@@ -231,6 +234,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         docs, "doc_id", "text", bits=32, max_hamming=3).count())
     timed("text_quality", lambda: quality_features(docs, "doc_id", "text").agg(
         F.sum("quality_score")).collect())
+    from spark_schema_guard.operators.textstats import gopher_rules
+    # consumer sums every signal + flag: a bare count() would let
+    # Catalyst prune the rule expressions under test
+    timed("text_gopher", lambda: gopher_rules(docs, "doc_id", "text").agg(
+        F.sum("mean_word_len"), F.sum("symbol_ratio"), F.sum("alpha_frac"),
+        F.sum("bullet_frac"), F.sum("ellipsis_frac"),
+        F.sum(F.col("n_stop_hits").cast("long")),
+        F.sum(F.col("keep").cast("long"))).collect())
     from spark_schema_guard.operators import ngram_decontaminate
     from spark_schema_guard.operators.textstats import repetition_features
     timed("text_repetition", lambda: repetition_features(

@@ -5,7 +5,7 @@ from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
 from .sampling import (assign_splits, downsample, stratified_sample,
-                       take_token_budget)
+                       take_token_budget, temperature_mix)
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
@@ -34,6 +34,7 @@ __all__ = [
     "downsample",
     "stratified_sample",
     "take_token_budget",
+    "temperature_mix",
     "duplicate_urls_normalized",
     "normalize_url",
     "ngram_decontaminate",

@@ -163,6 +163,62 @@ def assign_splits(
                           F.lit(None).cast("string")).otherwise(expr))
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    total_docs: int,
+    *,
+    tau: float = 0.5,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Temperature-scaled source mixing: select ~``total_docs`` rows
+    with per-source quotas proportional to ``n_s ** tau`` — the
+    multilingual-LM sampling scheme (XLM-R, Conneau et al. 2019 §3.1;
+    mT5) that upweights low-resource sources as ``tau`` drops below 1
+    (``tau=1`` is proportional sampling, ``tau=0`` equal shares).
+
+    Quota math (driver-side, one bounded count per source):
+    ``q_s = min(n_s, ceil(total_docs * n_s**tau / Σ_t n_t**tau))`` —
+    the ceil keeps every non-empty source represented; the cap means a
+    small source that cannot fill its boosted share UNDER-fills the
+    total rather than silently re-weighting the rest (re-normalize and
+    re-run with a larger budget if exact totals matter).  Selection
+    within a source is the engine-portable ``(md5(id), id)`` prefix —
+    the same deterministic order every sampler here uses — via
+    :func:`take_token_budget` with unit weights, which keeps the
+    two-stage bucket-prefix shape (no full per-source sort at scale).
+
+    NULL ids and NULL sources cannot be ordered/bucketed
+    deterministically and are excluded (the module-wide NULL policy).
+    The per-source count collect is bounded by the source vocabulary
+    (a plan-scale quantity, same adaptivity contract as
+    ``stratified_sample(mode="exact")``).
+    """
+    if total_docs < 0:
+        raise ValueError("total_docs must be >= 0")
+    if tau < 0:
+        raise ValueError("tau must be >= 0 (1 = proportional, 0 = equal)")
+    counts = {r["s"]: r["n"] for r in
+              df.where(F.col(source_col).isNotNull())
+              .groupBy(F.col(source_col).alias("s"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return df.where(F.lit(False))
+    # sum in sorted-source order so an SQL oracle can reproduce the
+    # float sum exactly (list_sum over an ORDER BY source list)
+    denom = 0.0
+    for s in sorted(counts):
+        denom += counts[s] ** tau
+    quotas = {s: min(n, math.ceil(total_docs * (n ** tau) / denom))
+              for s, n in counts.items()}
+    out = take_token_budget(
+        df.withColumn("__one", F.lit(1)), id_col, "__one",
+        strata_col=source_col, budgets=quotas, default_budget=0,
+        bucket_hex=bucket_hex)
+    return out.drop("__one")
+
+
 def take_token_budget(
     df: DataFrame,
     id_col: str,

@@ -335,6 +335,97 @@ PII_PATTERNS = {
 }
 
 
+# the Gopher repetition/quality paper's "must contain >= 2 of" word set
+# (Rae et al. 2021, "Scaling Language Models", table A1 filter 8)
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str, *,
+                 min_tokens: int = 50, max_tokens: int = 100_000,
+                 min_word_len: float = 3.0, max_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3) -> DataFrame:
+    """Gopher-style document quality RULES (Rae et al. 2021, table A1):
+    one boolean per rule plus the composite ``keep`` verdict, alongside
+    the measured signals the rules threshold — the standard web-corpus
+    pre-filter stage (word-count window, mean word length window,
+    symbol-to-word ratio, alphabetic-word fraction, required stopwords,
+    bullet/ellipsis line fractions).
+
+    Unlike :func:`quality_features` (a soft 0-1 score), these are the
+    hard accept/reject gates a training pipeline applies first.  All
+    signals are engine-portable expressions (same regexes run under
+    Java regex and RE2), and every flag thresholds the UNROUNDED
+    value — the reported ratio columns are rounded to 4 decimals for
+    stable cross-engine hashing only.
+
+    NULL text yields NULL signals and a NULL ``keep`` (filter or fill
+    upstream — same policy as the dedup operators).
+
+    Scale shape: pure per-doc Column projection over the scan — zero
+    shuffle, no corpus state; the array lambdas run per doc on its own
+    tokens/lines (bounded by doc length).  The reference engine has no
+    corpus operators; this extends the web-pipeline family
+    (SURVEY.md §2 extensions).
+    """
+    text = F.col(text_col)
+    n_tokens = token_count(text)
+    toks = _tokens(F.lower(text))
+    # exact mean word length: non-whitespace chars / tokens (one
+    # regexp_replace scan; quality_features' (n_chars-(n-1))/n variant
+    # assumes single spaces and is kept there for continuity)
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = F.when(n_tokens > 0, nonspace / n_tokens).otherwise(F.lit(0.0))
+    symbol_hits = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.when(n_tokens > 0,
+                          symbol_hits / n_tokens).otherwise(F.lit(0.0))
+    alpha_hits = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    alpha_frac = F.when(n_tokens > 0,
+                        alpha_hits / n_tokens).otherwise(F.lit(0.0))
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.array_contains(toks, w).cast("int")
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda line: F.substring(F.ltrim(line), 1, 1)
+        .isin("-", "*", "•")))
+    ellip = F.size(F.filter(
+        lines, lambda line: F.rtrim(line).endswith("...")
+        | F.rtrim(line).endswith("…")))
+    bullet_frac = bullet / n_lines
+    ellipsis_frac = ellip / n_lines
+    r_tokens = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    r_word_len = (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    r_bullet = bullet_frac <= max_bullet_frac
+    r_ellipsis = ellipsis_frac <= max_ellipsis_frac
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("n_stop_hits"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        r_tokens.alias("r_tokens"),
+        r_word_len.alias("r_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        (r_tokens & r_word_len & r_symbol & r_alpha & r_stop
+         & r_bullet & r_ellipsis).alias("keep"),
+    )
+
+
 def pii_features(df: DataFrame, id_col: str, text_col: str, *,
                  redact: bool = False,
                  patterns: dict[str, str] | None = None) -> DataFrame:

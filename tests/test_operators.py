@@ -1414,3 +1414,86 @@ def test_extraction_custom_extractor_and_no_tags_in_testdata(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert docs.where(F.col("text").contains("<")).count() == 0
+
+
+def test_gopher_rules(spark):
+    from spark_schema_guard.operators.textstats import gopher_rules
+
+    good = " ".join(["the cat and dog have fun with all of that stuff"] * 6)
+    symbols = "### ### ... " + "w " * 60
+    bullets = "\n".join(["- item one", "- item two", "* item three",
+                         "• item four"])
+    ellipsis = "this line ends...\nanother one…\nplain line"
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text only"), (3, symbols),
+         (4, bullets), (5, ""), (6, ellipsis)],
+        "doc_id int, text string")
+    g = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+
+    # 66 tokens, mean 222/66 chars, 6 distinct Gopher stopwords -> keep
+    assert g[1]["n_tokens"] == 66 and g[1]["n_stop_hits"] == 6
+    assert abs(g[1]["mean_word_len"] - round(222 / 66, 4)) < 1e-9
+    assert g[1]["keep"] is True
+    # too short
+    assert g[2]["r_tokens"] is False and g[2]["keep"] is False
+    # 7 symbol hits (six '#', one '...') / 63 tokens > 0.1
+    assert g[3]["r_symbol"] is False
+    assert abs(g[3]["symbol_ratio"] - round(7 / 63, 4)) < 1e-9
+    # every line bullet-started -> fraction 1.0 > 0.9
+    assert g[4]["bullet_frac"] == 1.0 and g[4]["r_bullet"] is False
+    # blank text: zero tokens, zero ratios, rejected
+    assert g[5]["n_tokens"] == 0 and g[5]["alpha_frac"] == 0.0
+    assert g[5]["keep"] is False
+    # 2 of 3 lines end with an ellipsis -> fraction > 0.3
+    assert abs(g[6]["ellipsis_frac"] - round(2 / 3, 4)) < 1e-9
+    assert g[6]["r_ellipsis"] is False
+    # thresholds are honored
+    loose = {r["doc_id"]: r for r in gopher_rules(
+        df, "doc_id", "text", min_tokens=1, min_stop_hits=0,
+        max_bullet_frac=1.0, max_ellipsis_frac=1.0,
+        max_symbol_ratio=1.0, min_word_len=0.0, min_alpha_frac=0.0).collect()}
+    assert loose[4]["keep"] is True and loose[6]["keep"] is True
+
+
+def test_temperature_mix(spark, sf_dir):
+    import math
+
+    from spark_schema_guard.operators import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tau, total = 0.5, 200
+    denom = 0.0
+    for s in sorted(counts):
+        denom += counts[s] ** tau
+    expect = {s: min(n, math.ceil(total * (n ** tau) / denom))
+              for s, n in counts.items()}
+
+    out = temperature_mix(docs, "doc_id", "lang", total, tau=tau)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect
+    # temperature upweights low-resource langs vs proportional (tau=1)
+    prop = {r["lang"]: r["n"] for r in
+            temperature_mix(docs, "doc_id", "lang", total, tau=1.0)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    assert got[small] >= prop[small] and got[big] <= prop[big]
+    # layout-deterministic selection
+    again = temperature_mix(docs.repartition(7), "doc_id", "lang", total,
+                            tau=tau)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    # NULL sources are excluded; zero budget selects nothing
+    with_null = docs.unionByName(
+        docs.limit(1).withColumn("lang", F.lit(None).cast("string")))
+    assert temperature_mix(with_null, "doc_id", "lang", total,
+                           tau=tau).where(F.col("lang").isNull()).count() == 0
+    assert temperature_mix(docs, "doc_id", "lang", 0).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "doc_id", "lang", -1)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "doc_id", "lang", 10, tau=-0.1)
