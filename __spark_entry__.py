@@ -880,6 +880,57 @@ def q_text_gopher(spark, sf_dir):
                         max_word_len=4.6)
 
 
+def q_text_c4(spark, sf_dir):
+    """C4-style line cleaning over the lined corpus (the dedup_lines
+    construction, un-doubled): keep lines ending in a terminator with
+    >= 5 words and no 'spark' token; drop pages containing the
+    blocklist word 'customer' (standing in for C4's bad-words page
+    filter) or with < 2 surviving lines.  The synthetic corpus has no
+    punctuation, so the gate's terminators are the common final LETTERS
+    of its vocabulary — the parametrization, not the defaults, is what
+    the cross-engine replay pins."""
+    from spark_schema_guard.operators.textstats import c4_rules
+    from spark_schema_guard.webgen import lined_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = lined_docs(docs).where(F.col("doc_id") < 100000)
+    return c4_rules(lined, "doc_id", "text",
+                    terminators=("n", "e", "t", "w", "a"),
+                    min_words_per_line=5, min_kept_lines=2,
+                    line_drop_tokens=("spark",),
+                    page_drop_phrases=("customer",))
+
+
+def q_text_dup_lines(spark, sf_dir):
+    """Within-document duplicate-line fractions (Gopher table A1
+    filters 1-4) over a 2-token lined corpus — 2-token lines repeat
+    often enough on the synthetic vocabulary that ~36% of docs carry at
+    least one within-doc duplicate line, so both fractions vary."""
+    from spark_schema_guard.operators.textstats import dup_line_features
+    from spark_schema_guard.webgen import lined_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    lined = lined_docs(docs, chunk_tokens=2).where(F.col("doc_id") < 100000)
+    return dup_line_features(lined, "doc_id", "text")
+
+
+def q_sample_domain_cap(spark, sf_dir):
+    """Per-domain document cap over the web table (<= 20 pages per
+    domain in (md5(url), url) order) — bounds the 20%-hot domain to the
+    same contribution as any other host.  Output is (url, domain) only:
+    the planted duplicate urls share a selection key, so which COPY
+    wins at a cap boundary is tie-arbitrary but the emitted values are
+    identical either way."""
+    from spark_schema_guard.operators import cap_per_stratum
+
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    capped = cap_per_stratum(
+        web.withColumn("domain",
+                       F.regexp_extract("url", r"^https://([^/]+)/", 1)),
+        "url", "domain", 20)
+    return capped.select("url", "domain")
+
+
 def q_decontaminate(spark, sf_dir):
     # benchmark corpus = a deterministic slice of the same table (docs
     # whose id is divisible by 97); n=4 so the sf0.01 gate exercises
@@ -1182,6 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_gopher": q_text_gopher,
+        "text_c4": q_text_c4,
+        "text_dup_lines": q_text_dup_lines,
+        "sample_domain_cap": q_sample_domain_cap,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
@@ -2501,6 +2555,110 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _text_quality_sql(),
         "text_gopher": _text_gopher_sql(),
+        # the lined CTE is byte-identical to dedup_lines' (same
+        # lined_docs construction), just never doubled
+        "text_c4": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ), ids AS (
+              SELECT doc_id, t,
+                     CAST(ceil(greatest(n, 1) / 8.0) AS INT) AS n_chunks
+              FROM toks WHERE n > 0
+            ), chunks AS (
+              SELECT doc_id, g AS chunk_id,
+                     array_to_string(t[g*8+1 : g*8+8], ' ') AS line
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, n_chunks - 1)) AS g
+                    FROM ids)
+            ), lined AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY chunk_id)
+                       AS text
+              FROM chunks GROUP BY doc_id
+            ), f AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              FROM lined
+            ), k AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     list_filter(lines, l ->
+                       right(rtrim(l), 1) IN ('n', 'e', 't', 'w', 'a')
+                       AND (CASE WHEN length(trim(l)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(l), '\s+'))
+                            END) >= 5
+                       AND NOT contains(lower(l), 'spark')) AS kept,
+                     contains(lower(text), 'customer') AS has_drop_phrase
+              FROM f
+            )
+            SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   -- array_to_string([]) is NULL in DuckDB but '' in
+                   -- Spark's array_join
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS clean_text,
+                   has_drop_phrase,
+                   (len(kept) >= 2 AND NOT has_drop_phrase) AS keep
+            FROM k
+        """,
+        "text_dup_lines": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS t,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ), ids AS (
+              SELECT doc_id, t,
+                     CAST(ceil(greatest(n, 1) / 2.0) AS INT) AS n_chunks
+              FROM toks WHERE n > 0
+            ), chunks AS (
+              SELECT doc_id, g AS chunk_id,
+                     array_to_string(t[g*2+1 : g*2+2], ' ') AS line
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, n_chunks - 1)) AS g
+                    FROM ids)
+            ), lined AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY chunk_id)
+                       AS text
+              FROM chunks GROUP BY doc_id
+            ), l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM lined
+            ), c AS (
+              SELECT doc_id, line, count(*) AS cnt
+              FROM l GROUP BY doc_id, line
+            ), d AS (
+              SELECT doc_id, sum(cnt) AS n, sum(cnt - 1) AS dup,
+                     sum(cnt * length(line)) AS chars,
+                     sum((cnt - 1) * length(line)) AS dupchars
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+                   round(dup * 1.0 / n, 4) AS dup_line_frac,
+                   round(CASE WHEN chars > 0 THEN dupchars * 1.0 / chars
+                              ELSE 0.0 END, 4) AS dup_line_char_frac
+            FROM d
+        """,
+        "sample_domain_cap": f"""
+            WITH {WEB_CTE}, d AS (
+              SELECT url,
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS domain
+              FROM web
+            ), r AS (
+              SELECT url, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY substr(md5(url), 1, 15), url) AS rn
+              FROM d
+            )
+            SELECT url, domain FROM r WHERE rn <= 20
+        """,
         "text_repetition": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -264,6 +264,37 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum(F.length("text"))).collect()
 
     timed("dedup_lines", lines_leg)
+    from spark_schema_guard.operators.textstats import c4_rules
+
+    def c4_leg():
+        # same lined corpus as dedup_lines; consumer sums every signal
+        # so Catalyst cannot prune the line filter under test
+        from spark_schema_guard.webgen import lined_docs
+        return c4_rules(lined_docs(docs, shift=10 ** 6), "doc_id", "text",
+                        terminators=("n", "e", "t", "w", "a"),
+                        line_drop_tokens=("spark",),
+                        page_drop_phrases=("customer",)).agg(
+            F.sum("n_lines"), F.sum("n_kept"), F.sum(F.length("clean_text")),
+            F.sum(F.col("has_drop_phrase").cast("long")),
+            F.sum(F.col("keep").cast("long"))).collect()
+
+    timed("text_c4", c4_leg)
+    from spark_schema_guard.operators.textstats import dup_line_features
+
+    def dup_lines_leg():
+        from spark_schema_guard.webgen import lined_docs
+        return dup_line_features(
+            lined_docs(docs, chunk_tokens=2, shift=10 ** 6),
+            "doc_id", "text").agg(
+            F.sum("n_lines"), F.sum("dup_line_frac"),
+            F.sum("dup_line_char_frac")).collect()
+
+    timed("text_dup_lines", dup_lines_leg)
+    from spark_schema_guard.operators import cap_per_stratum
+    timed("sample_domain_cap", lambda: cap_per_stratum(
+        web.withColumn("domain", F.regexp_extract(
+            "url", r"^https://([^/]+)/", 1)),
+        "url", "domain", max(1, n_docs // 500)).count())
     from spark_schema_guard.operators.dedup import (dedup_against_index,
                                                     minhash_band_index)
 

@@ -8,13 +8,14 @@ Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
 1. schema validation  — compiled plan, verdict + violations columns;
                         html->text extraction byte-identity check
 2. quality gates      — per-column stats, url uniqueness, lang drift,
-                        repetition signals, benchmark decontamination,
-                        PII scan
-3. dedup              — MinHash LSH candidates -> exact-Jaccard VERIFY
-                        stage -> connected components -> keep the
-                        highest-quality doc per cluster
-4. data mixing        — deterministic per-lang sampling + per-lang
-                        token budgets
+                        repetition signals, Gopher/C4 rule gates,
+                        benchmark decontamination, PII scan
+3. dedup              — hot-domain cap -> MinHash LSH candidates ->
+                        exact-Jaccard VERIFY stage -> connected
+                        components -> keep the highest-quality doc per
+                        cluster
+4. data mixing        — deterministic per-lang sampling, temperature
+                        mixing diagnostic + per-lang token budgets
 5. chunk + audited write — 256-token training windows; clean corpus +
                         violation rows + per-file audit metrics
                         (resumable: re-running skips completed input
@@ -106,6 +107,19 @@ def main():
     repetitive = rep.where(F.col("top2gram_frac") > 0.5)
     report["repetition_gate"] = {"flagged": repetitive.count()}
 
+    # hard quality gates: Gopher's document rules and C4's line rules
+    # (thresholds tuned to the synthetic corpus, as in the gate queries;
+    # a real crawl uses the paper defaults)
+    from spark_schema_guard.operators.textstats import c4_rules, gopher_rules
+    gop = gopher_rules(web, "doc_id", "text", min_stop_hits=1,
+                       max_word_len=4.6)
+    report["gopher_gate"] = {"rejected": gop.where(~F.col("keep")).count()}
+    c4 = c4_rules(web, "doc_id", "text",
+                  terminators=("n", "e", "t", "w", "a"),
+                  line_drop_tokens=("spark",),
+                  page_drop_phrases=("customer",), min_kept_lines=1)
+    report["c4_gate"] = {"rejected": c4.where(~F.col("keep")).count()}
+
     # benchmark decontamination: quarantine pages sharing 8-grams with
     # the held-out eval slice (demo bench = deterministic doc_id slice)
     bench = web.where(F.col("doc_id") % 97 == 0)
@@ -125,6 +139,17 @@ def main():
               "doc_id", "left_semi") \
         .join(pii.select("doc_id", "redacted"), "doc_id") \
         .withColumn("text", F.coalesce("redacted", "text")).drop("redacted")
+    # hot-domain cap: no single host contributes more than 50 pages
+    # (md5-deterministic pick) — bounds the planted 20% hot domain
+    # before the shuffle-heavy dedup stages see the skew
+    from spark_schema_guard.operators import cap_per_stratum
+    capped = cap_per_stratum(
+        clean.withColumn(
+            "domain", F.regexp_extract("url", r"^https://([^/]+)/", 1)),
+        "doc_id", "domain", 50).drop("domain")
+    report["domain_cap"] = {"before": clean.count(),
+                            "after": capped.count()}
+    clean = capped
     edges = minhash_candidates(clean, "doc_id", "text",
                                num_hashes=8, bands=4, shingle_k=8)
     # VERIFY stage: LSH candidates are probabilistic — keep only pairs
@@ -167,6 +192,14 @@ def main():
     report["mix"] = {r["lang"]: r["n"] for r in
                      mixed.groupBy("lang").agg(
                          F.count(F.lit(1)).alias("n")).collect()}
+    # temperature mixing diagnostic (n^0.3): what the per-lang mix looks
+    # like when low-resource langs are upweighted XLM-R-style
+    from spark_schema_guard.operators import temperature_mix
+    report["temperature_mix"] = {
+        r["lang"]: r["n"] for r in
+        temperature_mix(deduped, "doc_id", "lang", 200, tau=0.3)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
     # cap every language at a token budget (deterministic md5 order):
     # the "mix to N tokens per source" step of a real training run
     mixed = take_token_budget(

@@ -4,8 +4,9 @@ from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
-from .sampling import (assign_splits, downsample, stratified_sample,
-                       take_token_budget, temperature_mix)
+from .sampling import (assign_splits, cap_per_stratum, downsample,
+                       stratified_sample, take_token_budget,
+                       temperature_mix)
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
@@ -31,6 +32,7 @@ __all__ = [
     "ks_drift",
     "psi_by_unit",
     "assign_splits",
+    "cap_per_stratum",
     "downsample",
     "stratified_sample",
     "take_token_budget",

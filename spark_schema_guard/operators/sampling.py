@@ -219,6 +219,46 @@ def temperature_mix(
     return out.drop("__one")
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    cap: int,
+    *,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum in the engine-portable
+    ``(md5(id), id)`` order — the per-domain document cap of a crawl
+    curation pipeline (bound how much any one host contributes to the
+    corpus, the standard hot-domain defense alongside the salted
+    uniqueness check).
+
+    A semantic wrapper over :func:`take_token_budget` with unit
+    weights: with every row costing 1 token and every stratum budgeted
+    ``cap``, "keep while the running total of preceding kept rows is
+    below budget" is exactly "keep the first ``cap`` rows per stratum".
+    That inherits the two-stage bucket-prefix shape: per-stratum bucket
+    counts -> driver boundary lookup -> row-level window ONLY over each
+    stratum's boundary bucket, so a hot domain with 20% of the corpus
+    never funnels through one sort — the exact skew this cap exists to
+    contain.  Raise ``bucket_hex`` as corpus/cap grow so the boundary
+    slice stays small.
+
+    NULL ids are excluded (cannot be ordered deterministically); a NULL
+    stratum is its own capped group (unlike :func:`temperature_mix`,
+    which must EXCLUDE null sources because they have no quota weight —
+    a cap needs none).  The DuckDB oracle replays the selection with a
+    per-stratum ``row_number`` window over the same md5-prefix order.
+    """
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    out = take_token_budget(
+        df.withColumn("__one", F.lit(1)), id_col, "__one",
+        strata_col=strata_col, budgets={}, default_budget=int(cap),
+        bucket_hex=bucket_hex)
+    return out.drop("__one")
+
+
 def take_token_budget(
     df: DataFrame,
     id_col: str,

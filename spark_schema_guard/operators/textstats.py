@@ -207,6 +207,55 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str,
         .join(per_doc, id_col, "left").select(*out_cols)
 
 
+def dup_line_features(df: DataFrame, id_col: str, text_col: str, *,
+                      sep: str = r"\n") -> DataFrame:
+    """Gopher's within-document duplicate-LINE signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 filters 1-4, complementing
+    :func:`repetition_features`' n-gram filters 5-10): per document, the
+    fraction of lines that are repeats of an identical earlier line in
+    the SAME document (``dup_line_frac``) and the fraction of line
+    characters sitting inside those repeats (``dup_line_char_frac``).
+    Run again with ``sep=r"\\n\\n"`` for the paragraph variants (the
+    output column names stay ``*_line_*`` — alias at the call site).
+
+    Returns ``(id, n_lines, dup_line_frac, dup_line_char_frac)``;
+    fractions are rounded to 4 decimals for stable cross-engine hashing
+    (thresholds in a filter should recompute from raw counts if exact
+    cutoffs matter).  NULL text yields NULL signals (explode drops the
+    row; the left join brings it back with NULL aggregates — the
+    module-wide NULL policy).  Empty lines count as lines, matching the
+    paper's "fraction of lines" denominator.
+
+    Scale shape: one explode of the per-doc line array -> groupBy
+    ``(id, line)`` with map-side partial aggregation -> per-doc rollup
+    (rows = distinct lines per doc) -> broadcast-eligible join back to
+    ids.  No window, no corpus-wide state; a single giant document
+    costs only its own line count.  Same shape as
+    ``repetition_features`` — the A/B-measured explode+groupBy winner
+    over array-fold HOFs (SCALE.md dedup section).
+    """
+    lines = F.split(F.col(text_col), sep)
+    base = df.select(F.col(id_col), F.explode(lines).alias("__line"))
+    counts = base.groupBy(id_col, "__line") \
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    chars = F.length("__line").cast("long")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("__n"),
+        F.sum(F.col("__cnt") - 1).alias("__dup"),
+        F.sum(F.col("__cnt") * chars).alias("__chars"),
+        F.sum((F.col("__cnt") - 1) * chars).alias("__dupchars"))
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("__n").alias("n_lines"),
+        F.round(F.col("__dup") / F.col("__n"), 4).alias("dup_line_frac"),
+        # all-empty lines have zero chars: 0/0 -> defined as 0.0
+        F.round(F.when(F.col("__chars") > 0,
+                       F.col("__dupchars") / F.col("__chars"))
+                .otherwise(F.when(F.col("__n").isNotNull(), F.lit(0.0))),
+                4).alias("dup_line_char_frac"),
+    )
+
+
 def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-frequency language id: the language whose marker words hit
     most often; deterministic tie-break by language code."""
@@ -423,6 +472,80 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str, *,
         r_ellipsis.alias("r_ellipsis"),
         (r_tokens & r_word_len & r_symbol & r_alpha & r_stop
          & r_bullet & r_ellipsis).alias("keep"),
+    )
+
+
+# C4's line-keep terminators (Raffel et al. 2020 §2.2: lines are kept
+# only when they end in a terminal punctuation mark — period,
+# exclamation mark, question mark, or end quotation mark)
+C4_TERMINATORS = (".", "!", "?", '"', "'")
+
+
+def c4_rules(df: DataFrame, id_col: str, text_col: str, *,
+             min_words_per_line: int = 5,
+             min_kept_lines: int = 3,
+             terminators: tuple = C4_TERMINATORS,
+             line_drop_tokens: tuple = ("javascript",),
+             page_drop_phrases: tuple = ("lorem ipsum", "{")) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2), the other
+    standard web-corpus filter family next to :func:`gopher_rules`'
+    document gates: keep a line only if it ends in a terminator, has at
+    least ``min_words_per_line`` whitespace words, and contains none of
+    ``line_drop_tokens`` (case-insensitive); drop the whole page when
+    any ``page_drop_phrases`` member appears anywhere in the text
+    (C4 drops "lorem ipsum" placeholders and curly-brace code pages) or
+    when fewer than ``min_kept_lines`` lines survive.
+
+    Returns ``(id, n_lines, n_kept, clean_text, has_drop_phrase,
+    keep)`` with ``clean_text`` the surviving lines re-joined by
+    newline in original order.  NULL text yields NULL signals and a
+    NULL ``keep`` (the module-wide NULL policy — filter or fill
+    upstream).
+
+    The line predicate uses only engine-portable pieces (``right`` of
+    the right-trimmed line, whitespace-split word count, lowercase
+    ``contains``), so the DuckDB oracle (``text_c4``) replays every
+    column byte-for-byte.
+
+    Scale shape: pure per-doc Column projection over the scan — zero
+    shuffle, zero corpus state; the line lambda is bounded by a single
+    document's own line count.  Like ``gopher_rules``, the array
+    ``filter`` drops the stage out of whole-stage codegen (the
+    documented HOF trade-off) — acceptable here because cleaning is a
+    dedicated pass whose cost is the regex word-splits themselves, not
+    a guard bolted onto the validation hot path.
+    """
+    if min_words_per_line < 0 or min_kept_lines < 0:
+        raise ValueError("min_words_per_line/min_kept_lines must be >= 0")
+    if not terminators:
+        raise ValueError("terminators must be non-empty")
+    text = F.col(text_col)
+
+    def _line_kept(line: Column) -> Column:
+        words = F.when(F.length(F.trim(line)) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(line), r"\s+")))
+        ok = (F.right(F.rtrim(line), F.lit(1)).isin(*terminators)
+              & (words >= min_words_per_line))
+        for tok in line_drop_tokens:
+            ok = ok & ~F.contains(F.lower(line), F.lit(tok.lower()))
+        return ok
+
+    lines = F.split(text, r"\n")
+    kept = F.filter(lines, _line_kept)
+    has_phrase = F.lit(False)
+    for p in page_drop_phrases:
+        has_phrase = has_phrase | F.contains(F.lower(text), F.lit(p.lower()))
+    # NULL text: split/contains are NULL -> force the composite NULL too
+    has_phrase = F.when(text.isNull(), F.lit(None).cast("boolean")) \
+        .otherwise(has_phrase)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        has_phrase.alias("has_drop_phrase"),
+        ((n_kept >= min_kept_lines) & ~has_phrase).alias("keep"),
     )
 
 

@@ -1497,3 +1497,107 @@ def test_temperature_mix(spark, sf_dir):
         temperature_mix(docs, "doc_id", "lang", -1)
     with pytest.raises(ValueError):
         temperature_mix(docs, "doc_id", "lang", 10, tau=-0.1)
+
+
+def test_c4_rules(spark):
+    from spark_schema_guard.operators.textstats import c4_rules
+
+    good = "\n".join(["this line has five good words.",
+                      'does it end with a quote?',
+                      "yet another proper sentence right here!"])
+    mixed = "\n".join(["this line has five good words.",
+                       "too short.",                      # < 5 words
+                       "no terminal punctuation on this line",
+                       "enable javascript to view this page."])  # token drop
+    lorem = "a fine sentence with words.\nsome Lorem Ipsum filler text."
+    brace = "function f() { return 1; } is code.\nplain words end here."
+    df = spark.createDataFrame(
+        [(1, good), (2, mixed), (3, lorem), (4, brace), (5, None)],
+        "doc_id int, text string")
+    g = {r["doc_id"]: r for r in c4_rules(df, "doc_id", "text").collect()}
+
+    assert g[1]["n_lines"] == 3 and g[1]["n_kept"] == 3
+    assert g[1]["clean_text"] == good and g[1]["keep"] is True
+    # only the first line of `mixed` survives -> below min_kept_lines
+    assert g[2]["n_kept"] == 1
+    assert g[2]["clean_text"] == "this line has five good words."
+    assert g[2]["keep"] is False
+    # page-level drops are case-insensitive and independent of line keeps
+    assert g[3]["has_drop_phrase"] is True and g[3]["keep"] is False
+    assert g[4]["has_drop_phrase"] is True and g[4]["keep"] is False
+    # NULL text -> NULL signals, NULL keep
+    assert g[5]["n_lines"] is None and g[5]["clean_text"] is None
+    assert g[5]["has_drop_phrase"] is None and g[5]["keep"] is None
+    # thresholds honored: loosen everything and doc 2 passes
+    loose = {r["doc_id"]: r for r in c4_rules(
+        df, "doc_id", "text", min_words_per_line=0, min_kept_lines=0,
+        terminators=tuple(".!?\"'" + "eg"), line_drop_tokens=(),
+        page_drop_phrases=()).collect()}
+    assert loose[2]["keep"] is True and loose[2]["n_kept"] == 4
+    with pytest.raises(ValueError):
+        c4_rules(df, "doc_id", "text", min_words_per_line=-1)
+    with pytest.raises(ValueError):
+        c4_rules(df, "doc_id", "text", terminators=())
+
+
+def test_cap_per_stratum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from spark_schema_guard.operators import cap_per_stratum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = 5
+    out = cap_per_stratum(docs, "doc_id", "lang", cap)
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {s: min(cap, n) for s, n in counts.items()}
+    # the two-stage selection picks EXACTLY the naive window's rows
+    w = Window.partitionBy("lang").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), "doc_id")
+    naive = (docs.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= cap))
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in naive.select("doc_id").collect())
+    # layout-deterministic
+    again = cap_per_stratum(docs.repartition(13), "doc_id", "lang", cap)
+    assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # NULL stratum is its own capped group; NULL ids are excluded
+    with_null = docs.limit(7).withColumn("lang", F.lit(None).cast("string"))
+    assert cap_per_stratum(docs.unionByName(with_null), "doc_id", "lang",
+                           cap).where(F.col("lang").isNull()).count() == cap
+    assert cap_per_stratum(docs, "doc_id", "lang", 0).count() == 0
+    with pytest.raises(ValueError):
+        cap_per_stratum(docs, "doc_id", "lang", -1)
+
+
+def test_dup_line_features(spark):
+    from spark_schema_guard.operators.textstats import dup_line_features
+
+    df = spark.createDataFrame(
+        [(1, "aa\nbb\naa\naa\ncc"),   # 5 lines, 2 repeats of 'aa'
+         (2, "xx\nyy\nzz"),           # no within-doc dups
+         (3, ""),                      # one empty line, zero chars
+         (4, None),
+         (5, "p q\n\np q\n\nr s")],   # paragraph mode input
+        "doc_id int, text string")
+    g = {r["doc_id"]: r for r in
+         dup_line_features(df, "doc_id", "text").collect()}
+    assert g[1]["n_lines"] == 5
+    assert abs(g[1]["dup_line_frac"] - 0.4) < 1e-9
+    # 10 line chars total, 4 of them inside the two repeated 'aa' lines
+    assert abs(g[1]["dup_line_char_frac"] - 0.4) < 1e-9
+    assert g[2]["dup_line_frac"] == 0.0 and g[2]["dup_line_char_frac"] == 0.0
+    # all-empty lines: 0/0 chars is defined as 0.0, not NULL
+    assert g[3]["n_lines"] == 1 and g[3]["dup_line_char_frac"] == 0.0
+    # NULL text -> NULL signals (module NULL policy)
+    assert g[4]["n_lines"] is None and g[4]["dup_line_frac"] is None
+    # doc 5 under LINE mode sees the blank separator lines as dups
+    assert g[5]["n_lines"] == 5 and abs(g[5]["dup_line_frac"] - 0.4) < 1e-9
+    # paragraph mode: split on blank lines instead
+    p = {r["doc_id"]: r for r in
+         dup_line_features(df, "doc_id", "text", sep=r"\n\n").collect()}
+    assert p[5]["n_lines"] == 3
+    assert abs(p[5]["dup_line_frac"] - round(1 / 3, 4)) < 1e-9

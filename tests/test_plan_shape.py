@@ -457,3 +457,40 @@ def test_suggest_json_kv_plan_shape(spark, sf_dir):
     assert "ArrowEvalPython" not in text
     assert text.count("Exchange") == 1
     assert "partial_count" in text  # map-side combine before the shuffle
+
+
+def test_quality_gate_plans_are_pure_projection(spark, sf_dir):
+    """gopher_rules / c4_rules are per-doc Column projections: zero
+    Exchange, zero Window, no Python nodes — they ride the scan (their
+    line/token lambdas cost codegen fallback, a documented trade, but
+    never a shuffle)."""
+    from spark_schema_guard.operators.textstats import c4_rules, gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    for frame in (gopher_rules(docs, "doc_id", "text"),
+                  c4_rules(docs, "doc_id", "text")):
+        text = _physical(frame)
+        assert "Exchange" not in text, text[:2000]
+        assert "Window" not in text
+        assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_capped_selection_windows_only_boundary_bucket(spark, sf_dir):
+    """temperature_mix / cap_per_stratum inherit take_token_budget's
+    two-stage shape: ONE per-stratum cumsum window, fed through the
+    broadcast boundary join and a __bkt = boundary filter (never the
+    whole stratum), with the pre-boundary prefix kept by a pure filter
+    union branch."""
+    from spark_schema_guard.operators import cap_per_stratum, temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for frame in (temperature_mix(docs, "doc_id", "lang", 100, tau=0.5),
+                  cap_per_stratum(docs, "doc_id", "lang", 7)):
+        text = _physical(frame)
+        assert text.count("Window") == 1, text[:2000]
+        assert "BroadcastHashJoin" in text or "BroadcastNestedLoop" in text
+        assert "__bb" in text  # the boundary filter feeds the window
+        assert "Union" in text
+        assert "CartesianProduct" not in text
+        assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
