@@ -901,6 +901,21 @@ def q_text_c4(spark, sf_dir):
                     page_drop_phrases=("customer",))
 
 
+def q_sample_importance(spark, sf_dir):
+    """DSIR-style importance weights toward a 'target domain' slice
+    (docs whose id is divisible by 97, the same held-out slice the
+    decontamination gate uses).  Fixed-point λ (floor(ln-ratio * 1e6))
+    summed as integers makes the score exactly reproducible: the oracle
+    recomputes the bucket counts, the λ table (same libm ln, same
+    floor) and the integer sums."""
+    from spark_schema_guard.operators import importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    tgt = docs.where(F.col("doc_id") % 97 == 0)
+    return importance_weights(docs, "doc_id", "text", tgt, "doc_id",
+                              "text", n=2, buckets=4096)
+
+
 def q_text_dup_lines(spark, sf_dir):
     """Within-document duplicate-line fractions (Gopher table A1
     filters 1-4) over a 2-token lined corpus — 2-token lines repeat
@@ -1236,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4": q_text_c4,
         "text_dup_lines": q_text_dup_lines,
         "sample_domain_cap": q_sample_domain_cap,
+        "sample_importance": q_sample_importance,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
@@ -2644,6 +2660,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN chars > 0 THEN dupchars * 1.0 / chars
                               ELSE 0.0 END, 4) AS dup_line_char_frac
             FROM d
+        """,
+        # λ arithmetic mirrors importance_weights exactly: same double
+        # expression shapes, libm-identical ln, floor (never round) to
+        # fixed point, then pure integer sums
+        "sample_importance": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id IS NOT NULL
+            ), grams AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+            ), gb AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                       % 4096 AS b
+              FROM grams
+            ), counts_r AS (
+              SELECT b, count(*) AS c FROM gb GROUP BY b
+            ), counts_t AS (
+              SELECT b, count(*) AS c FROM gb WHERE doc_id % 97 = 0
+              GROUP BY b
+            ), tot AS (
+              SELECT (SELECT count(*) FROM gb) AS r_tot,
+                     (SELECT count(*) FROM gb WHERE doc_id % 97 = 0) AS t_tot
+            ), lam AS (
+              SELECT r.b,
+                     CAST(floor((ln((coalesce(t.c, 0) + 1.0)
+                                    / (t_tot + 1.0 * 4096))
+                               - ln((r.c + 1.0) / (r_tot + 1.0 * 4096)))
+                               * 1000000) AS BIGINT) AS lam
+              FROM counts_r r LEFT JOIN counts_t t USING (b), tot
+            ), scored AS (
+              SELECT gb.doc_id, count(*) AS ng, sum(lam.lam) AS w
+              FROM gb JOIN lam USING (b) GROUP BY gb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(s.w, 0) AS BIGINT) AS weight_int,
+                   coalesce(s.w, 0) / 1000000.0 AS logw
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "sample_domain_cap": f"""
             WITH {WEB_CTE}, d AS (

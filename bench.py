@@ -290,6 +290,13 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum("dup_line_char_frac")).collect()
 
     timed("text_dup_lines", dup_lines_leg)
+    from spark_schema_guard.operators import importance_weights
+    # leg includes the two driver-side bucket-count collects — they are
+    # part of the operator's cost model
+    timed("sample_importance", lambda: importance_weights(
+        docs, "doc_id", "text", docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=2, buckets=4096).agg(
+        F.sum("weight_int"), F.sum("n_grams")).collect())
     from spark_schema_guard.operators import cap_per_stratum
     timed("sample_domain_cap", lambda: cap_per_stratum(
         web.withColumn("domain", F.regexp_extract(

@@ -192,6 +192,17 @@ def main():
     report["mix"] = {r["lang"]: r["n"] for r in
                      mixed.groupBy("lang").agg(
                          F.count(F.lit(1)).alias("n")).collect()}
+    # DSIR importance weights toward an English "target domain": the
+    # per-lang mean scores confirm the selection signal orders languages
+    from spark_schema_guard.operators import importance_weights
+    iw = importance_weights(deduped, "doc_id", "text",
+                            deduped.where(F.col("lang") == "en"),
+                            "doc_id", "text", n=2, buckets=2048)
+    report["importance_weights"] = {
+        r["lang"]: round(r["m"], 4) for r in
+        iw.join(deduped.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang").agg(F.avg("logw").alias("m")).collect()}
+
     # temperature mixing diagnostic (n^0.3): what the per-lang mix looks
     # like when low-resource langs are upweighted XLM-R-style
     from spark_schema_guard.operators import temperature_mix

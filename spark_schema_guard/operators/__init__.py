@@ -5,8 +5,8 @@ from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
 from .sampling import (assign_splits, cap_per_stratum, downsample,
-                       stratified_sample, take_token_budget,
-                       temperature_mix)
+                       importance_weights, stratified_sample,
+                       take_token_budget, temperature_mix)
 from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
@@ -34,6 +34,7 @@ __all__ = [
     "assign_splits",
     "cap_per_stratum",
     "downsample",
+    "importance_weights",
     "stratified_sample",
     "take_token_budget",
     "temperature_mix",

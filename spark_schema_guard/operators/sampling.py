@@ -219,6 +219,101 @@ def temperature_mix(
     return out.drop("__one")
 
 
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_id_col: str,
+    target_text_col: str,
+    *,
+    n: int = 2,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw document by how target-like its n-gram distribution
+    is — the sum over its gram occurrences of
+    ``ln(p_target(bucket) / p_raw(bucket))`` with add-``smoothing``
+    probability estimates over ``buckets`` hashed gram buckets.  High
+    scores mark documents to keep when curating toward a target domain;
+    feed ``logw`` to a threshold filter or a top-budget selection.
+
+    Engine-portable exactness (no float accumulation order anywhere):
+    a gram's bucket is its first 8 md5 hex chars as an integer mod
+    ``buckets``; the per-bucket log-ratio λ is computed ONCE driver-side
+    and fixed-pointed as ``floor(λ * scale)`` (floor, not round — an
+    SQL oracle's ``floor`` reproduces it bit-for-bit because ``ln`` is
+    the same libm call in both engines), and each document's score is
+    an INTEGER sum of those λs.  Returns ``(id, n_grams, weight_int,
+    logw = weight_int / scale)``.
+
+    NULL ids are excluded from gram counting and scored 0 (they cannot
+    join back); NULL/blank texts and docs shorter than ``n`` tokens
+    have no grams and score ``n_grams=0, weight_int=0, logw=0.0`` — the
+    neutral score.  Driver state: two bounded per-bucket count collects
+    (<= ``buckets`` rows each, a plan-scale quantity like
+    ``temperature_mix``'s source vocabulary).
+
+    Scale shape: grams via the lead()-window stack (the measured ~10x
+    win over transform-HOFs, SCALE.md); bucket counts are map-side-
+    combining groupBys whose shuffle is bounded by ``buckets`` keys per
+    task; the λ table is a ``buckets``-row LocalTableScan broadcast
+    into the gram join (never a shuffle); the per-doc rollup is one
+    groupBy(id) — the repetition_features family shape.
+    """
+    from .textstats import word_ngram_stack
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 1 <= buckets <= 1_000_000:
+        raise ValueError("buckets must be in [1, 1e6]")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (zero counts are hashed "
+                         "buckets' normal state)")
+    if scale < 1:
+        raise ValueError("scale must be a positive integer")
+
+    bucket_of = (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                 .cast("long") % buckets)
+
+    def _bucket_counts(frame, idc, tc):
+        stack = word_ngram_stack(
+            frame.where(F.col(idc).isNotNull()).select(F.col(idc), F.col(tc)),
+            idc, tc, (n,))
+        rows = (stack.withColumn("__b", bucket_of)
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect())
+        return {r["__b"]: r["c"] for r in rows}
+
+    ct = _bucket_counts(target, target_id_col, target_text_col)
+    cr = _bucket_counts(df, id_col, text_col)
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    a = float(smoothing)
+    lam_rows = []
+    for b in range(buckets):
+        val = (math.log((ct.get(b, 0) + a) / (t_tot + a * buckets))
+               - math.log((cr.get(b, 0) + a) / (r_tot + a * buckets)))
+        lam_rows.append((b, int(math.floor(val * scale))))
+    ldf = df.sparkSession.createDataFrame(lam_rows, "b long, lam long")
+
+    stack = word_ngram_stack(
+        df.where(F.col(id_col).isNotNull()).select(F.col(id_col),
+                                                   F.col(text_col)),
+        id_col, text_col, (n,)).withColumn("__b", bucket_of)
+    scored = (stack.join(F.broadcast(ldf), stack["__b"] == ldf["b"])
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("__ng"),
+                   F.sum("lam").alias("__w")))
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__ng", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("__w", F.lit(0)).cast("long").alias("weight_int"),
+        (F.coalesce("__w", F.lit(0)) / F.lit(float(scale))).alias("logw"),
+    )
+
+
 def cap_per_stratum(
     df: DataFrame,
     id_col: str,

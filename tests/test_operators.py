@@ -1601,3 +1601,71 @@ def test_dup_line_features(spark):
          dup_line_features(df, "doc_id", "text", sep=r"\n\n").collect()}
     assert p[5]["n_lines"] == 3
     assert abs(p[5]["dup_line_frac"] - round(1 / 3, 4)) < 1e-9
+
+
+def test_importance_weights(spark):
+    import hashlib
+
+    from spark_schema_guard.operators import importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "stock market prices rose sharply today"),
+         (3, "the cat ate the fish"),
+         (4, ""), (5, None)],
+        "doc_id int, text string")
+    tgt = spark.createDataFrame(
+        [(10, "the cat and the cat sat"), (11, "a cat ate a mouse")],
+        "tid int, ttext string")
+    B, a, scale, n = 64, 1.0, 10 ** 6, 2
+    out = {r["doc_id"]: r for r in importance_weights(
+        raw, "doc_id", "text", tgt, "tid", "ttext",
+        n=n, buckets=B).collect()}
+
+    # exact replica of the documented arithmetic
+    def grams(text):
+        t = text.lower().strip().split()
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)] \
+            if text and text.strip() else []
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    import math
+    ct, cr = {}, {}
+    for txt in ("the cat and the cat sat", "a cat ate a mouse"):
+        for g in grams(txt):
+            ct[bucket(g)] = ct.get(bucket(g), 0) + 1
+    for txt in ("the cat sat on the mat",
+                "stock market prices rose sharply today",
+                "the cat ate the fish", ""):
+        for g in grams(txt):
+            cr[bucket(g)] = cr.get(bucket(g), 0) + 1
+    T, R = sum(ct.values()), sum(cr.values())
+    lam = {b: int(math.floor(
+        (math.log((ct.get(b, 0) + a) / (T + a * B))
+         - math.log((cr.get(b, 0) + a) / (R + a * B))) * scale))
+        for b in range(B)}
+    for doc_id, txt in ((1, "the cat sat on the mat"),
+                        (2, "stock market prices rose sharply today"),
+                        (3, "the cat ate the fish")):
+        w = sum(lam[bucket(g)] for g in grams(txt))
+        assert out[doc_id]["weight_int"] == w
+        assert out[doc_id]["n_grams"] == len(grams(txt))
+        assert abs(out[doc_id]["logw"] - w / scale) < 1e-12
+    # cat-ish docs score above the off-domain doc
+    assert out[1]["logw"] > out[2]["logw"]
+    assert out[3]["logw"] > out[2]["logw"]
+    # blank / NULL texts: the neutral score, not NULL
+    assert out[4]["n_grams"] == 0 and out[4]["weight_int"] == 0
+    assert out[5]["logw"] == 0.0
+    # deterministic under repartitioning
+    again = {r["doc_id"]: r["weight_int"] for r in importance_weights(
+        raw.repartition(5), "doc_id", "text", tgt, "tid", "ttext",
+        n=n, buckets=B).collect()}
+    assert again == {k: v["weight_int"] for k, v in out.items()}
+    import pytest
+    for kw in ({"n": 0}, {"buckets": 0}, {"smoothing": 0.0}, {"scale": 0}):
+        with pytest.raises(ValueError):
+            importance_weights(raw, "doc_id", "text", tgt, "tid", "ttext",
+                               **kw)

@@ -494,3 +494,22 @@ def test_capped_selection_windows_only_boundary_bucket(spark, sf_dir):
         assert "Union" in text
         assert "CartesianProduct" not in text
         assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_importance_weights_broadcasts_lambda(spark, sf_dir):
+    """The fixed-point λ table joins the gram stream as a broadcast
+    LocalTableScan (never a shuffle or a cartesian product), and the
+    whole scoring plan stays JVM-side."""
+    from spark_schema_guard.operators import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = importance_weights(docs, "doc_id", "text",
+                             docs.where(F.col("doc_id") % 97 == 0),
+                             "doc_id", "text", n=2, buckets=512)
+    text = _physical(out)
+    assert "BroadcastHashJoin" in text, text[:2000]
+    # the λ table is a single local-relation node (LocalTableScan or
+    # the RDD-backed local scan), one plan node regardless of buckets
+    assert "LocalTableScan" in text or "Scan ExistingRDD" in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
