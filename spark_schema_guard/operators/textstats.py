@@ -396,7 +396,8 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str, *,
                  min_alpha_frac: float = 0.8,
                  min_stop_hits: int = 2,
                  max_bullet_frac: float = 0.9,
-                 max_ellipsis_frac: float = 0.3) -> DataFrame:
+                 max_ellipsis_frac: float = 0.3,
+                 carry: tuple = ()) -> DataFrame:
     """Gopher-style document quality RULES (Rae et al. 2021, table A1):
     one boolean per rule plus the composite ``keep`` verdict, alongside
     the measured signals the rules threshold — the standard web-corpus
@@ -405,7 +406,9 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str, *,
     bullet/ellipsis line fractions).
 
     Unlike :func:`quality_features` (a soft 0-1 score), these are the
-    hard accept/reject gates a training pipeline applies first.  All
+    hard accept/reject gates a training pipeline applies first.
+    ``carry`` names extra input columns to pass through unchanged
+    (e.g. an event-time column for the streaming window builder).  All
     signals are engine-portable expressions (same regexes run under
     Java regex and RE2), and every flag thresholds the UNROUNDED
     value — the reported ratio columns are rounded to 4 decimals for
@@ -454,24 +457,32 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str, *,
     r_stop = stop_hits >= min_stop_hits
     r_bullet = bullet_frac <= max_bullet_frac
     r_ellipsis = ellipsis_frac <= max_ellipsis_frac
+    signals = [
+        ("n_tokens", n_tokens),
+        ("mean_word_len", F.round(mean_wl, 4)),
+        ("symbol_ratio", F.round(symbol_ratio, 4)),
+        ("alpha_frac", F.round(alpha_frac, 4)),
+        ("n_stop_hits", stop_hits),
+        ("bullet_frac", F.round(bullet_frac, 4)),
+        ("ellipsis_frac", F.round(ellipsis_frac, 4)),
+        ("r_tokens", r_tokens),
+        ("r_word_len", r_word_len),
+        ("r_symbol", r_symbol),
+        ("r_alpha", r_alpha),
+        ("r_stop", r_stop),
+        ("r_bullet", r_bullet),
+        ("r_ellipsis", r_ellipsis),
+        ("keep", (r_tokens & r_word_len & r_symbol & r_alpha & r_stop
+                  & r_bullet & r_ellipsis)),
+    ]
+    # NULL text must yield NULL signals (the documented NULL policy);
+    # without the guard the when/otherwise fallbacks coerce several
+    # signals to 0.0 and `keep` to a hard False for NULL input
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        stop_hits.alias("n_stop_hits"),
-        F.round(bullet_frac, 4).alias("bullet_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
-        r_tokens.alias("r_tokens"),
-        r_word_len.alias("r_word_len"),
-        r_symbol.alias("r_symbol"),
-        r_alpha.alias("r_alpha"),
-        r_stop.alias("r_stop"),
-        r_bullet.alias("r_bullet"),
-        r_ellipsis.alias("r_ellipsis"),
-        (r_tokens & r_word_len & r_symbol & r_alpha & r_stop
-         & r_bullet & r_ellipsis).alias("keep"),
+        *[F.col(c) for c in carry],
+        *[F.when(text.isNotNull(), col).alias(name)
+          for name, col in signals],
     )
 
 
@@ -486,7 +497,8 @@ def c4_rules(df: DataFrame, id_col: str, text_col: str, *,
              min_kept_lines: int = 3,
              terminators: tuple = C4_TERMINATORS,
              line_drop_tokens: tuple = ("javascript",),
-             page_drop_phrases: tuple = ("lorem ipsum", "{")) -> DataFrame:
+             page_drop_phrases: tuple = ("lorem ipsum", "{"),
+             carry: tuple = ()) -> DataFrame:
     """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2), the other
     standard web-corpus filter family next to :func:`gopher_rules`'
     document gates: keep a line only if it ends in a terminator, has at
@@ -498,7 +510,8 @@ def c4_rules(df: DataFrame, id_col: str, text_col: str, *,
 
     Returns ``(id, n_lines, n_kept, clean_text, has_drop_phrase,
     keep)`` with ``clean_text`` the surviving lines re-joined by
-    newline in original order.  NULL text yields NULL signals and a
+    newline in original order; ``carry`` names extra input columns to
+    pass through unchanged (e.g. a streaming event-time column).  NULL text yields NULL signals and a
     NULL ``keep`` (the module-wide NULL policy — filter or fill
     upstream).
 
@@ -541,6 +554,7 @@ def c4_rules(df: DataFrame, id_col: str, text_col: str, *,
     n_kept = F.size(kept)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.size(lines).alias("n_lines"),
         n_kept.alias("n_kept"),
         F.array_join(kept, "\n").alias("clean_text"),

@@ -385,6 +385,55 @@ def stream_text_quality_by_window(
     )
 
 
+def stream_gate_by_window(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    time_col: str,
+    gate: str = "gopher",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+    **gate_kwargs,
+) -> DataFrame:
+    """Watermarked windowed keep-rates for the hard quality gates
+    (``gate="gopher"`` -> operators/textstats.gopher_rules,
+    ``gate="c4"`` -> c4_rules): both gates are pure row projections, so
+    the identical batch builder serves the stream — a crawl-side
+    regression (template change, encoding bug, boilerplate flood) shows
+    up as a falling ``keep_share`` in the CURRENT window.  Extra
+    keyword arguments are forwarded to the gate builder (thresholds,
+    terminators, blocklists).
+
+    Emits per window: ``rows``, ``kept``, ``keep_share`` (NULL-verdict
+    rows — NULL text — are excluded from the share, counted in
+    ``n_null_verdict``).  Per-window state is three counters — bounded
+    by windows-in-horizon.
+    """
+    from .operators.textstats import c4_rules, gopher_rules
+
+    builders = {"gopher": gopher_rules, "c4": c4_rules}
+    if gate not in builders:
+        raise ValueError(f"gate must be one of {sorted(builders)}")
+    flagged = builders[gate](stream_df, id_col, text_col,
+                             carry=(time_col,), **gate_kwargs)
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    return (
+        flagged.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum(F.col("keep").cast("long")).alias("kept"),
+             F.avg(F.col("keep").cast("double")).alias("keep_share"),
+             F.sum(F.col("keep").isNull().cast("long"))
+              .alias("n_null_verdict"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "rows", "kept", "keep_share", "n_null_verdict")
+    )
+
+
 def stream_extraction_by_window(
     stream_df: DataFrame,
     *,

@@ -700,3 +700,47 @@ def test_cli_suggest_json_col(sf_dir, tmp_path):
     mined = json.loads(out.stdout)
     assert mined["properties"]["k"]["type"] == "integer"
     assert mined["additionalProperties"] is False
+
+
+def test_stream_gate_window(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_gate_by_window
+
+    good = " ".join(["the cat and dog have fun with all of that stuff"] * 6)
+    rows = [(1, good, "2024-03-01 00:10:00"),
+            (2, "too short", "2024-03-01 00:20:00"),
+            (3, None, "2024-03-01 00:25:00"),
+            (4, "x", "2024-03-02 12:00:00")]  # sentinel closes window 1
+    src = str(tmp_path / "gate_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_gate_by_window(
+        stream, "doc_id", "text", time_col="ts", gate="gopher",
+        window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("gate_q")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM gate_q").collect()}
+    row = got["2024-03-01 00:00:00"]
+    # doc 1 passes, doc 2 fails, doc 3 is NULL-verdict (excluded from share)
+    assert row["rows"] == 3 and row["kept"] == 1
+    assert row["keep_share"] == 0.5 and row["n_null_verdict"] == 1
+    # the c4 variant accepts forwarded thresholds
+    out2 = stream_gate_by_window(
+        stream, "doc_id", "text", time_col="ts", gate="c4",
+        window="1 hour", watermark="30 minutes",
+        min_kept_lines=0, page_drop_phrases=())
+    q2 = (out2.writeStream.format("memory").queryName("gate_q2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = {str(r["window_start"]): r
+            for r in spark.sql("SELECT * FROM gate_q2").collect()}
+    assert got2["2024-03-01 00:00:00"]["rows"] == 3
+    assert got2["2024-03-01 00:00:00"]["kept"] == 2  # min_kept_lines=0
+    import pytest
+    with pytest.raises(ValueError):
+        stream_gate_by_window(stream, "doc_id", "text", time_col="ts",
+                              gate="nope")

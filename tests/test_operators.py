@@ -1426,9 +1426,13 @@ def test_gopher_rules(spark):
     ellipsis = "this line ends...\nanother one…\nplain line"
     df = spark.createDataFrame(
         [(1, good), (2, "short text only"), (3, symbols),
-         (4, bullets), (5, ""), (6, ellipsis)],
+         (4, bullets), (5, ""), (6, ellipsis), (7, None)],
         "doc_id int, text string")
     g = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+
+    # NULL text -> NULL signals and a NULL keep (module NULL policy)
+    assert g[7]["n_tokens"] is None and g[7]["mean_word_len"] is None
+    assert g[7]["r_tokens"] is None and g[7]["keep"] is None
 
     # 66 tokens, mean 222/66 chars, 6 distinct Gopher stopwords -> keep
     assert g[1]["n_tokens"] == 66 and g[1]["n_stop_hits"] == 6
