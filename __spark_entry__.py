@@ -1195,6 +1195,32 @@ def q_text_pii(spark, sf_dir):
         "pii_free")
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (operators/lmscore.py): a
+    word-bigram add-one LM is trained on the lang='en' slice (the
+    "trusted reference corpus"), every document is scored in
+    bits/bigram, and docs are bucketed head/middle/tail at fixed
+    cutoffs on the ROUNDED score (the engine-portable contract).
+    Returns per-(lang, bucket) doc counts, bigram totals, and mean
+    score — the full train -> score -> bucket pipeline under one
+    oracle."""
+    from spark_schema_guard.operators.lmscore import (
+        cross_entropy, perplexity_bucket, train_ngram_lm)
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs.where(F.col("lang") == "en"), "doc_id", "text")
+    scored = cross_entropy(docs, lm, "doc_id", "text")
+    bucketed = docs.select("doc_id", "lang").join(scored, "doc_id").select(
+        "lang",
+        perplexity_bucket(F.col("h_bits"), (4.87, 4.95)).alias("ppl_bucket"),
+        "n_bigrams", "h_bits")
+    return bucketed.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.avg("h_bits"), 6).alias("mean_h_bits"),
+    ).orderBy("lang", "ppl_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v_verdicts": q_v_verdicts,
@@ -1268,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_pii": q_text_pii,
         "text_vocab": q_text_vocab,
+        "text_lm_score": q_text_lm_score,
     }
 
 
@@ -2941,6 +2968,49 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 11 = 0
                              THEN ' call +1 555 123456' ELSE '' END AS t
               FROM documents)
+        """,
+        "text_lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id, lang, u.i - 1 AS pos, t[u.i] AS tok
+              FROM (SELECT doc_id, lang,
+                           string_split_regex(trim(lower(text)), '\s+') AS t
+                    FROM documents) s,
+                   UNNEST(generate_series(1, len(t))) AS u(i)
+              WHERE t[u.i] <> ''
+            ), bi AS (
+              SELECT doc_id, lang, tok AS ctx,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
+              FROM tok
+            ), ref_bi AS (
+              SELECT ctx, tok2 FROM bi WHERE lang = 'en' AND tok2 IS NOT NULL
+            ), pairs AS (
+              SELECT ctx, tok2, COUNT(*) AS pair_n
+              FROM ref_bi GROUP BY ctx, tok2
+            ), ctxs AS (
+              SELECT ctx, COUNT(*) AS ctx_n FROM ref_bi GROUP BY ctx
+            ), v AS (
+              SELECT COUNT(DISTINCT tok) AS v FROM tok WHERE lang = 'en'
+            ), scored AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     -avg(log2((coalesce(p.pair_n, 0) + 1.0)
+                               / (coalesce(c.ctx_n, 0) + v.v))) AS h_bits
+              FROM bi b
+              LEFT JOIN pairs p ON b.ctx = p.ctx AND b.tok2 = p.tok2
+              LEFT JOIN ctxs c ON b.ctx = c.ctx
+              CROSS JOIN v
+              WHERE b.tok2 IS NOT NULL
+              GROUP BY b.doc_id
+            )
+            SELECT d.lang,
+                   CASE WHEN s.h_bits IS NULL THEN NULL
+                        WHEN round(s.h_bits, 6) <= 4.87 THEN 'head'
+                        WHEN round(s.h_bits, 6) <= 4.95 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(s.n_bigrams), 0) AS BIGINT) AS n_bigrams,
+                   round(AVG(s.h_bits), 6) AS mean_h_bits
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            GROUP BY 1, 2
         """,
     }
 

@@ -335,6 +335,19 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         docs, "doc_id", "text", chunk_tokens=64, overlap=8).agg(
         F.count(F.lit(1)), F.sum("n_chunk_tokens"),
         F.sum(F.length("chunk_text"))).collect())
+    from spark_schema_guard.operators.lmscore import (cross_entropy,
+                                                      train_ngram_lm)
+
+    def lm_leg():
+        # CCNet shape at bench scale: train the bigram LM on a ~5% ref
+        # slice, score the WHOLE corpus; consumer sums score + bigram
+        # count so neither join side can be pruned
+        lm = train_ngram_lm(docs.where(F.col("doc_id") % 20 == 0),
+                            "doc_id", "text")
+        return cross_entropy(docs, lm, "doc_id", "text").agg(
+            F.sum("n_bigrams"), F.sum("h_bits")).collect()
+
+    timed("text_lm_score", lm_leg)
     from spark_schema_guard.operators import extraction_report
     # runs on the FULL amplified web table: the verdict column forces the
     # tag-strip + byte compare on every row (the north rule's invariant)

@@ -11,6 +11,8 @@ from .urlnorm import duplicate_urls_normalized, normalize_url
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
+from .lmscore import (cross_entropy, perplexity_bucket, perplexity_cutoffs,
+                      perplexity_score, train_ngram_lm)
 from .suggest import (constraint_drift, json_constraint_drift,
                       suggest_by_unit, suggest_constraints,
                       suggest_json_constraints, suggested_json_schema,
@@ -52,4 +54,9 @@ __all__ = [
     "suggested_json_schema",
     "json_constraint_drift",
     "suggest_by_unit",
+    "train_ngram_lm",
+    "cross_entropy",
+    "perplexity_bucket",
+    "perplexity_cutoffs",
+    "perplexity_score",
 ]
