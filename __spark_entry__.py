@@ -1195,6 +1195,26 @@ def q_text_pii(spark, sf_dir):
         "pii_free")
 
 
+def q_web_blocklist(spark, sf_dir):
+    """Domain-blocklist URL filtering (operators/urlfilter.py): pages
+    whose host equals or sits UNDER a blocked domain are flagged —
+    'hot.example.com' is caught by the parent entry 'example.com'
+    (true suffix matching), two dN hosts match exactly (one listed
+    uppercase to pin case-insensitivity), 'example.net' matches
+    nothing. Per-(matched_domain, blocked) page and distinct-url
+    counts."""
+    from spark_schema_guard.operators.urlfilter import blocked_urls
+
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    bl = spark.createDataFrame(
+        [("example.com",), ("D13.example.org",), ("d27.example.org",),
+         ("example.net",)], "domain string")
+    out = blocked_urls(web, "doc_id", "url", bl)
+    return out.groupBy("matched_domain", "blocked").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.count_distinct("url").cast("long").alias("n_urls"))
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style LM perplexity scoring (operators/lmscore.py): a
     word-bigram add-one LM is trained on the lang='en' slice (the
@@ -1295,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_vocab": q_text_vocab,
         "text_lm_score": q_text_lm_score,
+        "web_blocklist": q_web_blocklist,
     }
 
 
@@ -2968,6 +2989,32 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 11 = 0
                              THEN ' call +1 555 123456' ELSE '' END AS t
               FROM documents)
+        """,
+        "web_blocklist": f"""
+            WITH {WEB_CTE}, bl AS (
+              SELECT lower(d) AS domain
+              FROM (VALUES ('example.com'), ('D13.example.org'),
+                           ('d27.example.org'), ('example.net')) AS t(d)
+            ), hosts AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(
+                       regexp_extract(
+                         url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                       '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1)) AS host
+              FROM web
+            ), hits AS (
+              SELECT h.doc_id, min(b.domain) AS matched_domain
+              FROM hosts h JOIN bl b
+                ON h.host = b.domain OR h.host LIKE '%.' || b.domain
+              GROUP BY h.doc_id
+            )
+            SELECT w.matched_domain,
+                   w.matched_domain IS NOT NULL AS blocked,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT w.url) AS BIGINT) AS n_urls
+            FROM (SELECT web.url, hits.matched_domain
+                  FROM web LEFT JOIN hits USING (doc_id)) w
+            GROUP BY 1, 2
         """,
         "text_lm_score": r"""
             WITH tok AS (

@@ -348,6 +348,19 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum("n_bigrams"), F.sum("h_bits")).collect()
 
     timed("text_lm_score", lm_leg)
+    from spark_schema_guard.operators.urlfilter import blocked_urls
+
+    def blocklist_leg():
+        # full amplified web table vs a 99-entry domain blocklist
+        # (parents of the dN.example.org hosts + the hot domain);
+        # consumer counts blocked rows so the join cannot be pruned
+        bl = spark.createDataFrame(
+            [(f"d{i}.example.org",) for i in range(0, 97, 2)]
+            + [("example.com",)], "domain string")
+        return blocked_urls(web, "doc_id", "url", bl).agg(
+            F.sum(F.col("blocked").cast("long"))).collect()
+
+    timed("web_blocklist", blocklist_leg)
     from spark_schema_guard.operators import extraction_report
     # runs on the FULL amplified web table: the verdict column forces the
     # tag-strip + byte compare on every row (the north rule's invariant)

@@ -7,7 +7,8 @@ from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
 from .sampling import (assign_splits, cap_per_stratum, downsample,
                        importance_weights, stratified_sample,
                        take_token_budget, temperature_mix)
-from .urlnorm import duplicate_urls_normalized, normalize_url
+from .urlfilter import blocked_urls, filter_blocked
+from .urlnorm import duplicate_urls_normalized, normalize_url, url_host
 from .decontam import ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
@@ -42,6 +43,9 @@ __all__ = [
     "temperature_mix",
     "duplicate_urls_normalized",
     "normalize_url",
+    "url_host",
+    "blocked_urls",
+    "filter_blocked",
     "ngram_decontaminate",
     "extracted_text",
     "extraction_check",

@@ -33,6 +33,16 @@ _QUERY = r"^[^#?]*(\?[^#]*)"
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443"}
 
 
+def url_host(url) -> Column:
+    """Lowercased host of ``url`` (a name or Column): the authority
+    minus userinfo and port, IP-literals (``[::1]``) kept bracketed.
+    Empty string for non-URL strings (no ``scheme://``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    authority = F.regexp_extract(u, _AUTHORITY, 1)
+    return F.lower(
+        F.regexp_extract(authority, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1))
+
+
 def normalize_url(url) -> Column:
     """Canonical form of ``url`` (a name or Column) as a Column.
 
