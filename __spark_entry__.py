@@ -1195,6 +1195,29 @@ def q_text_pii(spark, sf_dir):
         "pii_free")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): md5-seeded k-means cells over
+    the embeddings (the ivf quantizer the ANN oracle already reproduces
+    cell-for-cell), within-cell cosine near-dup pairs, connected-
+    component groups, keep-lowest-id.  Ten planted clones (×1.5-scaled
+    copies of every vec_id%50==3 vector — same direction, cosine 1, and
+    the scaling is bit-identical in both engines) MUST collapse onto
+    their originals; threshold 0.3 also catches a handful of natural
+    same-cell pairs so borderline comparisons are exercised."""
+    from spark_schema_guard.operators.semdedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    clones = emb.where(F.col("vec_id") % 50 == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"))
+    aug = emb.unionByName(clones)
+    out = semantic_dedup(aug, "vec_id", "embedding",
+                         threshold=0.3, n_centroids=8)
+    return out.select("vec_id", "cluster_id", "is_canonical")
+
+
 def q_web_blocklist(spark, sf_dir):
     """Domain-blocklist URL filtering (operators/urlfilter.py): pages
     whose host equals or sits UNDER a blocked domain are flagged —
@@ -1316,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "text_lm_score": q_text_lm_score,
         "web_blocklist": q_web_blocklist,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2989,6 +3013,56 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 11 = 0
                              THEN ' call +1 555 123456' ELSE '' END AS t
               FROM documents)
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE data AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding::DOUBLE[], x -> x * 1.5)
+              FROM embeddings WHERE vec_id % 50 = 3
+            ),
+            cents AS (
+              SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+                     v AS cv
+              FROM data WHERE v IS NOT NULL AND len(v) = 64
+              QUALIFY ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 8
+            ),
+            db AS (
+              SELECT vec_id, v, cell,
+                     sqrt(list_dot_product(v, v)) AS nrm
+              FROM (
+                SELECT d.vec_id, d.v, c.cell,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY d.vec_id
+                         ORDER BY list_dot_product(d.v, c.cv)
+                                  / (sqrt(list_dot_product(d.v, d.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv)))
+                                  DESC, c.cell ASC) AS rn
+                FROM (SELECT * FROM data
+                      WHERE v IS NOT NULL AND len(v) = 64) d
+                CROSS JOIN cents c)
+              WHERE rn = 1
+            ),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM db a JOIN db b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT d.vec_id,
+                   COALESCE(c.component, d.vec_id) AS cluster_id,
+                   COALESCE(c.component, d.vec_id) = d.vec_id AS is_canonical
+            FROM data d LEFT JOIN comp c ON c.id = d.vec_id
         """,
         "web_blocklist": f"""
             WITH {WEB_CTE}, bl AS (

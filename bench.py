@@ -361,6 +361,34 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum(F.col("blocked").cast("long"))).collect()
 
     timed("web_blocklist", blocklist_leg)
+    from spark_schema_guard.operators.semdedup import semantic_dedup
+
+    def semdedup_leg():
+        # amplified embedding corpus: every replica keeps direction
+        # (scaled copies are cosine-1 near-dups of their original), so
+        # the group structure is real; 64 cells bound the self-join —
+        # the leg's cost is quadratic IN-CELL, so the corpus is sized to
+        # ~32k vectors (~8M in-cell pairs), not to the doc count
+        embn = emb.count()
+        reps = max(1, 32000 // max(embn, 1))
+        # replica r rescales element i by 1+((r*(i+1))%5): replicas with
+        # r ≡ r' (mod 5) are EXACT clones (bounded ~reps/5 cliques per
+        # base vector), different patterns land ~0.9 cosine — so the
+        # edge list is realistic, not one giant clique per direction
+        big = emb.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"),
+            "vec_id", "embedding").select(
+            (F.col("vec_id") + F.col("__r").cast("long") * 100000)
+            .alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x * (1.0 + (F.col("__r") * (i + 1)) % 5))
+            .alias("embedding"))
+        return semantic_dedup(big, "vec_id", "embedding", threshold=0.99,
+                              n_centroids=64, max_cell=20000).agg(
+            F.sum(F.col("is_canonical").cast("long"))).collect()
+
+    timed("semantic_dedup", semdedup_leg)
     from spark_schema_guard.operators import extraction_report
     # runs on the FULL amplified web table: the verdict column forces the
     # tag-strip + byte compare on every row (the north rule's invariant)

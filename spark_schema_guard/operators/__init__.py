@@ -14,6 +14,8 @@ from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
 from .lmscore import (cross_entropy, perplexity_bucket, perplexity_cutoffs,
                       perplexity_score, train_ngram_lm)
+from .semdedup import (semantic_cells, semantic_dedup, semantic_keep_best,
+                       semantic_near_dups)
 from .suggest import (constraint_drift, json_constraint_drift,
                       suggest_by_unit, suggest_constraints,
                       suggest_json_constraints, suggested_json_schema,
@@ -63,4 +65,8 @@ __all__ = [
     "perplexity_bucket",
     "perplexity_cutoffs",
     "perplexity_score",
+    "semantic_cells",
+    "semantic_near_dups",
+    "semantic_dedup",
+    "semantic_keep_best",
 ]

@@ -1,0 +1,196 @@
+"""SemDeDup — semantic deduplication over an embedding column
+(Abbas et al. 2023, arXiv:2303.09540, the public LAION/web-text
+recipe): cluster the corpus with k-means in embedding space, then
+within every cluster drop all but one of each group of documents whose
+pairwise cosine exceeds a threshold.  Near-duplicate *meaning* —
+template rewrites, boilerplate paraphrases — is caught even when the
+text differs too much for MinHash.
+
+Spark shape, composed from already-hardened pieces:
+
+* clustering = `similarity.ivf_centroids` (md5-seeded, deterministic,
+  optional Lloyd refinement) + `ivf_cell_column` (argmax-cosine cell,
+  one BLAS matmul per Arrow batch) — the corpus is never shuffled for
+  this, the cell is a projection;
+* candidate pairs = same-cell only (`max_cell` caps degenerate cells,
+  mirroring the LSH bucket cap); the default `method="arrow"` computes
+  each cell's Gram matrix with blocked BLAS matmuls via
+  `applyInPandas`, `method="fold"` keeps the sequential JVM dot
+  products whose cosines are bit-identical to a SQL engine's;
+* group resolution = `dedup.connected_components` (adaptive
+  driver/distributed) and the keep policy of `dedup.duplicate_clusters`
+  / `cluster_representatives` (lowest id, or best `score_col`).
+
+At 10^12 rows the quadratic term lives ONLY inside a cell: k-means
+with enough centroids bounds cell sizes (SemDeDup uses ~10^5 clusters
+at web scale), `max_cell` hard-caps the stragglers, and everything
+else is one scan + one bounded self-join + the CC rounds on the tiny
+near-dup edge list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import duplicate_clusters, keep_canonical
+from .similarity import (_batch_matrix, _valid_vectors, ivf_cell_column,
+                         ivf_centroids)
+
+
+def semantic_cells(df: DataFrame, id_col: str, vec_col: str, *,
+                   n_centroids: int = 16, iterations: int = 0,
+                   dim: int | None = None, centroids=None) -> DataFrame:
+    """``(id, cell)`` k-means cell assignment for every well-formed
+    vector (NULL / mis-dimensioned embeddings get no row — they cannot
+    be semantically compared).  Pass ``centroids`` (the
+    ``ivf_centroids`` return shape) to reuse a trained quantizer."""
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_centroids,
+                                  iterations=iterations, dim=dim)
+    dim = len(centroids[0][1])
+    data = _valid_vectors(df, id_col, vec_col, dim)
+    return data.select(
+        F.col("neighbor_id").alias(id_col),
+        ivf_cell_column(F.col("v"), centroids).alias("cell"))
+
+
+def _arrow_cell_pairs(base: DataFrame, threshold: float, dim: int,
+                      id_type, *, block: int = 1024) -> DataFrame:
+    """In-cell pair generation as one BLAS matmul per (cell, row-block):
+    ``applyInPandas`` over the cell groups, Gram-matrix rows computed
+    ``block`` at a time so peak memory is ``block × cell_size`` doubles
+    regardless of how big a cell gets.  Pairs are emitted id_a < id_b
+    (the group is id-sorted, so the strict upper triangle IS that
+    order).  ~100× the fold path's throughput at 64-dim."""
+    schema = T.StructType([
+        T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cosine", T.DoubleType())])
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = len(pdf)
+        empty = {"id_a": [], "id_b": [], "cell": [], "cosine": []}
+        if m < 2:
+            return pd.DataFrame(empty)
+        M = _batch_matrix(pdf["v"], dim)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        out = []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            S = (M[s:e] @ M.T) / np.outer(nrm[s:e], nrm)
+            rows, cols = np.nonzero(S >= threshold)  # NaN compares False
+            keep = cols > rows + s                   # strict upper triangle
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                out.append(pd.DataFrame({
+                    "id_a": ids[rows + s], "id_b": ids[cols],
+                    "cell": cell, "cosine": S[rows, cols]}))
+        return pd.concat(out) if out else pd.DataFrame(empty)
+
+    return base.groupBy("cell").applyInPandas(pairs, schema)
+
+
+def semantic_near_dups(df: DataFrame, id_col: str, vec_col: str, *,
+                       threshold: float = 0.95, n_centroids: int = 16,
+                       iterations: int = 0, max_cell: int | None = None,
+                       dim: int | None = None, centroids=None,
+                       method: str = "arrow") -> DataFrame:
+    """Within-cell cosine near-duplicate pairs: ``id_a, id_b, cell,
+    cosine`` with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Only same-cell pairs are compared — the SemDeDup approximation
+    (cross-cell near-dups are missed by construction; more centroids =
+    finer cells = cheaper join but more misses).  ``max_cell`` drops
+    cells larger than the bound before the self-join, the same safety
+    valve as the LSH bucket caps.
+
+    ``method``: ``"arrow"`` (default) computes each cell's Gram matrix
+    with blocked BLAS matmuls — the throughput path; its cosines carry
+    normal float reassociation noise (~1 ulp), so PAIR MEMBERSHIP is
+    stable for any threshold not within ~1e-12 of a real cosine.
+    ``"fold"`` computes sequential left-to-right dot products in the
+    JVM — bit-identical to a SQL engine's ``list_dot_product``, the
+    mode an exactness oracle replays — at ~100× the cost per pair."""
+    if method not in ("arrow", "fold"):
+        raise ValueError(f"method must be 'arrow' or 'fold', got {method!r}")
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_centroids,
+                                  iterations=iterations, dim=dim)
+    dim = len(centroids[0][1])
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    base = (_valid_vectors(df, id_col, vec_col, dim)
+            .select(F.col("neighbor_id").alias("id"), "v",
+                    ivf_cell_column(F.col("v"), centroids).alias("cell"),
+                    norm.alias("nrm"))
+            .where(F.col("cell").isNotNull()))
+    if max_cell is not None:
+        sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+        base = base.join(
+            F.broadcast(sizes.where(F.col("__cn") <= max_cell)
+                        .select("cell")), "cell")
+    if method == "arrow":
+        return _arrow_cell_pairs(base, threshold, dim,
+                                 df.schema[id_col].dataType)
+    a = base.select("cell", F.col("id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select("cell", F.col("id").alias("id_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cell", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
+                   threshold: float = 0.95, n_centroids: int = 16,
+                   iterations: int = 0, max_cell: int | None = None,
+                   dim: int | None = None, method: str = "arrow",
+                   max_iter: int = 25,
+                   driver_max_edges: int = 2_000_000) -> DataFrame:
+    """Per-document SemDeDup verdicts: every input row gains
+    ``cluster_id`` (MIN id over its semantic near-dup group; singletons
+    are their own cluster) and ``is_canonical`` (the one kept copy per
+    group — keep-lowest-id; for a quality-aware keep run
+    :func:`semantic_near_dups` + ``dedup.keep_canonical`` with a
+    ``score_col``)."""
+    edges = semantic_near_dups(
+        df, id_col, vec_col, threshold=threshold, n_centroids=n_centroids,
+        iterations=iterations, max_cell=max_cell, dim=dim, method=method)
+    return duplicate_clusters(df, id_col, edges, max_iter=max_iter,
+                              driver_max_edges=driver_max_edges)
+
+
+def semantic_keep_best(df: DataFrame, id_col: str, vec_col: str,
+                       score_col: str, *, threshold: float = 0.95,
+                       n_centroids: int = 16, iterations: int = 0,
+                       max_cell: int | None = None,
+                       dim: int | None = None, method: str = "arrow",
+                       max_iter: int = 25,
+                       driver_max_edges: int = 2_000_000) -> DataFrame:
+    """The corpus minus semantic near-duplicates, keeping the
+    highest-``score_col`` member of every group (ties to lowest id) —
+    the RefinedWeb-style quality-aware keep applied to SemDeDup
+    groups."""
+    members = semantic_dedup(
+        df, id_col, vec_col, threshold=threshold, n_centroids=n_centroids,
+        iterations=iterations, max_cell=max_cell, dim=dim, method=method,
+        max_iter=max_iter, driver_max_edges=driver_max_edges
+    ).select(id_col, "cluster_id", score_col)
+    return keep_canonical(df, members.where(F.col("cluster_id").isNotNull()),
+                          id_col, score_col=score_col)
+
+
+__all__ = ["semantic_cells", "semantic_near_dups", "semantic_dedup",
+           "semantic_keep_best"]

@@ -399,6 +399,7 @@ def ivf_centroids(
     n_centroids: int,
     *,
     iterations: int = 0,
+    dim: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer for IVF: seed centroids are the
     ``n_centroids`` vectors with lexicographically-smallest
@@ -408,12 +409,21 @@ def ivf_centroids(
     as Spark aggregations) refine recall; the default 0 is the
     oracle-portable mode.
 
+    NULL vectors never seed (they would poison every later matmul);
+    pass ``dim`` to also exclude mis-dimensioned vectors from seeding —
+    without it a ragged corpus can seed a centroid of the wrong width
+    and silently redefine the space.
+
     Returns ``[(cell_id, centroid_vector), ...]`` — small by
     construction (collected to the driver, broadcast into plans)."""
-    seeded = (
-        df.select(F.col(vec_col).cast("array<double>").alias("cv"),
-                  F.md5(F.col(id_col).cast("string")).alias("__h__"))
-        .orderBy("__h__").limit(n_centroids).collect())
+    src = df.select(F.col(vec_col).cast("array<double>").alias("cv"),
+                    F.md5(F.col(id_col).cast("string")).alias("__h__")) \
+            .where(F.col("cv").isNotNull())
+    if dim is not None:
+        src = src.where(F.size("cv") == dim)
+    seeded = src.orderBy("__h__").limit(n_centroids).collect()
+    if not seeded:
+        raise ValueError("no well-formed vectors to seed centroids from")
     cents = [(i, list(r["cv"])) for i, r in enumerate(seeded)]
     for _ in range(iterations):
         assigned = df.select(
