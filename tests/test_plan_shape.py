@@ -457,6 +457,11 @@ def test_suggest_json_kv_plan_shape(spark, sf_dir):
     assert "ArrowEvalPython" not in text
     assert text.count("Exchange") == 1
     assert "partial_count" in text  # map-side combine before the shuffle
+    # the parse must run ONCE per doc: the sentinel when-chain
+    # references the map 4 times, and if CollapseProject ever re-inlines
+    # the dedicated parse projection the walk quadruples (A/B-measured
+    # 20.8s -> 7.5s on the 2M-doc bench leg)
+    assert text.count("parseJson") == 1
 
 
 def test_quality_gate_plans_are_pure_projection(spark, sf_dir):
