@@ -63,6 +63,21 @@ def main():
     # the synthetic Common-Crawl-shaped table (url, warc_ts, html, text, lang)
     web = web_pages(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
+    # -- 0. crawl hygiene: domain blocklist -------------------------------
+    # the C4/RefinedWeb first gate: drop pages whose host equals or sits
+    # under a blocked domain, BEFORE any per-byte work happens
+    from spark_schema_guard.operators import blocked_urls, filter_blocked
+    blocklist = spark.createDataFrame(
+        [("d13.example.org",), ("d27.example.org",)], "domain string")
+    n_raw = web.count()
+    report["blocklist"] = {
+        "blocked": blocked_urls(web, "doc_id", "url", blocklist)
+        .where("blocked").count()}
+    web = filter_blocked(web, "doc_id", "url", blocklist)
+    report["blocklist"]["kept"] = web.count()
+    assert report["blocklist"]["kept"] + report["blocklist"]["blocked"] \
+        == n_raw
+
     # -- 1. validation ----------------------------------------------------
     plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
     validated = plan.apply(web)
@@ -127,6 +142,18 @@ def main():
     report["decontamination"] = {
         "contaminated": contam.where("contaminated").count()}
 
+    # LM perplexity gate (CCNet-style): train a bigram LM on the trusted
+    # slice (here: the en pages), score every page in bits/bigram,
+    # bucket head/middle/tail at the scored tertiles — tail pages are
+    # the "least like the reference corpus" candidates for dropping
+    from spark_schema_guard.operators import perplexity_score
+    ppl = perplexity_score(web, web.where(F.col("lang") == "en"),
+                           "doc_id", "text")
+    report["perplexity_gate"] = {
+        str(r["ppl_bucket"]): r["n"] for r in
+        ppl.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n"))
+        .collect()}
+
     # PII gate: count emails/IPs/phones per page (zero-shuffle scan) and
     # SUBSTITUTE the redacted text for flagged pages — clean pages keep
     # their original bytes (redacted == text when nothing matched)
@@ -168,7 +195,31 @@ def main():
         clustered.join(clean.select(
             "doc_id", F.length("text").alias("score")), "doc_id"),
         "doc_id", score_col="score")
+    # the MinHash-dedup lineage is the deepest plan in the pipeline and
+    # THREE consumers sit below it (semantic dedup's two union branches
+    # + the band index) — persist the survivors once
+    deduped = deduped.persist()
     report["dedup"] = {"before": clean.count(), "after": deduped.count()}
+
+    # SEMANTIC dedup (SemDeDup): MinHash only catches near-identical
+    # BYTES; the embedding pass groups near-identical MEANING.  Cells
+    # come from the md5-seeded k-means quantizer; survivors keep the
+    # longest member per semantic group
+    from spark_schema_guard.operators import semantic_keep_best
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    with_emb = deduped.join(emb, "doc_id", "left")
+    sem_kept = semantic_keep_best(
+        with_emb.where(F.col("embedding").isNotNull())
+                .withColumn("__score", F.length("text")),
+        "doc_id", "embedding", "__score",
+        threshold=0.35, n_centroids=8, max_cell=100_000)
+    # pages with no embedding pass through untouched (they were never
+    # semantically comparable)
+    deduped = with_emb.where(F.col("embedding").isNull()) \
+        .unionByName(sem_kept.drop("__score")) \
+        .drop("embedding").persist()
+    report["semantic_dedup"] = {"after": deduped.count()}
 
     # incremental leg: persist the survivors' band index once, then any
     # FUTURE snapshot probes it instead of re-running the corpus

@@ -14,7 +14,11 @@ This module adds the streaming-specific conveniences:
   baseline, one stateful aggregation per window;
 * :func:`stream_to_audit` — foreachBatch sink appending per-batch metric
   rows to the same audit table the batch runner uses, so a streaming job
-  is resumable/observable identically.
+  is resumable/observable identically;
+* :func:`stream_blocked_urls` — the domain-blocklist crawl gate as
+  stateless per-label stream-static broadcast joins;
+* :func:`stream_lm_bits_by_window` — windowed mean LM cross-entropy
+  (the CCNet perplexity signal as a live drift monitor).
 
 Dynamic JSON columns need no streaming-specific operator at all:
 ``jsoncol.validate_json_column`` (columnar engine) is pure Column
@@ -611,3 +615,119 @@ def stream_dedup_sink(
              .mode("overwrite").parquet(index_delta_path))
 
     return _sink
+
+
+def stream_blocked_urls(
+    stream_df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    *,
+    domain_col: str = "domain",
+    max_labels: int = 8,
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """Append streaming-safe blocklist verdicts (``matched_domain`` +
+    ``flag_col``) to every row — the crawl-hygiene gate applied at
+    ingest time.
+
+    The batch operator (:func:`operators.urlfilter.blocked_urls`)
+    explodes the host's label suffixes and rolls matches back up with a
+    per-row ``groupBy`` — a mid-plan aggregation an append-mode stream
+    cannot run without state.  The streaming shape instead performs one
+    STREAM-STATIC left join per label level (suffix k = the host's last
+    ``k`` labels), ``max_labels`` of them, and takes ``least()`` over
+    the per-level matches — semantically the same ``min(domain)`` as
+    the batch rollup (least ignores NULLs), stateless, and every join
+    broadcasts the static blocklist, so the stream never shuffles.
+
+    Cost model: ``max_labels`` broadcast hash joins in one stage vs the
+    batch path's single join over an exploded stream — the right trade
+    for micro-batches; a backfill should use the batch operator.
+    """
+    if max_labels < 1:
+        raise ValueError(f"max_labels must be >= 1, got {max_labels}")
+    from .operators.urlnorm import url_host
+
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("__bdom")).distinct()
+    out = stream_df.withColumn("__host", url_host(F.col(url_col)))
+    n_labels = F.size(F.split(F.col("__host"), r"[.]"))
+    matches = []
+    for k in range(1, max_labels + 1):
+        suf = F.when(
+            (F.col("__host") != "") & (n_labels >= k),
+            F.expr(f"substring_index(__host, '.', -{k})"))
+        out = out.withColumn(f"__suf{k}", suf).join(
+            F.broadcast(bl.withColumnRenamed("__bdom", f"__m{k}")),
+            F.col(f"__suf{k}") == F.col(f"__m{k}"), "left")
+        matches.append(F.col(f"__m{k}"))
+    matched = F.least(*matches) if len(matches) > 1 else matches[0]
+    return (out.withColumn("matched_domain", matched)
+            .withColumn(flag_col, F.col("matched_domain").isNotNull())
+            .drop("__host", *[f"__suf{k}" for k in range(1, max_labels + 1)],
+                  *[f"__m{k}" for k in range(1, max_labels + 1)]))
+
+
+def stream_lm_bits_by_window(
+    stream_df: DataFrame,
+    text_col: str,
+    lm,
+    *,
+    time_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked windowed mean LM cross-entropy (bits/bigram) of the
+    incoming text — the CCNet quality signal as a DRIFT MONITOR: a
+    window whose mean bits jump left the reference distribution (spam
+    flood, language shift, template storm).
+
+    The batch scorer (:func:`operators.lmscore.cross_entropy`) builds
+    bigrams with a per-doc lead() window and aggregates per doc —
+    analytic windows and per-doc regrouping are not append-stream-safe.
+    Here bigrams are built as a per-row ARRAY expression (transform
+    over an index sequence — a HOF, CodegenFallback; the documented
+    price of stateless stream projections, cf. stream_decontaminate),
+    exploded, joined to the BROADCAST model tables (stream-static
+    equi-joins, stateless), and aggregated once per event-time window —
+    the only state is one sum+count per window in the horizon.
+
+    ``lm`` is an :class:`operators.lmscore.NgramLM`; train it on the
+    static reference corpus (batch) and reuse it across restarts.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("ctx"),
+                        F.element_at(toks, i + 1).alias("tok"))),
+    ).otherwise(F.array().cast("array<struct<ctx:string,tok:string>>"))
+    bi = stream_df.select(
+        F.col(time_col), F.explode(pairs).alias("p")
+    ).select(time_col, F.col("p.ctx").alias("ctx"),
+             F.col("p.tok").alias("tok"))
+    scored = (
+        bi.join(F.broadcast(lm.pairs), ["ctx", "tok"], "left")
+          .join(F.broadcast(lm.contexts.withColumnRenamed(
+              "ctx_n", "__ctx_n")), ["ctx"], "left")
+          .join(F.broadcast(lm.vsize))
+          .select(
+              F.col(time_col),
+              (-F.log2((F.coalesce(F.col("pair_n"), F.lit(0)) + 1.0)
+                       / (F.coalesce(F.col("__ctx_n"), F.lit(0))
+                          + F.col("v")))).alias("__bits"))
+    )
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    return (
+        scored.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.avg("__bits").alias("mean_h_bits"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "n_bigrams", "mean_h_bits")
+    )

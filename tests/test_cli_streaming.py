@@ -744,3 +744,62 @@ def test_stream_gate_window(spark, tmp_path):
     with pytest.raises(ValueError):
         stream_gate_by_window(stream, "doc_id", "text", time_col="ts",
                               gate="nope")
+
+
+def test_stream_blocked_urls(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_blocked_urls
+
+    rows = [(1, "https://ads.tracker.example/x"),
+            (2, "https://ok.example/y"),
+            (3, "https://user@sub.bad.org:8443/a"),
+            (4, "not a url")]
+    src = str(tmp_path / "bl_src")
+    spark.createDataFrame(rows, "doc_id long, url string").write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    bl = spark.createDataFrame([("tracker.example",), ("BAD.org",)],
+                               "domain string")
+    out = stream_blocked_urls(stream, "url", bl)
+    q = (out.writeStream.format("memory").queryName("blk")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["blocked"], r["matched_domain"])
+           for r in spark.sql("SELECT * FROM blk").collect()}
+    assert got == {1: (True, "tracker.example"), 2: (False, None),
+                   3: (True, "bad.org"), 4: (False, None)}
+    # streaming verdicts must agree with the batch operator
+    from spark_schema_guard.operators.urlfilter import blocked_urls
+    batch = {r["doc_id"]: (r["blocked"], r["matched_domain"])
+             for r in blocked_urls(static, "doc_id", "url", bl).collect()}
+    assert batch == got
+
+
+def test_stream_lm_bits_window(spark, tmp_path):
+    import math
+
+    from spark_schema_guard.operators.lmscore import train_ngram_lm
+    from spark_schema_guard.streaming import stream_lm_bits_by_window
+
+    ref = spark.createDataFrame([(1, "a b a b c"), (2, "b a")],
+                                "id long, text string")
+    lm = train_ngram_lm(ref, "id", "text")
+    rows = [(1, "a b c", "2024-03-01 00:10:00"),   # P=3/5, 2/6
+            (2, "z z", "2024-03-01 00:20:00"),     # P=1/3 (OOV ctx)
+            (3, "a", "2024-03-01 00:25:00"),       # no bigrams
+            (4, "a b", "2024-03-02 12:00:00")]     # sentinel closes win 1
+    src = str(tmp_path / "lm_src")
+    spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_lm_bits_by_window(stream, "text", lm, time_col="ts",
+                                   window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("lmw")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM lmw").collect()}
+    row = got["2024-03-01 00:00:00"]
+    assert row["n_bigrams"] == 3
+    expect = -(math.log2(3 / 5) + math.log2(2 / 6) + math.log2(1 / 3)) / 3
+    assert abs(row["mean_h_bits"] - expect) < 1e-12
