@@ -445,11 +445,14 @@ def q_dedup_verify(spark, sf_dir):
                                shingle_k=8, hash_fn="md5")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=4,
                               shingle_k=8, hash_fn="md5")
-    exact = verify_jaccard(docs, "doc_id", "text", pairs, shingle_k=8)
+    exact = verify_jaccard(docs, "doc_id", "text", pairs, shingle_k=8,
+                           containment=True)
     est = minhash_jaccard_estimate(sigs, pairs, id_col="doc_id")
     return exact.join(est, ["id_a", "id_b"]).select(
         "id_a", "id_b",
         F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
         F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
@@ -1759,6 +1762,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.id_a, c.id_b,
                    round(CAST(COALESCE(i.i, 0) AS DOUBLE)
                          / (za.n + zb.n - COALESCE(i.i, 0)), 6) AS jaccard,
+                   round(CAST(COALESCE(i.i, 0) AS DOUBLE) / za.n, 6)
+                     AS containment_a,
+                   round(CAST(COALESCE(i.i, 0) AS DOUBLE) / zb.n, 6)
+                     AS containment_b,
                    round((CAST(sa.sig_0 = sb.sig_0 AS INT)
                           + CAST(sa.sig_1 = sb.sig_1 AS INT)
                           + CAST(sa.sig_2 = sb.sig_2 AS INT)

@@ -336,12 +336,20 @@ def verify_jaccard(
     id_b: str = "id_b",
     min_jaccard: float | None = None,
     restrict: bool = False,
+    containment: bool = False,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard for a given candidate-pair list — the
     VERIFY stage of the classic LSH dedup pipeline (candidates are
     probabilistic; the keep/drop decision wants the true similarity).
     Returns ``(id_a, id_b, jaccard)``, optionally filtered to
     ``jaccard >= min_jaccard``.
+
+    ``containment=True`` adds Broder's asymmetric containment scores
+    from the SAME aggregate stream (zero extra cost):
+    ``containment_a = |A∩B|/|A|`` and ``containment_b = |A∩B|/|B|`` —
+    a near-1 containment with a low Jaccard is the partial-duplication
+    signature (one doc embedded in a larger one: a quoted article, a
+    page wrapping a syndicated body) that a symmetric score misses.
 
     Differs from :func:`ngram_jaccard_pairs`: that operator DISCOVERS
     pairs by self-joining the whole corpus on shingles (df-cut bounded);
@@ -405,11 +413,15 @@ def verify_jaccard(
     stats = per_h.groupBy(id_a, id_b).agg(
         F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"),
         F.sum(F.col("__a") * F.col("__b")).alias("__i"))
+    extra = []
+    if containment:
+        extra = [(F.col("__i") / F.col("__na")).alias("containment_a"),
+                 (F.col("__i") / F.col("__nb")).alias("containment_b")]
     out = (stats.where((F.col("__na") > 0) & (F.col("__nb") > 0))
            .select(F.col(id_a), F.col(id_b),
                    (F.col("__i")
                     / (F.col("__na") + F.col("__nb") - F.col("__i")))
-                   .alias("jaccard")))
+                   .alias("jaccard"), *extra))
     if min_jaccard is not None:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
     return out

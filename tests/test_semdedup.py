@@ -137,3 +137,22 @@ def test_reused_centroids_give_same_answer(emb):
     b = sorted((r["id_a"], r["id_b"]) for r in semantic_near_dups(
         emb, "vec_id", "v", threshold=0.95, n_centroids=3).collect())
     assert a == b
+
+
+def test_verify_jaccard_containment(spark):
+    # doc 2's shingle set is a strict subset of doc 1's -> containment_b
+    # is 1.0 while jaccard is well below it (the partial-dup signature)
+    from spark_schema_guard.operators.dedup import verify_jaccard
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 4), (2, "abcdefghij")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = verify_jaccard(docs, "doc_id", "text", pairs, shingle_k=8,
+                         containment=True).first()
+    assert row["containment_b"] == 1.0
+    assert row["containment_a"] < 1.0
+    assert row["jaccard"] == row["containment_a"]  # A∪B = A here
+    # default output keeps the legacy 3-column shape
+    cols = verify_jaccard(docs, "doc_id", "text", pairs,
+                          shingle_k=8).columns
+    assert cols == ["id_a", "id_b", "jaccard"]
