@@ -156,3 +156,18 @@ def test_verify_jaccard_containment(spark):
     cols = verify_jaccard(docs, "doc_id", "text", pairs,
                           shingle_k=8).columns
     assert cols == ["id_a", "id_b", "jaccard"]
+
+
+def test_single_cell_equals_exact_near_dups(spark):
+    # n_centroids=1 (one cell = all pairs, arrow path) must agree with
+    # dedup.embedding_near_dups(exact=True) (crossJoin, JVM fold path)
+    # on pair membership — two independent implementations of the same
+    # math
+    from spark_schema_guard.operators.dedup import embedding_near_dups
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .where("vec_id < 120"))
+    a = {(r["id_a"], r["id_b"]) for r in semantic_near_dups(
+        emb, "vec_id", "embedding", threshold=0.3, n_centroids=1).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.3, exact=True).collect()}
+    assert a == b and len(a) > 0
