@@ -33,7 +33,8 @@ sys.path.insert(0, REPO)
 START = "<!-- family-scaling:start -->"
 END = "<!-- family-scaling:end -->"
 FAMILIES = ("dedup_minhash", "dedup_clusters", "ann_topk_lsh",
-            "decontaminate", "strip_boilerplate", "dedup_verify")
+            "decontaminate", "strip_boilerplate", "dedup_verify",
+            "semantic_dedup")
 
 
 def _amplify(df, id_col, copies, varier=None):
@@ -76,6 +77,22 @@ def _perturb_vec(leg, c):
                     lambda x: (x * F.lit(eps)).cast("float")))
 
 
+def _diag_rescale(leg, c):
+    """Copy c rescales element i by 1+((c*(i+1))%5): copies with
+    c ≡ c' (mod 5) are exact-direction clones (bounded ~copies/5
+    cliques per base vector), other patterns land ~0.9 cosine — the
+    semdedup leg's edge list stays linear in the amplification instead
+    of one giant clique per direction (same construction as bench.py's
+    semantic_dedup leg)."""
+    from pyspark.sql import functions as F
+
+    return leg.withColumn(
+        "embedding",
+        F.transform("embedding",
+                    lambda x, i: (x * (1.0 + (F.lit(c) * (i + 1)) % 5))
+                    .cast("float")))
+
+
 def run_leg(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -84,6 +101,7 @@ def run_leg(cores: int) -> dict:
                                                     minhash_candidates,
                                                     strip_boilerplate,
                                                     verify_jaccard)
+    from spark_schema_guard.operators.semdedup import semantic_dedup
     from spark_schema_guard.operators.similarity import cosine_topk_lsh
     from spark_schema_guard.session import build_session, load_table
 
@@ -99,7 +117,9 @@ def run_leg(cores: int) -> dict:
                     "doc_id", copies, varier=_rotate_text).cache()
     emb = _amplify(load_table(spark, sf_dir, "embeddings"),
                    "vec_id", copies, varier=_perturb_vec).cache()
-    docs.count(), emb.count()
+    emb2 = _amplify(load_table(spark, sf_dir, "embeddings"),
+                    "vec_id", copies, varier=_diag_rescale).cache()
+    docs.count(), emb.count(), emb2.count()
     bench = docs.where(F.col("doc_id") % 97 == 0)
     n_q = int(os.environ.get("SPARK_GRAFT_FAMILY_QUERIES", "256"))
     qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]])
@@ -149,6 +169,14 @@ def run_leg(cores: int) -> dict:
             docs, "doc_id", "text",
             edges.where((F.col("id_a") + F.col("id_b")) % 64 == 0),
             shingle_k=8, restrict=True).agg(F.sum("jaccard")).collect(),
+        # in-cell Gram matmuls dominate (the operator's quadratic term);
+        # clone cliques are bounded by the diag-rescale construction so
+        # CC stays the adaptive driver path and the leg times the
+        # blocked-BLAS pair stage
+        "semantic_dedup": lambda: semantic_dedup(
+            emb2, "vec_id", "embedding", threshold=0.99, n_centroids=64,
+            max_cell=200_000).agg(
+            F.sum(F.col("is_canonical").cast("long"))).collect(),
     }
     timings = {}
     for name, job in jobs.items():
