@@ -1267,6 +1267,38 @@ def q_text_lm_score(spark, sf_dir):
     ).orderBy("lang", "ppl_bucket")
 
 
+def q_text_classifier(spark, sf_dir):
+    """fastText-style quality-classifier gate (multinomial Naive Bayes
+    over hashed unigram buckets, closed-form training — the CCNet /
+    LLaMA-1 "looks like Wikipedia" stage): positives are the doc_id%97
+    slice, negatives the doc_id%89 slice, and every document scores
+    prior + Σ fixed-point log-likelihood-ratio integers, so the oracle
+    recomputes the trained model exactly (same counts, same libm ln,
+    same floor)."""
+    from spark_schema_guard.operators import nb_classifier_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    pos = docs.where(F.col("doc_id") % 97 == 0)
+    neg = docs.where(F.col("doc_id") % 89 == 0)
+    return nb_classifier_scores(docs, "doc_id", "text",
+                                pos, "doc_id", "text",
+                                neg, "doc_id", "text",
+                                n=1, buckets=2048)
+
+
+def q_text_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span signals at 4-gram granularity
+    (the distributed approximation of Lee et al. 2022 exact-substring
+    dedup): corpus-duplicated 4-grams are flagged by one md5-keyed
+    count pass and each doc reports the fraction of its grams and of
+    its tokens (interval-union coverage) sitting inside duplicated
+    spans."""
+    from spark_schema_guard.operators.dedup import dup_span_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_features(docs, "doc_id", "text", n=4, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v_verdicts": q_v_verdicts,
@@ -1343,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "web_blocklist": q_web_blocklist,
         "semantic_dedup": q_semantic_dedup,
+        "text_classifier": q_text_classifier,
+        "text_dup_spans": q_text_dup_spans,
     }
 
 
@@ -2780,6 +2814,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.w, 0) AS BIGINT) AS weight_int,
                    coalesce(s.w, 0) / 1000000.0 AS logw
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "text_classifier": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id IS NOT NULL
+            ), grams AS (
+              SELECT doc_id, t[i] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+              WHERE t[i] <> ''
+            ), gb AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                       % 2048 AS b
+              FROM grams
+            ), counts_p AS (
+              SELECT b, count(*) AS c FROM gb WHERE doc_id % 97 = 0
+              GROUP BY b
+            ), counts_n AS (
+              SELECT b, count(*) AS c FROM gb WHERE doc_id % 89 = 0
+              GROUP BY b
+            ), tot AS (
+              SELECT (SELECT count(*) FROM gb WHERE doc_id % 97 = 0) AS p_tot,
+                     (SELECT count(*) FROM gb WHERE doc_id % 89 = 0) AS n_tot,
+                     (SELECT count(*) FROM documents
+                        WHERE doc_id IS NOT NULL AND doc_id % 97 = 0)
+                       AS p_docs,
+                     (SELECT count(*) FROM documents
+                        WHERE doc_id IS NOT NULL AND doc_id % 89 = 0)
+                       AS n_docs
+            ), pri AS (
+              SELECT CAST(floor((ln(p_docs + 1.0) - ln(n_docs + 1.0))
+                                * 1000000) AS BIGINT) AS prior
+              FROM tot
+            ), lam AS (
+              SELECT g.b,
+                     CAST(floor((ln((coalesce(p.c, 0) + 1.0)
+                                    / (p_tot + 1.0 * 2048))
+                               - ln((coalesce(q.c, 0) + 1.0)
+                                    / (n_tot + 1.0 * 2048)))
+                               * 1000000) AS BIGINT) AS lam
+              FROM (SELECT DISTINCT b FROM gb) g
+              LEFT JOIN counts_p p USING (b)
+              LEFT JOIN counts_n q USING (b), tot
+            ), scored AS (
+              SELECT gb.doc_id, count(*) AS ng, sum(lam.lam) AS w
+              FROM gb JOIN lam USING (b) GROUP BY gb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(s.w, 0) + pri.prior AS BIGINT) AS logit_int,
+                   (coalesce(s.w, 0) + pri.prior) / 1000000.0 AS logit,
+                   (coalesce(s.w, 0) + pri.prior) > 0 AS keep
+            FROM documents d LEFT JOIN scored s USING (doc_id), pri
+        """,
+        "text_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id IS NOT NULL
+            ), grams AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS s(i)
+            ), dupk AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ), cov AS (
+              SELECT doc_id, pos,
+                     pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS gap
+              FROM grams JOIN dupk USING (gram)
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS nd,
+                     sum(CASE WHEN gap IS NULL THEN 4
+                              ELSE least(4, gap) END) AS cov
+              FROM cov GROUP BY doc_id
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN b.n_tokens IS NULL THEN 0
+                             ELSE greatest(b.n_tokens - 3, 0) END
+                        AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN b.n_tokens IS NULL THEN NULL
+                        WHEN greatest(b.n_tokens - 3, 0) > 0
+                          THEN round(coalesce(p.nd, 0)
+                                     / CAST(b.n_tokens - 3 AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_gram_frac,
+                   CAST(coalesce(p.cov, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN b.n_tokens IS NULL THEN NULL
+                        WHEN b.n_tokens > 0
+                          THEN round(coalesce(p.cov, 0)
+                                     / CAST(b.n_tokens AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_token_frac
+            FROM base b LEFT JOIN per_doc p USING (doc_id)
         """,
         "sample_domain_cap": f"""
             WITH {WEB_CTE}, d AS (

@@ -389,6 +389,23 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             F.sum(F.col("is_canonical").cast("long"))).collect()
 
     timed("semantic_dedup", semdedup_leg)
+    from spark_schema_guard.operators import nb_classifier_scores
+    # NB quality gate: train on the %97/%89 slices, score every doc;
+    # consumer sums logits + keeps so the scoring join cannot be pruned
+    timed("text_classifier", lambda: nb_classifier_scores(
+        docs, "doc_id", "text",
+        docs.where(F.col("doc_id") % 97 == 0), "doc_id", "text",
+        docs.where(F.col("doc_id") % 89 == 0), "doc_id", "text",
+        n=1, buckets=4096).agg(
+        F.sum("logit_int"), F.sum(F.col("keep").cast("long")),
+        F.sum("n_grams")).collect())
+    from spark_schema_guard.operators.dedup import dup_span_features
+    # cross-doc duplicated 8-gram spans; consumer forces both fraction
+    # columns so the coverage window is never pruned
+    timed("text_dup_spans", lambda: dup_span_features(
+        docs, "doc_id", "text", n=8).agg(
+        F.sum("n_dup_grams"), F.sum("dup_tokens"),
+        F.sum("dup_gram_frac"), F.sum("dup_token_frac")).collect())
     from spark_schema_guard.operators import extraction_report
     # runs on the FULL amplified web table: the verdict column forces the
     # tag-strip + byte compare on every row (the north rule's invariant)

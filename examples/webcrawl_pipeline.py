@@ -154,6 +154,31 @@ def main():
         ppl.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n"))
         .collect()}
 
+    # quality classifier (fastText-style NB, closed-form training):
+    # bootstrap the labels from the perplexity gate itself — head pages
+    # are positives, tail pages negatives (the CCNet move: no hand
+    # labels exist at crawl scale), then score EVERY page
+    from spark_schema_guard.operators import nb_classifier_scores
+    pos = web.join(ppl.where(F.col("ppl_bucket") == "head")
+                   .select("doc_id"), "doc_id", "left_semi")
+    neg = web.join(ppl.where(F.col("ppl_bucket") == "tail")
+                   .select("doc_id"), "doc_id", "left_semi")
+    clf = nb_classifier_scores(web, "doc_id", "text",
+                               pos, "doc_id", "text",
+                               neg, "doc_id", "text", n=1, buckets=4096)
+    report["quality_classifier"] = {
+        "kept": clf.where("keep").count(),
+        "dropped": clf.where(~F.col("keep")).count()}
+
+    # cross-doc duplicated spans (the exact-substring-dedup signal):
+    # pages whose tokens mostly sit inside corpus-duplicated 8-gram
+    # spans are template farms / mirrored boilerplate
+    from spark_schema_guard.operators.dedup import dup_span_features
+    spans = dup_span_features(web, "doc_id", "text", n=8)
+    report["dup_spans"] = {
+        "template_heavy": spans.where(F.col("dup_token_frac") > 0.5)
+        .count()}
+
     # PII gate: count emails/IPs/phones per page (zero-shuffle scan) and
     # SUBSTITUTE the redacted text for flagged pages — clean pages keep
     # their original bytes (redacted == text when nothing matched)

@@ -5,7 +5,8 @@ from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
                     ks_drift, psi_by_unit)
 from .sampling import (assign_splits, cap_per_stratum, downsample,
-                       importance_weights, stratified_sample,
+                       importance_weights, nb_classifier_scores,
+                       stratified_sample,
                        take_token_budget, temperature_mix)
 from .urlfilter import blocked_urls, filter_blocked
 from .urlnorm import duplicate_urls_normalized, normalize_url, url_host
@@ -40,6 +41,7 @@ __all__ = [
     "cap_per_stratum",
     "downsample",
     "importance_weights",
+    "nb_classifier_scores",
     "stratified_sample",
     "take_token_budget",
     "temperature_mix",

@@ -626,6 +626,93 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dup_span_features(df: DataFrame, id_col: str, text_col: str, *,
+                      n: int = 8, min_count: int = 2) -> DataFrame:
+    """CROSS-document duplicated-span signals at word-``n``-gram
+    granularity — the distributed approximation of exact-substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", which removes substrings >= 50 tokens that
+    appear more than once in the corpus; a suffix array is a single-node
+    structure, but a span of >= ``s`` duplicated tokens necessarily
+    duplicates every one of its length-``n`` token windows, so flagging
+    corpus-duplicated ``n``-grams and measuring their coverage bounds the
+    same signal shard-by-shard).
+
+    A gram is *duplicated* when its total occurrence count across the
+    corpus (within-doc repeats included, matching the paper's "appears
+    more than once") is >= ``min_count``.  Per document:
+
+    * ``n_tokens``, ``n_grams`` (= max(0, n_tokens - n + 1)),
+    * ``n_dup_grams`` — this doc's gram occurrences that are duplicated,
+    * ``dup_gram_frac`` — n_dup_grams / n_grams,
+    * ``dup_tokens`` — tokens covered by the UNION of duplicated-gram
+      spans [pos, pos+n) (interval union via a per-doc lag() window:
+      first span costs ``n``, each next costs min(n, pos - prev_pos)),
+    * ``dup_token_frac`` — dup_tokens / n_tokens.
+
+    Fractions are rounded to 4 decimals (module convention); docs with
+    no grams report zero counts and 0.0 fractions; NULL text reports
+    NULL tokens/fractions (and zero dup counts — no grams exist); NULL
+    ids are excluded from gram counting (they cannot join back) and
+    report zero dup counts over their own token totals.  Tokenization is
+    the shared lowercase-whitespace stack, so the DuckDB oracle
+    reproduces every count exactly.
+
+    Scale shape: gram counts are an md5-keyed groupBy with map-side
+    partial aggregation (the decontaminate shape — fixed 32-hex keys,
+    never raw gram strings, through the Exchange); the duplicated-gram
+    set joins back on the same key; the coverage window partitions by
+    doc id so its sort is bounded by one document's dup grams.  No
+    corpus-wide window, no driver state.  Reference: this is a table
+    operator the reference (a row validator) does not contain; cited
+    paper only.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import token_count, word_ngram_stack
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would flag every gram)")
+    stack = word_ngram_stack(
+        df.where(F.col(id_col).isNotNull()).select(F.col(id_col),
+                                                   F.col(text_col)),
+        id_col, text_col, (n,), with_pos=True)
+    hashed = stack.select(F.col(id_col), F.col("pos"),
+                          F.md5("gram").alias("__h"))
+    dup_keys = (hashed.groupBy("__h")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") >= min_count).select("__h"))
+    dup = hashed.join(dup_keys, "__h")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    covered = F.when(gap.isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), gap)).cast("long")
+    per_doc = (dup.select(F.col(id_col), covered.alias("__cov"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("__nd"),
+                    F.sum("__cov").alias("__tok")))
+    n_tokens = token_count(F.col(text_col)).cast("long")
+    n_grams = F.greatest(F.lit(0).cast("long"), n_tokens - (n - 1))
+    n_dup = F.coalesce(F.col("__nd"), F.lit(0)).cast("long")
+    dup_tok = F.coalesce(F.col("__tok"), F.lit(0)).cast("long")
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .join(per_doc, id_col, "left").select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            n_grams.alias("n_grams"),
+            n_dup.alias("n_dup_grams"),
+            F.round(F.when(n_grams > 0, n_dup / n_grams)
+                    .otherwise(F.when(n_tokens.isNotNull(), F.lit(0.0))),
+                    4).alias("dup_gram_frac"),
+            dup_tok.alias("dup_tokens"),
+            F.round(F.when(n_tokens > 0, dup_tok / n_tokens)
+                    .otherwise(F.when(n_tokens.isNotNull(), F.lit(0.0))),
+                    4).alias("dup_token_frac"),
+        )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32,
             hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint per doc from whitespace tokens: ``id, simhash``.
@@ -715,13 +802,20 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
                          F.col("simhash").alias("sh_a"))
     right = banded.select("blk", "key", F.col(id_col).alias("id_b"),
                           F.col("simhash").alias("sh_b"))
-    pairs = (
-        left.join(right, ["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates(["id_a", "id_b"])
-    )
+    # hamming-filter BEFORE dropDuplicates: the distance is a pure
+    # function of (sh_a, sh_b) already in the row, so the filter commutes
+    # with the pair-dedup — but it runs map-side inside the join stage,
+    # so only true near-dups (not every bucket-collision candidate)
+    # shuffle through the dropDuplicates Exchange.  The candidate:surviving
+    # ratio is ~2^width on random fingerprints — this is the "dedup after
+    # the reduction stage" rule (see embedding_near_dups / similarity.py).
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).where(
-        F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return (
+        left.join(right, ["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def _driver_union_find(pairs, id_type, spark):

@@ -276,32 +276,17 @@ def importance_weights(
     if scale < 1:
         raise ValueError("scale must be a positive integer")
 
-    bucket_of = (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-                 .cast("long") % buckets)
-
-    def _bucket_counts(frame, idc, tc):
-        stack = word_ngram_stack(
-            frame.where(F.col(idc).isNotNull()).select(F.col(idc), F.col(tc)),
-            idc, tc, (n,))
-        rows = (stack.withColumn("__b", bucket_of)
-                .groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect())
-        return {r["__b"]: r["c"] for r in rows}
-
-    ct = _bucket_counts(target, target_id_col, target_text_col)
-    cr = _bucket_counts(df, id_col, text_col)
-    t_tot, r_tot = sum(ct.values()), sum(cr.values())
-    a = float(smoothing)
-    lam_rows = []
-    for b in range(buckets):
-        val = (math.log((ct.get(b, 0) + a) / (t_tot + a * buckets))
-               - math.log((cr.get(b, 0) + a) / (r_tot + a * buckets)))
-        lam_rows.append((b, int(math.floor(val * scale))))
-    ldf = df.sparkSession.createDataFrame(lam_rows, "b long, lam long")
+    ct = _gram_bucket_counts(target, target_id_col, target_text_col,
+                             n, buckets)
+    cr = _gram_bucket_counts(df, id_col, text_col, n, buckets)
+    ldf = df.sparkSession.createDataFrame(
+        _log_ratio_rows(ct, cr, buckets, float(smoothing), scale),
+        "b long, lam long")
 
     stack = word_ngram_stack(
         df.where(F.col(id_col).isNotNull()).select(F.col(id_col),
                                                    F.col(text_col)),
-        id_col, text_col, (n,)).withColumn("__b", bucket_of)
+        id_col, text_col, (n,)).withColumn("__b", _gram_bucket(buckets))
     scored = (stack.join(F.broadcast(ldf), stack["__b"] == ldf["b"])
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("__ng"),
@@ -311,6 +296,124 @@ def importance_weights(
         F.coalesce("__ng", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("__w", F.lit(0)).cast("long").alias("weight_int"),
         (F.coalesce("__w", F.lit(0)) / F.lit(float(scale))).alias("logw"),
+    )
+
+
+def _gram_bucket(buckets: int) -> Column:
+    """Bucket of the ``gram`` column: first 8 md5 hex chars as an
+    integer mod ``buckets`` — engine-portable (any SQL oracle reproduces
+    it digit-by-digit)."""
+    return (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def _gram_bucket_counts(frame, idc, tc, n: int, buckets: int) -> dict:
+    """Driver-side dict of hashed-``n``-gram bucket counts (<= ``buckets``
+    rows collected — a plan-scale quantity)."""
+    from .textstats import word_ngram_stack
+
+    stack = word_ngram_stack(
+        frame.where(F.col(idc).isNotNull()).select(F.col(idc), F.col(tc)),
+        idc, tc, (n,))
+    rows = (stack.withColumn("__b", _gram_bucket(buckets))
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect())
+    return {r["__b"]: r["c"] for r in rows}
+
+
+def _log_ratio_rows(ca: dict, cb: dict, buckets: int, a: float,
+                    scale: int) -> list:
+    """Fixed-point per-bucket add-``a``-smoothed log-probability ratios:
+    ``floor(scale * (ln p_a(bucket) - ln p_b(bucket)))`` (floor, not
+    round — an SQL oracle's floor reproduces it bit-for-bit because
+    ``ln`` is the same libm call in both engines)."""
+    a_tot, b_tot = sum(ca.values()), sum(cb.values())
+    rows = []
+    for b in range(buckets):
+        val = (math.log((ca.get(b, 0) + a) / (a_tot + a * buckets))
+               - math.log((cb.get(b, 0) + a) / (b_tot + a * buckets)))
+        rows.append((b, int(math.floor(val * scale))))
+    return rows
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive: DataFrame,
+    pos_id_col: str,
+    pos_text_col: str,
+    negative: DataFrame,
+    neg_id_col: str,
+    neg_text_col: str,
+    *,
+    n: int = 1,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """fastText-style quality-classifier gate as a multinomial Naive
+    Bayes linear model over hashed word-``n``-gram buckets — the
+    curation stage CCNet ("high-quality = looks like Wikipedia"),
+    LLaMA-1 ("pages referenced by Wikipedia") and FineWeb-edu run
+    between crawl hygiene and dedup.  Training IS the closed-form count
+    pass: per-bucket weights are the smoothed log-likelihood ratios
+    ``lam_b = ln p(b|positive) - ln p(b|negative)`` estimated from the
+    labeled ``positive`` / ``negative`` example frames, plus a
+    document-count prior ``ln((n_pos + a) / (n_neg + a))`` — no
+    iterative optimizer, so the whole model is reproducible by the
+    DuckDB oracle (fixed-point ``floor(val * scale)`` integers, exactly
+    like :func:`importance_weights`, which is this model's
+    prior-free two-corpus special case).
+
+    Returns ``(id, n_grams, logit_int, logit, keep)`` where
+    ``logit_int = prior_int + Σ_gram lam_int(bucket(gram))`` and
+    ``keep = logit_int > 0`` (P(positive) > 0.5 under NB).  Docs with
+    no grams (blank/short/NULL text) score the prior alone; NULL ids
+    score the prior with ``n_grams = 0`` (their grams cannot join back
+    and are excluded from counting).
+
+    Scale shape: identical to :func:`importance_weights` — two bounded
+    driver collects over the LABELED frames only (typically tiny next
+    to the corpus), a ``buckets``-row LocalTableScan broadcast into the
+    corpus gram stream, one groupBy(id) rollup.  The corpus itself is
+    scanned once.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 1 <= buckets <= 1_000_000:
+        raise ValueError("buckets must be in [1, 1e6]")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (zero counts are hashed "
+                         "buckets' normal state)")
+    if scale < 1:
+        raise ValueError("scale must be a positive integer")
+    from .textstats import word_ngram_stack
+
+    cp = _gram_bucket_counts(positive, pos_id_col, pos_text_col, n, buckets)
+    cn = _gram_bucket_counts(negative, neg_id_col, neg_text_col, n, buckets)
+    a = float(smoothing)
+    n_pos = positive.where(F.col(pos_id_col).isNotNull()).count()
+    n_neg = negative.where(F.col(neg_id_col).isNotNull()).count()
+    prior_int = int(math.floor(
+        (math.log(n_pos + a) - math.log(n_neg + a)) * scale))
+    ldf = df.sparkSession.createDataFrame(
+        _log_ratio_rows(cp, cn, buckets, a, scale), "b long, lam long")
+
+    stack = word_ngram_stack(
+        df.where(F.col(id_col).isNotNull()).select(F.col(id_col),
+                                                   F.col(text_col)),
+        id_col, text_col, (n,)).withColumn("__b", _gram_bucket(buckets))
+    scored = (stack.join(F.broadcast(ldf), stack["__b"] == ldf["b"])
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("__ng"),
+                   F.sum("lam").alias("__w")))
+    logit_int = (F.coalesce("__w", F.lit(0)) + F.lit(prior_int)).cast("long")
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__ng", F.lit(0)).cast("long").alias("n_grams"),
+        logit_int.alias("logit_int"),
+        (logit_int / F.lit(float(scale))).alias("logit"),
+        (logit_int > 0).alias("keep"),
     )
 
 

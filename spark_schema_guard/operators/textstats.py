@@ -120,9 +120,12 @@ def word_ngrams(toks: Column, n: int) -> Column:
 
 
 def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
-                     ns: tuple) -> DataFrame:
+                     ns: tuple, *, with_pos: bool = False) -> DataFrame:
     """One row per (doc, n, gram) for every word n-gram, n in ``ns`` —
-    lowercase whitespace tokens, grams space-joined.
+    lowercase whitespace tokens, grams space-joined.  With
+    ``with_pos=True`` each row also carries ``pos``, the 0-based token
+    index where the gram starts (used by span-coverage consumers such
+    as :func:`~spark_schema_guard.operators.dedup.dup_span_features`).
 
     Built as posexplode(tokens) -> per-doc lead(tok, j) window ->
     concat_ws, NOT a transform-HOF over an index sequence: HOFs are
@@ -145,7 +148,8 @@ def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
     w = Window.partitionBy(id_col).orderBy("pos")
     lead_cols = [F.lead("tok", j).over(w).alias(f"_l{j}")
                  for j in range(1, max_n)]
-    st = st.select(F.col(id_col), F.col("tok"), *lead_cols)
+    keep_pos = [F.col("pos")] if with_pos else []
+    st = st.select(F.col(id_col), *keep_pos, F.col("tok"), *lead_cols)
 
     def _gram(n: int) -> Column:
         parts = [F.col("tok")] + [F.col(f"_l{j}") for j in range(1, n)]
@@ -155,9 +159,10 @@ def word_ngram_stack(df: DataFrame, id_col: str, text_col: str,
     gram_structs = [F.struct(F.lit(n).alias("n"), _gram(n).alias("gram"))
                     for n in ns]
     return st.select(
-        F.col(id_col),
+        F.col(id_col), *keep_pos,
         F.explode(F.array(*gram_structs)).alias("t"),
-    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")) \
+    ).select(id_col, *([("pos")] if with_pos else []),
+             F.col("t.n").alias("n"), F.col("t.gram").alias("gram")) \
         .where(F.col("gram").isNotNull())
 
 

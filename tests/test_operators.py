@@ -1673,3 +1673,118 @@ def test_importance_weights(spark):
         with pytest.raises(ValueError):
             importance_weights(raw, "doc_id", "text", tgt, "tid", "ttext",
                                **kw)
+
+
+def test_nb_classifier_scores(spark):
+    """The NB quality gate reproduces its documented closed-form
+    arithmetic exactly: smoothed per-bucket log-likelihood-ratio
+    integers plus the doc-count prior, keep = logit_int > 0."""
+    import hashlib
+    import math
+
+    from spark_schema_guard.operators import nb_classifier_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, "buy spam pills now"),
+         (3, ""), (4, None), (None, "good clean")],
+        "doc_id int, text string")
+    pos = spark.createDataFrame(
+        [(10, "good clean prose"), (11, "clean careful words")],
+        "pid int, ptext string")
+    neg = spark.createDataFrame(
+        [(20, "spam spam buy now buy pills")],
+        "nid int, ntext string")
+    B, a, scale = 64, 1.0, 10 ** 6
+    rows = nb_classifier_scores(
+        corpus, "doc_id", "text", pos, "pid", "ptext",
+        neg, "nid", "ntext", n=1, buckets=B).collect()
+    out = {r["doc_id"]: r for r in rows}
+
+    def toks(text):
+        return text.lower().strip().split() if text and text.strip() else []
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    cp, cn = {}, {}
+    for txt in ("good clean prose", "clean careful words"):
+        for t in toks(txt):
+            cp[bucket(t)] = cp.get(bucket(t), 0) + 1
+    for t in toks("spam spam buy now buy pills"):
+        cn[bucket(t)] = cn.get(bucket(t), 0) + 1
+    P, N = sum(cp.values()), sum(cn.values())
+    lam = {b: int(math.floor(
+        (math.log((cp.get(b, 0) + a) / (P + a * B))
+         - math.log((cn.get(b, 0) + a) / (N + a * B))) * scale))
+        for b in range(B)}
+    prior = int(math.floor((math.log(2 + a) - math.log(1 + a)) * scale))
+    for doc_id, txt in ((1, "good clean prose here"),
+                        (2, "buy spam pills now")):
+        expect = prior + sum(lam[bucket(t)] for t in toks(txt))
+        assert out[doc_id]["logit_int"] == expect
+        assert out[doc_id]["n_grams"] == len(toks(txt))
+        assert out[doc_id]["keep"] == (expect > 0)
+        assert abs(out[doc_id]["logit"] - expect / scale) < 1e-12
+    # the positive-looking doc scores above the spammy one
+    assert out[1]["logit_int"] > out[2]["logit_int"]
+    assert out[1]["keep"] and not out[2]["keep"]
+    # blank text scores the prior alone; NULL id rows survive with the
+    # prior (their grams are excluded from counting)
+    assert out[3]["n_grams"] == 0 and out[3]["logit_int"] == prior
+    assert out[None]["n_grams"] == 0 and out[None]["logit_int"] == prior
+    import pytest
+    for kw in ({"n": 0}, {"buckets": 0}, {"smoothing": 0.0}, {"scale": 0}):
+        with pytest.raises(ValueError):
+            nb_classifier_scores(corpus, "doc_id", "text", pos, "pid",
+                                 "ptext", neg, "nid", "ntext", **kw)
+
+
+def test_dup_span_features(spark):
+    """Cross-doc duplicated 4-gram spans: counts, interval-union token
+    coverage (overlapping spans merge), within-doc repeats, and the
+    blank/NULL contracts."""
+    from spark_schema_guard.operators.dedup import dup_span_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e x"), (3, "z z z z"),
+         (4, ""), (5, None), (6, "q r s"),
+         (7, "p p p p p p p p")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dup_span_features(
+        docs, "doc_id", "text", n=4, min_count=2).collect()}
+
+    # docs 1/2 share "a b c d" and "b c d e" (pos 0,1): union covers
+    # 4 + min(4, 1) = 5 of 6 tokens
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 6 and out[d]["n_grams"] == 3
+        assert out[d]["n_dup_grams"] == 2
+        assert out[d]["dup_tokens"] == 5
+        assert out[d]["dup_gram_frac"] == round(2 / 3, 4)
+        assert out[d]["dup_token_frac"] == round(5 / 6, 4)
+    # doc 7's single repeated gram counts within-doc: all 5 occurrences
+    # are duplicated, coverage is the whole doc
+    assert out[7]["n_dup_grams"] == 5 and out[7]["dup_tokens"] == 8
+    assert out[7]["dup_gram_frac"] == 1.0
+    assert out[7]["dup_token_frac"] == 1.0
+    # unique gram -> no dups
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_token_frac"] == 0.0
+    # blank: zero tokens, zero grams, 0.0 fractions
+    assert out[4]["n_tokens"] == 0 and out[4]["n_grams"] == 0
+    assert out[4]["dup_gram_frac"] == 0.0
+    # NULL text: NULL tokens/fractions, zero dup counts
+    assert out[5]["n_tokens"] is None
+    assert out[5]["dup_gram_frac"] is None and out[5]["n_dup_grams"] == 0
+    # shorter than n: zero grams, defined 0.0 fractions
+    assert out[6]["n_tokens"] == 3 and out[6]["n_grams"] == 0
+    assert out[6]["dup_gram_frac"] == 0.0
+    # deterministic under repartitioning
+    again = {r["doc_id"]: (r["n_dup_grams"], r["dup_tokens"])
+             for r in dup_span_features(docs.repartition(5), "doc_id",
+                                        "text", n=4, min_count=2).collect()}
+    assert again == {k: (v["n_dup_grams"], v["dup_tokens"])
+                     for k, v in out.items()}
+    import pytest
+    with pytest.raises(ValueError):
+        dup_span_features(docs, "doc_id", "text", n=0)
+    with pytest.raises(ValueError):
+        dup_span_features(docs, "doc_id", "text", min_count=1)

@@ -518,3 +518,69 @@ def test_importance_weights_broadcasts_lambda(spark, sf_dir):
     assert "LocalTableScan" in text or "Scan ExistingRDD" in text
     assert "CartesianProduct" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_dup_span_plan_stays_jvm_and_windows_per_doc(spark, sf_dir):
+    """dup_span_features: the coverage window partitions by doc id (its
+    sort is bounded by one document's dup grams — never a corpus-wide
+    window), the gram-count reduction carries fixed-width md5 keys, and
+    the whole plan is JVM-side."""
+    from spark_schema_guard.operators.dedup import dup_span_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dup_span_features(docs, "doc_id", "text", n=4)
+    text = _physical(out)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "CartesianProduct" not in text
+    # every Window node is doc-partitioned (hashpartitioning on doc_id
+    # feeds it), so no single-partition global sort exists in the plan
+    import re
+
+    for m in re.finditer(r"Window \[", text):
+        seg = text[m.start():m.start() + 300]
+        assert "windowspecdefinition(doc_id" in seg, seg
+
+
+def test_nb_classifier_plan_broadcasts_lambda(spark, sf_dir):
+    """The classifier's λ table is a broadcast local relation (the
+    importance_weights shape): one LocalTableScan, a BroadcastHashJoin
+    into the gram stream, zero Python nodes."""
+    from spark_schema_guard.operators import nb_classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = nb_classifier_scores(
+        docs, "doc_id", "text",
+        docs.where(F.col("doc_id") % 97 == 0), "doc_id", "text",
+        docs.where(F.col("doc_id") % 89 == 0), "doc_id", "text",
+        n=1, buckets=256)
+    text = _physical(out)
+    assert "BroadcastHashJoin" in text, text[:2000]
+    assert "LocalTableScan" in text or "Scan ExistingRDD" in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_simhash_near_dups_filters_before_pair_dedup(spark, sf_dir):
+    """The hamming cut must sit BELOW the pair-level dedup Exchange in
+    the plan (filter inside the join stage, dropDuplicates only over
+    surviving near-dups) — the 'dedup after the reduction stage' rule."""
+    from spark_schema_guard.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 1000)
+    out = simhash_near_dups(docs, "doc_id", "text", bits=32, max_hamming=3)
+    text = _physical(out)
+    # the aggregate implementing dropDuplicates consumes a hamming
+    # column already computed+filtered upstream (Catalyst folds the cut
+    # into the pair-join condition itself): every bit_count occurrence
+    # must sit BELOW (deeper than) the dedup HashAggregate keyed on
+    # (id_a, id_b) — toString is top-down, so all bit_count line
+    # indices must be GREATER than the first dedup agg line, and the
+    # dedup agg must aggregate the already-computed hamming column
+    lines = text.splitlines()
+    dedup_idx = next(i for i, ln in enumerate(lines)
+                     if "HashAggregate" in ln and "id_a" in ln
+                     and "id_b" in ln)
+    assert "hamming" in lines[dedup_idx], lines[dedup_idx]
+    bit_idxs = [i for i, ln in enumerate(lines) if "bit_count" in ln]
+    assert bit_idxs and all(i > dedup_idx for i in bit_idxs), text[:3000]
