@@ -253,9 +253,10 @@ def importance_weights(
     NULL ids are excluded from gram counting and scored 0 (they cannot
     join back); NULL/blank texts and docs shorter than ``n`` tokens
     have no grams and score ``n_grams=0, weight_int=0, logw=0.0`` — the
-    neutral score.  Driver state: two bounded per-bucket count collects
-    (<= ``buckets`` rows each, a plan-scale quantity like
-    ``temperature_mix``'s source vocabulary).
+    neutral score.  Driver state: ONE bounded per-bucket count collect
+    (<= 2 x ``buckets`` rows — both legs' aggregates union into a
+    single job, a plan-scale quantity like ``temperature_mix``'s source
+    vocabulary).
 
     Scale shape: grams via the lead()-window stack (the measured ~10x
     win over transform-HOFs, SCALE.md); bucket counts are map-side-
@@ -276,9 +277,9 @@ def importance_weights(
     if scale < 1:
         raise ValueError("scale must be a positive integer")
 
-    ct = _gram_bucket_counts(target, target_id_col, target_text_col,
-                             n, buckets)
-    cr = _gram_bucket_counts(df, id_col, text_col, n, buckets)
+    (ct, _), (cr, _) = _gram_bucket_counts_multi(
+        [(target, target_id_col, target_text_col), (df, id_col, text_col)],
+        n, buckets)
     ldf = df.sparkSession.createDataFrame(
         _log_ratio_rows(ct, cr, buckets, float(smoothing), scale),
         "b long, lam long")
@@ -299,25 +300,59 @@ def importance_weights(
     )
 
 
-def _gram_bucket(buckets: int) -> Column:
+def _gram_bucket(buckets: int, hash_fn: str = "md5") -> Column:
     """Bucket of the ``gram`` column: first 8 md5 hex chars as an
     integer mod ``buckets`` — engine-portable (any SQL oracle reproduces
-    it digit-by-digit)."""
-    return (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-            .cast("long") % buckets)
+    it digit-by-digit).  ``hash_fn="xxhash64"`` is the cheaper 10^12-row
+    knob (same determinism across cluster sizes and re-runs, just not
+    reproducible by a SQL oracle), mirroring the dedup family's dual
+    hash modes."""
+    if hash_fn == "md5":
+        return (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                .cast("long") % buckets)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64("gram"), F.lit(buckets)).cast("long")
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
 
 
-def _gram_bucket_counts(frame, idc, tc, n: int, buckets: int) -> dict:
-    """Driver-side dict of hashed-``n``-gram bucket counts (<= ``buckets``
-    rows collected — a plan-scale quantity)."""
+def _gram_bucket_counts_multi(frames, n: int, buckets: int,
+                              hash_fn: str = "md5", *,
+                              with_doc_counts: bool = False) -> list:
+    """Hashed-``n``-gram bucket counts for SEVERAL ``(frame, id_col,
+    text_col)`` legs collected in ONE Spark job (a union of the per-leg
+    aggregates — the scans run concurrently and the driver pays one
+    round trip instead of one per leg).  Returns one ``(bucket_counts,
+    n_docs)`` pair per leg; ``n_docs`` (the leg's non-NULL-id row count,
+    riding along as pseudo-bucket -1) is populated only when
+    ``with_doc_counts`` — the collect stays <= legs x (buckets + 1)
+    rows, a plan-scale quantity."""
+    from functools import reduce
+
     from .textstats import word_ngram_stack
 
-    stack = word_ngram_stack(
-        frame.where(F.col(idc).isNotNull()).select(F.col(idc), F.col(tc)),
-        idc, tc, (n,))
-    rows = (stack.withColumn("__b", _gram_bucket(buckets))
-            .groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect())
-    return {r["__b"]: r["c"] for r in rows}
+    parts = []
+    for y, (frame, idc, tc) in enumerate(frames):
+        base = frame.where(F.col(idc).isNotNull())
+        stack = word_ngram_stack(base.select(F.col(idc), F.col(tc)),
+                                 idc, tc, (n,))
+        parts.append(
+            stack.withColumn("__b", _gram_bucket(buckets, hash_fn))
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(y).alias("__y"), F.col("__b").cast("long"), "c"))
+        if with_doc_counts:
+            parts.append(
+                base.agg(F.count(F.lit(1)).alias("c"))
+                .select(F.lit(y).alias("__y"),
+                        F.lit(-1).cast("long").alias("__b"), "c"))
+    rows = reduce(lambda a, b: a.unionByName(b), parts).collect()
+    out = [({}, 0) for _ in frames]
+    for r in rows:
+        counts, nd = out[r["__y"]]
+        if r["__b"] == -1:
+            out[r["__y"]] = (counts, r["c"])
+        else:
+            counts[r["__b"]] = r["c"]
+    return out
 
 
 def _log_ratio_rows(ca: dict, cb: dict, buckets: int, a: float,
@@ -350,6 +385,7 @@ def nb_classifier_scores(
     buckets: int = 8192,
     smoothing: float = 1.0,
     scale: int = 10 ** 6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """fastText-style quality-classifier gate as a multinomial Naive
     Bayes linear model over hashed word-``n``-gram buckets — the
@@ -372,11 +408,16 @@ def nb_classifier_scores(
     score the prior with ``n_grams = 0`` (their grams cannot join back
     and are excluded from counting).
 
-    Scale shape: identical to :func:`importance_weights` — two bounded
-    driver collects over the LABELED frames only (typically tiny next
-    to the corpus), a ``buckets``-row LocalTableScan broadcast into the
-    corpus gram stream, one groupBy(id) rollup.  The corpus itself is
-    scanned once.
+    Scale shape: identical to :func:`importance_weights` — training is
+    ONE bounded driver collect over the LABELED frames only (typically
+    tiny next to the corpus; bucket counts and doc counts for both legs
+    ride a single unioned-aggregate job), then a ``buckets``-row
+    LocalTableScan broadcast into the corpus gram stream and one
+    groupBy(id) rollup.  The corpus itself is scanned once.
+    ``hash_fn="xxhash64"`` swaps the md5 bucket hash for the cheaper
+    xxhash64 at 10^12 rows (still deterministic across cluster sizes;
+    md5 is the SQL-oracle-reproducible mode, the dedup family's dual
+    convention).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -389,11 +430,13 @@ def nb_classifier_scores(
         raise ValueError("scale must be a positive integer")
     from .textstats import word_ngram_stack
 
-    cp = _gram_bucket_counts(positive, pos_id_col, pos_text_col, n, buckets)
-    cn = _gram_bucket_counts(negative, neg_id_col, neg_text_col, n, buckets)
+    # training is ONE Spark job: both labeled legs' bucket counts AND
+    # their doc counts ride a single unioned-aggregate collect
+    (cp, n_pos), (cn, n_neg) = _gram_bucket_counts_multi(
+        [(positive, pos_id_col, pos_text_col),
+         (negative, neg_id_col, neg_text_col)],
+        n, buckets, hash_fn, with_doc_counts=True)
     a = float(smoothing)
-    n_pos = positive.where(F.col(pos_id_col).isNotNull()).count()
-    n_neg = negative.where(F.col(neg_id_col).isNotNull()).count()
     prior_int = int(math.floor(
         (math.log(n_pos + a) - math.log(n_neg + a)) * scale))
     ldf = df.sparkSession.createDataFrame(
@@ -402,7 +445,8 @@ def nb_classifier_scores(
     stack = word_ngram_stack(
         df.where(F.col(id_col).isNotNull()).select(F.col(id_col),
                                                    F.col(text_col)),
-        id_col, text_col, (n,)).withColumn("__b", _gram_bucket(buckets))
+        id_col, text_col, (n,)).withColumn("__b",
+                                           _gram_bucket(buckets, hash_fn))
     scored = (stack.join(F.broadcast(ldf), stack["__b"] == ldf["b"])
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("__ng"),
