@@ -34,7 +34,7 @@ START = "<!-- family-scaling:start -->"
 END = "<!-- family-scaling:end -->"
 FAMILIES = ("dedup_minhash", "dedup_clusters", "ann_topk_lsh",
             "decontaminate", "strip_boilerplate", "dedup_verify",
-            "semantic_dedup")
+            "semantic_dedup", "text_dup_spans")
 
 
 def _amplify(df, id_col, copies, varier=None):
@@ -97,7 +97,8 @@ def run_leg(cores: int) -> dict:
     from pyspark.sql import functions as F
 
     from spark_schema_guard.operators import ngram_decontaminate
-    from spark_schema_guard.operators.dedup import (duplicate_clusters,
+    from spark_schema_guard.operators.dedup import (dup_span_features,
+                                                    duplicate_clusters,
                                                     minhash_candidates,
                                                     strip_boilerplate,
                                                     verify_jaccard)
@@ -177,6 +178,14 @@ def run_leg(cores: int) -> dict:
             emb2, "vec_id", "embedding", threshold=0.99, n_centroids=64,
             max_cell=200_000).agg(
             F.sum(F.col("is_canonical").cast("long"))).collect(),
+        # gram-count reduction + join-back + the per-doc coverage lag()
+        # window — the only leg with a window stage; xxhash64-free
+        # (bucketing is md5 by construction) and the rotated-text
+        # amplification keeps cross-copy dup grams real
+        "text_dup_spans": lambda: dup_span_features(
+            docs, "doc_id", "text", n=8).agg(
+            F.sum("n_dup_grams"), F.sum("dup_tokens"),
+            F.sum("dup_gram_frac"), F.sum("dup_token_frac")).collect(),
     }
     timings = {}
     for name, job in jobs.items():
