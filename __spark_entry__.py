@@ -1286,6 +1286,19 @@ def q_text_classifier(spark, sf_dir):
                                 n=1, buckets=2048)
 
 
+def q_stats_outliers(spark, sf_dir):
+    """Robust per-row outlier verdicts (Iglewicz-Hoaglin modified
+    z-score, median/MAD per event type) over the events value column —
+    mode="exact" so the DuckDB oracle reproduces Spark's exact
+    percentile interpolation bit-for-bit (verified) and the integer-free
+    double arithmetic matches term by term."""
+    from spark_schema_guard.operators import numeric_outliers
+
+    events = _read(spark, sf_dir, "events")
+    return numeric_outliers(events, "event_id", "value",
+                            group_col="event_type", k=3.5, mode="exact")
+
+
 def q_text_dup_spans(spark, sf_dir):
     """Cross-document duplicated-span signals at 4-gram granularity
     (the distributed approximation of Lee et al. 2022 exact-substring
@@ -1377,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "text_classifier": q_text_classifier,
         "text_dup_spans": q_text_dup_spans,
+        "stats_outliers": q_stats_outliers,
     }
 
 
@@ -2915,6 +2929,30 @@ def oracle_sql() -> dict[str, str]:
                                      / CAST(b.n_tokens AS DOUBLE), 4)
                         ELSE 0.0 END AS dup_token_frac
             FROM base b LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "stats_outliers": r"""
+            WITH vals AS (
+              SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+              FROM events
+            ), meds AS (
+              SELECT event_type, quantile_cont(v, 0.5) AS med
+              FROM vals WHERE v IS NOT NULL GROUP BY event_type
+            ), mads AS (
+              SELECT v.event_type,
+                     quantile_cont(abs(v.v - m.med), 0.5) AS mad
+              FROM vals v JOIN meds m USING (event_type)
+              WHERE v.v IS NOT NULL GROUP BY v.event_type
+            )
+            SELECT b.event_id, b.event_type, b.v AS value, m.med, d.mad,
+                   CASE WHEN b.v IS NOT NULL AND d.mad > 0
+                        THEN round(0.6745 * (b.v - m.med) / d.mad, 6)
+                   END AS robust_z,
+                   CASE WHEN b.v IS NULL THEN NULL
+                        WHEN d.mad > 0
+                          THEN abs(0.6745 * (b.v - m.med) / d.mad) > 3.5
+                        ELSE b.v != m.med END AS is_outlier
+            FROM vals b LEFT JOIN meds m USING (event_type)
+            LEFT JOIN mads d USING (event_type)
         """,
         "sample_domain_cap": f"""
             WITH {WEB_CTE}, d AS (

@@ -160,6 +160,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
 
     timed("web_stats", lambda: column_profile(
         web, ["url", "text", "lang"]).collect())
+    from spark_schema_guard.operators import numeric_outliers
+    # robust z on the full amplified web table (text length per lang),
+    # approx sketch mode = the scale path; consumer forces the verdicts
+    timed("stats_outliers", lambda: numeric_outliers(
+        web.select("doc_id", "lang", F.length("text").alias("tl")),
+        "doc_id", "tl", group_col="lang", mode="approx").agg(
+        F.sum(F.col("is_outlier").cast("long")),
+        F.sum("robust_z")).collect())
     timed("web_uniqueness", lambda: uniqueness_report(web, "url").collect())
     from spark_schema_guard.operators import normalize_url
     timed("web_url_normalize", lambda: web.agg(

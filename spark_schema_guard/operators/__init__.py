@@ -1,5 +1,5 @@
 from .stats import (column_profile, domain_skew, heavy_hitters,
-                    null_fractions, partition_verdicts)
+                    null_fractions, numeric_outliers, partition_verdicts)
 from .uniqueness import duplicate_keys, uniqueness_report
 from .referential import orphan_rows, referential_report
 from .drift import (chi_square_by_unit, chi_square_drift, ks_by_unit,
@@ -27,6 +27,7 @@ __all__ = [
     "domain_skew",
     "heavy_hitters",
     "null_fractions",
+    "numeric_outliers",
     "partition_verdicts",
     "duplicate_keys",
     "uniqueness_report",

@@ -1788,3 +1788,54 @@ def test_dup_span_features(spark):
         dup_span_features(docs, "doc_id", "text", n=0)
     with pytest.raises(ValueError):
         dup_span_features(docs, "doc_id", "text", min_count=1)
+
+
+def test_numeric_outliers(spark):
+    """Median/MAD robust z-scores: exact replication of the documented
+    arithmetic, grouped stats, MAD=0 degenerate arm, NULL policy, and
+    approx-mode agreement on a well-separated outlier."""
+    import statistics
+
+    from spark_schema_guard.operators import numeric_outliers
+
+    rows = ([(i, "a", float(v)) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 1000])]
+        + [(10 + i, "b", 5.0) for i in range(5)] + [(15, "b", 9.0)]
+        + [(20, "a", None), (21, None, 3.0)])
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = {r["id"]: r for r in numeric_outliers(
+        df, "id", "v", group_col="g", k=3.5, mode="exact").collect()}
+    assert len(out) == len(rows)
+
+    a_vals = [10, 11, 12, 13, 14, 1000]
+    med = statistics.median(a_vals)
+    mad = statistics.median([abs(x - med) for x in a_vals])
+    for i, v in enumerate(a_vals):
+        z = 0.6745 * (v - med) / mad
+        assert out[i]["med"] == med and out[i]["mad"] == mad
+        assert out[i]["robust_z"] == round(z, 6)
+        assert out[i]["is_outlier"] == (abs(z) > 3.5)
+    assert out[5]["is_outlier"] is True          # the planted 1000
+    assert sum(bool(out[i]["is_outlier"]) for i in range(5)) == 0
+    # group b: MAD = 0 (5 of 6 values identical) -> degenerate arm
+    assert out[10]["mad"] == 0.0
+    assert out[10]["robust_z"] is None and out[10]["is_outlier"] is False
+    assert out[15]["is_outlier"] is True         # 9.0 != median 5.0
+    # NULL value / NULL group: NULL stats, NULL verdict
+    assert out[20]["is_outlier"] is None and out[20]["robust_z"] is None
+    assert out[21]["is_outlier"] is None and out[21]["med"] is None
+    # global (ungrouped) mode flags the same planted outlier
+    g = {r["id"]: r for r in numeric_outliers(
+        df.where(F.col("g") == "a"), "id", "v", k=3.5,
+        mode="exact").collect()}
+    assert g[5]["is_outlier"] is True and g[0]["is_outlier"] is False
+    # approx mode agrees on the clear-cut verdicts
+    ap = {r["id"]: r for r in numeric_outliers(
+        df, "id", "v", group_col="g", k=3.5, mode="approx").collect()}
+    assert ap[5]["is_outlier"] is True
+    assert sum(bool(ap[i]["is_outlier"]) for i in range(5)) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        numeric_outliers(df, "id", "v", mode="bogus")
+    with pytest.raises(ValueError):
+        numeric_outliers(df, "id", "v", k=0.0)
