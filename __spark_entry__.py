@@ -958,6 +958,30 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=4)
 
 
+def q_decontam_embedding(spark, sf_dir):
+    """Embedding-space decontamination (operators/decontam.py): corpus
+    docs whose embedding cosine clears 0.5 against ANY bench embedding
+    are flagged.  Bench = the vec_id%97 slice; ten rescaled clones of
+    the bench vectors (x1.5 — same direction, cosine 1, bit-identical
+    construction in both engines) are planted into the corpus so
+    cross-id contamination is exercised, not just self-matches.  Only
+    counts/booleans are emitted — pair membership at threshold 0.5 is
+    stable under the arrow matmul's ~1ulp reassociation noise (the
+    semantic_dedup contract)."""
+    from spark_schema_guard.operators import embedding_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    clones = emb.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"))
+    corpus = emb.unionByName(clones)
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    return embedding_decontaminate(corpus, "vec_id", "embedding",
+                                   bench, "embedding", threshold=0.5)
+
+
 def q_events_json_verdicts(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     out = validate_json_column(events, "props", PROPS_SCHEMA, engine="columnar")
@@ -1373,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "decontam_embedding": q_decontam_embedding,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -3027,6 +3052,28 @@ def oracle_sql() -> dict[str, str]:
                      AS n_matched_ngrams,
                    coalesce(m.n_matched_ngrams, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN matched m USING (doc_id)
+        """,
+        "decontam_embedding": """
+            WITH emb_d AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            clones AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(v, x -> x * 1.5) AS v
+              FROM emb_d WHERE vec_id % 97 = 0),
+            corpus AS (
+              SELECT * FROM emb_d UNION ALL SELECT * FROM clones),
+            bench AS (SELECT v AS bv FROM emb_d WHERE vec_id % 97 = 0),
+            matched AS (
+              SELECT c.vec_id, count(*) AS n
+              FROM corpus c, bench b
+              WHERE list_dot_product(c.v, b.bv)
+                    / (sqrt(list_dot_product(c.v, c.v))
+                       * sqrt(list_dot_product(b.bv, b.bv))) >= 0.5
+              GROUP BY 1)
+            SELECT c.vec_id,
+                   CAST(coalesce(m.n, 0) AS BIGINT) AS n_bench_matches,
+                   coalesce(m.n, 0) > 0 AS contaminated
+            FROM corpus c LEFT JOIN matched m USING (vec_id)
         """,
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""

@@ -260,6 +260,31 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         "text", n=8).agg(
         F.sum(F.col("contaminated").cast("long")),
         F.sum("n_matched_ngrams")).collect())
+    from spark_schema_guard.operators import embedding_decontaminate
+
+    def decontam_emb_leg():
+        # amplified corpus (linear cost: one matmul per batch against a
+        # fixed ~|emb|/97 bench matrix) — scaled replicas keep direction,
+        # so bench originals flag all their copies
+        embn = emb.count()
+        reps = max(1, 128000 // max(embn, 1))
+        big = emb.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("__r"),
+            "vec_id", "embedding").select(
+            (F.col("vec_id") + F.col("__r").cast("long") * 100000)
+            .alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x * (1.0 + (F.col("__r") * (i + 1)) % 5))
+            .alias("embedding"))
+        return embedding_decontaminate(
+            big, "vec_id", "embedding",
+            emb.where(F.col("vec_id") % 97 == 0), "embedding",
+            threshold=0.95).agg(
+            F.sum(F.col("contaminated").cast("long")),
+            F.sum("n_bench_matches")).collect()
+
+    timed("decontam_embedding", decontam_emb_leg)
     from spark_schema_guard.operators.dedup import dedup_lines
 
     def lines_leg():

@@ -10,7 +10,7 @@ from .sampling import (assign_splits, cap_per_stratum, downsample,
                        take_token_budget, temperature_mix)
 from .urlfilter import blocked_urls, filter_blocked
 from .urlnorm import duplicate_urls_normalized, normalize_url, url_host
-from .decontam import ngram_decontaminate
+from .decontam import embedding_decontaminate, ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
 from .lmscore import (cross_entropy, perplexity_bucket, perplexity_cutoffs,
@@ -52,6 +52,7 @@ __all__ = [
     "blocked_urls",
     "filter_blocked",
     "ngram_decontaminate",
+    "embedding_decontaminate",
     "extracted_text",
     "extraction_check",
     "extraction_report",

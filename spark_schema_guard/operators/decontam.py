@@ -19,8 +19,11 @@ near-unique so the join key carries no skew.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textstats import word_ngram_stack
 
@@ -64,3 +67,96 @@ def ngram_decontaminate(
         (F.coalesce(F.col("n_matched_ngrams"), F.lit(0)) > 0)
             .alias("contaminated"),
     )
+
+
+def embedding_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench: DataFrame,
+    bench_vec_col: str,
+    *,
+    threshold: float = 0.9,
+    max_bench: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training
+    documents whose embedding is near-identical (cosine >= ``threshold``)
+    to ANY held-out benchmark embedding — the semantic sibling of
+    :func:`ngram_decontaminate` that catches paraphrased or reformatted
+    eval items an n-gram overlap misses (the contamination mode the
+    GPT-4 / Llama-3 reports measure with embedding similarity).
+
+    Returns one row per input document: ``n_bench_matches`` (how many
+    bench embeddings clear the threshold) and ``contaminated``.  Rows
+    whose embedding cannot be scored — NULL / wrong dimension / NaN /
+    zero norm — get NULL in both columns: "unknown" is an honest verdict
+    for an uncheckable document, never a silent "clean".
+
+    Scale shape (10^12-row argument): the benchmark side is SMALL and
+    FIXED-SIZE (eval suites are 10^3-10^5 items), so its matrix is
+    collected once driver-side (guarded by ``max_bench``) and shipped
+    into a ``mapInPandas`` stage closure — one BLAS matmul per Arrow
+    batch against the corpus scan, ZERO shuffles, zero joins, no
+    per-query fan-out.  Cost is one corpus scan x a constant-width
+    matmul; a 4x cluster does it 4x as fast with no cross-talk.
+    Bench vectors that cannot be scored are dropped at collect time
+    (they could never clear a cosine threshold).
+
+    Pair membership (cosine >= threshold) is stable across engines for
+    any threshold not within ~1e-12 of a real cosine — the same
+    float-reassociation contract as ``semdedup.semantic_near_dups``'s
+    arrow mode; only counts and booleans are emitted, never raw scores.
+    """
+    bvecs = [r["bv"] for r in (
+        bench.select(F.col(bench_vec_col).cast("array<double>").alias("bv"))
+        .where(F.col("bv").isNotNull())
+        .limit(max_bench + 1).collect())]
+    if len(bvecs) > max_bench:
+        raise ValueError(
+            f"benchmark side exceeds max_bench={max_bench}; a benchmark "
+            "this large should be n-gram-decontaminated or sliced")
+    dims = {len(v) for v in bvecs}
+    if len(dims) != 1:
+        raise ValueError(
+            f"benchmark embeddings must share one dimension, got {sorted(dims)}"
+            if dims else "no well-formed benchmark embeddings to compare against")
+    dim = dims.pop()
+    B = np.asarray([[float(x) for x in v] for v in bvecs], dtype=np.float64)
+    bnorm = np.sqrt((B * B).sum(axis=1))
+    ok = np.isfinite(B).all(axis=1) & (bnorm > 0)
+    B, bnorm = B[ok], bnorm[ok]
+    if not len(B):
+        raise ValueError("no well-formed benchmark embeddings to compare against")
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("__id", id_type),
+        T.StructField("n_bench_matches", T.LongType()),
+        T.StructField("contaminated", T.BooleanType())])
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.full((len(pdf), dim), np.nan, dtype=np.float64)
+            for i, v in enumerate(pdf["__v"]):
+                if v is not None and len(v) == dim:
+                    M[i] = v
+            nrm = np.sqrt((M * M).sum(axis=1))
+            valid = np.isfinite(M).all(axis=1) & (nrm > 0)
+            n = np.zeros(len(pdf), dtype=np.int64)
+            if valid.any():
+                S = (M[valid] @ B.T) / np.outer(nrm[valid], bnorm)
+                n[valid] = (S >= thr).sum(axis=1)
+            out = pd.DataFrame({
+                "__id": pdf["__id"],
+                "n_bench_matches": pd.array(n, dtype="Int64"),
+                "contaminated": pd.array(n > 0, dtype="boolean")})
+            out.loc[~valid, ["n_bench_matches", "contaminated"]] = pd.NA
+            yield out
+
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).cast("array<double>").alias("__v"))
+            .mapInPandas(score, schema)
+            .withColumnRenamed("__id", id_col))

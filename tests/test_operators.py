@@ -646,6 +646,74 @@ def test_ngram_decontaminate(spark):
         ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=0)
 
 
+def test_embedding_decontaminate(spark):
+    """Hand-computed + numpy-differential: clones of bench vectors are
+    flagged, orthogonal vectors stay clean, malformed / zero-norm
+    embeddings get NULL (unknown) verdicts, and counts match a brute
+    cosine recompute."""
+    import numpy as np
+
+    from spark_schema_guard.operators import embedding_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, None)],  # unscorable bench rows are dropped, not fatal
+        "bid long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0]),     # parallel to bench 0 -> 1 match
+         (11, [1.0, 1.0, 0.0]),     # cos .707 to both -> 2 at thr .5
+         (12, [0.0, 0.0, 5.0]),     # orthogonal -> clean
+         (13, None),                # NULL -> unknown
+         (14, [1.0]),               # ragged -> unknown
+         (15, [0.0, 0.0, 0.0]),     # zero norm -> unknown
+         (16, [float("nan"), 1.0, 1.0])],  # NaN -> unknown
+        "doc_id long, embedding array<double>")
+    out = {r["doc_id"]: r.asDict() for r in embedding_decontaminate(
+        docs, "doc_id", "embedding", bench, "embedding",
+        threshold=0.5).collect()}
+    assert out[10] == {"doc_id": 10, "n_bench_matches": 1,
+                       "contaminated": True}
+    assert out[11]["n_bench_matches"] == 2 and out[11]["contaminated"]
+    assert out[12] == {"doc_id": 12, "n_bench_matches": 0,
+                       "contaminated": False}
+    for bad in (13, 14, 15, 16):
+        assert out[bad]["n_bench_matches"] is None, bad
+        assert out[bad]["contaminated"] is None, bad
+
+    # numpy differential on random vectors, threshold away from ties
+    rng = np.random.RandomState(7)
+    B = rng.randn(20, 8)
+    M = rng.randn(100, 8)
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in B[i]]) for i in range(len(B))],
+        "bid long, embedding array<double>")
+    mdf = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(len(M))],
+        "doc_id long, embedding array<double>")
+    got = {r["doc_id"]: r["n_bench_matches"] for r in embedding_decontaminate(
+        mdf, "doc_id", "embedding", bdf, "embedding",
+        threshold=0.6).collect()}
+    S = (M @ B.T) / np.outer(np.linalg.norm(M, axis=1),
+                             np.linalg.norm(B, axis=1))
+    for i in range(len(M)):
+        assert got[i] == int((S[i] >= 0.6).sum()), i
+
+    with pytest.raises(ValueError, match="max_bench"):
+        embedding_decontaminate(mdf, "doc_id", "embedding", bdf,
+                                "embedding", max_bench=5)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "bid long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        embedding_decontaminate(mdf, "doc_id", "embedding", ragged,
+                                "embedding")
+    empty = spark.createDataFrame(
+        [(0, None)], "bid long, embedding array<double>")
+    with pytest.raises(ValueError, match="well-formed"):
+        embedding_decontaminate(mdf, "doc_id", "embedding", empty,
+                                "embedding")
+
+
 def test_ngram_decontaminate_self_corpus(spark, sf_dir):
     """Every benchmark doc with >= n tokens must flag itself; docs sharing
     no n-gram with the bench slice stay clean (plain-Python oracle)."""
