@@ -982,6 +982,22 @@ def q_decontam_embedding(spark, sf_dir):
                                    bench, "embedding", threshold=0.5)
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): the distributed
+    word-count stage feeds a deterministic driver-side greedy pair-merge
+    loop (exact integer counts, ties broken lexicographically on (left,
+    right), greedy left-to-right rewrites).  The DuckDB oracle replays
+    ALL EIGHT merges merge-for-merge as chained CTEs — pair recount,
+    argmax, and a list_reduce fold per round — so the iterative
+    algorithm itself is under the exact-match gate, not just its first
+    stage."""
+    from spark_schema_guard.operators import bpe_merges_frame, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "doc_id", "text", n_merges=8)
+    return bpe_merges_frame(spark, merges)
+
+
 def q_events_json_verdicts(spark, sf_dir):
     events = _read(spark, sf_dir, "events")
     out = validate_json_column(events, "props", PROPS_SCHEMA, engine="columnar")
@@ -1398,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "decontam_embedding": q_decontam_embedding,
+        "bpe_train": q_bpe_train,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -3075,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.n, 0) > 0 AS contaminated
             FROM corpus c LEFT JOIN matched m USING (vec_id)
         """,
+        "bpe_train": _bpe_train_sql(k=8),
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,
@@ -3361,6 +3379,55 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+def _bpe_train_sql(k: int = 8) -> str:
+    """Generated oracle for q_bpe_train: replays ALL ``k`` BPE merges as
+    chained CTEs.  Round ``i``: ``p{i}`` recounts adjacent symbol pairs
+    (per occurrence, weighted by word count), ``b{i}`` picks the winner
+    (count DESC, then (left, right) ASC), ``w{i+1}`` rewrites every word
+    with a list_reduce fold — the greedy left-to-right merge, merging
+    whenever the accumulator's last symbol is ``left`` and the incoming
+    symbol is ``right`` (exactly operators/bpe.py::_merge_word)."""
+    parts = [r"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          FROM documents
+        ), wc AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks WHERE word <> '' GROUP BY 1
+        ), w0 AS (
+          SELECT regexp_split_to_array(word, '') || ['</w>'] AS syms, cnt
+          FROM wc
+        )"""]
+    for i in range(k):
+        parts.append(f"""
+        , p{i} AS (
+          SELECT syms[i] AS s1, syms[i+1] AS s2,
+                 CAST(sum(cnt) AS BIGINT) AS n
+          FROM w{i}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+          GROUP BY 1, 2
+        ), b{i} AS (
+          SELECT s1, s2, n FROM p{i}
+          ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1
+        ), w{i + 1} AS (
+          SELECT CASE WHEN b.s1 IS NULL THEN w.syms ELSE list_reduce(
+                   list_transform(w.syms, s -> [s]),
+                   (acc, x) -> CASE
+                     WHEN acc[len(acc)] = b.s1 AND x[1] = b.s2
+                     THEN array_append(array_slice(acc, 1, len(acc) - 1),
+                                       b.s1 || b.s2)
+                     ELSE array_concat(acc, x) END) END AS syms,
+                 w.cnt
+          FROM w{i} w LEFT JOIN b{i} b ON TRUE
+        )""")
+    union = "\n          UNION ALL ".join(
+        f'SELECT {i} AS rank, s1, s2, n FROM b{i}' for i in range(k))
+    parts.append(f"""
+        SELECT CAST(rank AS INT) AS rank, s1 AS "left", s2 AS "right", n
+        FROM ({union}) WHERE s1 IS NOT NULL
+    """)
+    return "".join(parts)
 
 
 def _simhash_md5_cte(pred: str = "doc_id < 500", bits: int = 32) -> str:

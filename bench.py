@@ -355,6 +355,15 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.textstats import token_vocabulary
     timed("text_vocab", lambda: token_vocabulary(
         docs, "doc_id", "text", k=1000, min_count=2).collect())
+    from spark_schema_guard.operators import bpe_encode_counts, train_bpe
+    # distributed word-count scan + the bounded driver merge loop —
+    # the merge loop's input (distinct words) is corpus-size-independent
+    timed("bpe_train", lambda: train_bpe(docs, "doc_id", "text",
+                                         n_merges=32))
+    bpe_merges = train_bpe(docs, "doc_id", "text", n_merges=32)
+    timed("bpe_encode", lambda: bpe_encode_counts(
+        docs, "doc_id", "text", bpe_merges).agg(
+        F.sum("n_words"), F.sum("n_bpe_tokens")).collect())
     from spark_schema_guard.operators.textstats import pii_features
     # consumer sums EVERY count column: a bare .count() would let
     # Catalyst prune the regexes under test

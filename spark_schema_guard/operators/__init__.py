@@ -10,6 +10,8 @@ from .sampling import (assign_splits, cap_per_stratum, downsample,
                        take_token_budget, temperature_mix)
 from .urlfilter import blocked_urls, filter_blocked
 from .urlnorm import duplicate_urls_normalized, normalize_url, url_host
+from .bpe import (bpe_encode_counts, bpe_merges_frame, bpe_word_counts,
+                  train_bpe)
 from .decontam import embedding_decontaminate, ngram_decontaminate
 from .extraction import (extracted_text, extraction_check,
                          extraction_report, html_is_utf8)
@@ -53,6 +55,10 @@ __all__ = [
     "filter_blocked",
     "ngram_decontaminate",
     "embedding_decontaminate",
+    "bpe_word_counts",
+    "train_bpe",
+    "bpe_merges_frame",
+    "bpe_encode_counts",
     "extracted_text",
     "extraction_check",
     "extraction_report",

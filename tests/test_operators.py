@@ -714,6 +714,108 @@ def test_embedding_decontaminate(spark):
                                 "embedding")
 
 
+def _naive_bpe(word_counts: dict, n_merges: int):
+    """Textbook BPE with a FULL pair recount every round — the slow
+    oracle the incremental trainer must match merge-for-merge.  Also
+    returns each word's final segmentation for the encode test."""
+    words = {w: [*w, "</w>"] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        best_n = max(counts.values())
+        left, right = min(p for p, n in counts.items() if n == best_n)
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "n": best_n})
+        for w, syms in words.items():
+            out = [syms[0]]
+            for s in syms[1:]:
+                if out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges, words
+
+
+def test_train_bpe_matches_naive_reference(spark):
+    """Incremental inverted-index trainer ≡ full-recount textbook BPE on
+    a randomized corpus; encode replays training exactly."""
+    import random
+
+    from spark_schema_guard.operators import train_bpe
+    from spark_schema_guard.operators.bpe import (bpe_encode_word,
+                                                  bpe_word_counts)
+
+    rng = random.Random(11)
+    vocab = ["the", "then", "than", "that", "aaa", "aaaa", "ab", "ba",
+             "abab", "bb", "x", "xyz", "low", "lower", "lowest", "news"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    wc = {r["word"]: r["n"]
+          for r in bpe_word_counts(df, "doc_id", "text").collect()}
+    # python-side recount of the word table
+    expect_wc = {}
+    for _, t in docs:
+        for w in t.lower().split():
+            expect_wc[w] = expect_wc.get(w, 0) + 1
+    assert wc == expect_wc
+
+    for k in (1, 5, 25):
+        got = train_bpe(df, "doc_id", "text", n_merges=k)
+        want, final_words = _naive_bpe(expect_wc, k)
+        assert got == want, k
+        if k == 25:
+            for w, syms in final_words.items():
+                assert bpe_encode_word(w, got) == syms, w
+
+
+def test_bpe_encode_counts_and_caps(spark):
+    from spark_schema_guard.operators import (bpe_encode_counts,
+                                              bpe_merges_frame, train_bpe)
+    from spark_schema_guard.operators.bpe import (bpe_encode_word,
+                                                  bpe_word_counts)
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "Aa  BB"), (3, None), (4, "   "),
+         (5, "cc")],
+        "doc_id long, text string")
+    merges = train_bpe(df, "doc_id", "text", n_merges=4)
+    out = {r["doc_id"]: r.asDict() for r in bpe_encode_counts(
+        df, "doc_id", "text", merges).collect()}
+    assert out[3] == {"doc_id": 3, "n_words": 0, "n_bpe_tokens": 0}
+    assert out[4] == {"doc_id": 4, "n_words": 0, "n_bpe_tokens": 0}
+    assert out[2]["n_words"] == 2  # lowercased: aa + bb
+    for did, text in [(1, "aa aa aa bb"), (2, "aa bb"), (5, "cc")]:
+        expect = sum(len(bpe_encode_word(w, merges))
+                     for w in text.lower().split())
+        assert out[did]["n_bpe_tokens"] == expect, did
+
+    # merges frame shape + deterministic word-count caps
+    mf = bpe_merges_frame(spark, merges)
+    assert [f.name for f in mf.schema.fields] == ["rank", "left",
+                                                  "right", "n"]
+    assert mf.count() == len(merges)
+    top = bpe_word_counts(df, "doc_id", "text", max_words=2).collect()
+    assert [(r["word"], r["n"]) for r in top] == [("aa", 4), ("bb", 2)]
+    only = bpe_word_counts(df, "doc_id", "text", min_count=2).collect()
+    assert {r["word"] for r in only} == {"aa", "bb"}
+
+    with pytest.raises(ValueError):
+        train_bpe(df, "doc_id", "text", n_merges=0)
+    # more requested merges than pairs exist: returns short, no error
+    tiny = spark.createDataFrame([(1, "q")], "doc_id long, text string")
+    short = train_bpe(tiny, "doc_id", "text", n_merges=50)
+    assert 0 < len(short) < 50
+
+
 def test_ngram_decontaminate_self_corpus(spark, sf_dir):
     """Every benchmark doc with >= n tokens must flag itself; docs sharing
     no n-gram with the bench slice stay clean (plain-Python oracle)."""
