@@ -982,6 +982,41 @@ def q_decontam_embedding(spark, sf_dir):
                                    bench, "embedding", threshold=0.5)
 
 
+def q_text_encoding(spark, sf_dir):
+    """Encoding health + repair (operators/textstats.py): mojibake /
+    replacement-char / control / NBSP counts and the chained-literal-
+    replace fix.  The testdata is clean ASCII, so defects are PLANTED
+    deterministically (same arithmetic in both engines): doc_id%5 gets
+    its 'e's mojibaked to 'Ã©', %7 gains a BEL + 'Â '-prefixed tail,
+    %11 is wrapped in smart-quote mojibake with a trailing U+FFFD.  The
+    oracle recounts every signal with the same literal alternation and
+    replays the fix byte-for-byte (compared via md5)."""
+    from spark_schema_guard.operators.textstats import (encoding_features,
+                                                        fix_encoding)
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    corr = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.replace(t, F.lit("e"), F.lit("Ã©")))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(t, F.lit("\u0007\u00c2\u00a0end")))
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat(F.lit("â€œ"), t, F.lit("\ufffd")))
+        .otherwise(t).alias("text"))
+    feats = encoding_features(corr, "doc_id", "text")
+    fixed = fix_encoding(corr, "doc_id", "text").select(
+        "doc_id", F.md5("fixed_text").alias("fixed_md5"))
+    return feats.join(fixed, "doc_id").select(
+        "doc_id",
+        F.col("n_mojibake").cast("long").alias("n_mojibake"),
+        F.col("n_replacement").cast("long").alias("n_replacement"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("n_nbsp").cast("long").alias("n_nbsp"),
+        "enc_clean", "fixed_md5")
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py): the distributed
     word-count stage feeds a deterministic driver-side greedy pair-merge
@@ -1415,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontam_embedding": q_decontam_embedding,
         "bpe_train": q_bpe_train,
+        "text_encoding": q_text_encoding,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -3093,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN matched m USING (vec_id)
         """,
         "bpe_train": _bpe_train_sql(k=8),
+        "text_encoding": _text_encoding_sql(),
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,
@@ -3379,6 +3416,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+def _text_encoding_sql() -> str:
+    """Generated oracle for q_text_encoding: replants the same defects,
+    recounts every signal with the same literal alternation patterns,
+    and replays the chained-literal-replace fix in the same
+    longest-first order (compared via md5 of the repaired text).  The
+    pattern/table text comes from the operator's own spec constants —
+    DuckDB still recomputes every count and rewrite independently."""
+    from spark_schema_guard.operators.textstats import (MOJIBAKE_TABLE,
+                                                        _CONTROL_RE,
+                                                        _mojibake_keys)
+
+    moji = "|".join(_mojibake_keys())
+    fixed = "text"
+    for key in _mojibake_keys():
+        fixed = f"replace({fixed}, '{key}', '{MOJIBAKE_TABLE[key]}')"
+    fixed = f"replace({fixed}, chr(65533), '')"
+    fixed = f"regexp_replace({fixed}, '{_CONTROL_RE}', '', 'g')"
+    fixed = f"replace({fixed}, chr(160), ' ')"
+    return f"""
+        WITH corr AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'Ã©')
+                      WHEN doc_id % 7 = 0
+                        THEN text || chr(7) || chr(194) || chr(160) || 'end'
+                      WHEN doc_id % 11 = 0
+                        THEN 'â€œ' || text || chr(65533)
+                      ELSE text END AS text
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{moji}')) AS BIGINT)
+                   AS n_mojibake,
+                 CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+                   AS n_replacement,
+                 CAST(len(regexp_extract_all(text, '{_CONTROL_RE}')) AS BIGINT)
+                   AS n_control,
+                 CAST(len(regexp_extract_all(text, chr(160))) AS BIGINT)
+                   AS n_nbsp,
+                 md5({fixed}) AS fixed_md5
+          FROM corr)
+        SELECT doc_id, n_mojibake, n_replacement, n_control, n_nbsp,
+               (n_mojibake + n_replacement + n_control + n_nbsp) = 0
+                 AS enc_clean,
+               fixed_md5
+        FROM feats
+    """
 
 
 def _bpe_train_sql(k: int = 8) -> str:

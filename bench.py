@@ -355,6 +355,25 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.textstats import token_vocabulary
     timed("text_vocab", lambda: token_vocabulary(
         docs, "doc_id", "text", k=1000, min_count=2).collect())
+    from spark_schema_guard.operators.textstats import (encoding_features,
+                                                        fix_encoding)
+
+    def encoding_leg():
+        # plant defects on a deterministic slice (the gate construction)
+        # so the replace chain does real rewrites, then force every
+        # signal + the repaired text
+        corr = docs.select("doc_id", F.when(
+            F.col("doc_id") % 5 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")))
+            .otherwise(F.col("text")).alias("text"))
+        encoding_features(corr, "doc_id", "text").agg(
+            F.sum("n_mojibake"), F.sum("n_replacement"),
+            F.sum("n_control"), F.sum("n_nbsp"),
+            F.sum(F.col("enc_clean").cast("long"))).collect()
+        return fix_encoding(corr, "doc_id", "text").agg(
+            F.sum(F.length("fixed_text"))).collect()
+
+    timed("text_encoding", encoding_leg)
     from spark_schema_guard.operators import bpe_encode_counts, train_bpe
     # distributed word-count scan + the bounded driver merge loop —
     # the merge loop's input (distinct words) is corpus-size-independent

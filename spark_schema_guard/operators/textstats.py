@@ -595,3 +595,83 @@ def pii_features(df: DataFrame, id_col: str, text_col: str, *,
             red = F.regexp_replace(red, pats[kind], f"<{kind.upper()}>")
         cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+# UTF-8-as-cp1252 double-encoding artifacts (the ftfy core table, short
+# form): each key is what a UTF-8 sequence looks like after being
+# mis-decoded as Windows-1252, each value the intended character.
+# Literal strings, no regex metacharacters — applied as plain chained
+# replace() in a FIXED order (longest key first, then lexicographic) so
+# any engine replays the rewrite byte-for-byte.
+MOJIBAKE_TABLE: dict[str, str] = {
+    "â€™": "’",   # â€™ -> right single quote
+    "â€˜": "‘",   # â€˜ -> left single quote
+    "â€œ": "“",   # â€œ -> left double quote
+    "â€“": "–",   # â€“ -> en dash
+    "â€”": "—",   # â€" -> em dash
+    "â€¦": "…",   # â€¦ -> ellipsis
+    "Ã©": "é",         # Ã© -> é
+    "Ã¨": "è",         # Ã¨ -> è
+    "Ã¡": "á",         # Ã¡ -> á
+    "Ã¤": "ä",         # Ã¤ -> ä
+    "Ã¶": "ö",         # Ã¶ -> ö
+    "Ã¼": "ü",         # Ã¼ -> ü
+    "Ã±": "ñ",         # Ã± -> ñ
+    "Ã§": "ç",         # Ã§ -> ç
+    "\u00c2\u00a0": " ",     # Â + NBSP -> space
+}
+
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _mojibake_keys() -> list[str]:
+    return sorted(MOJIBAKE_TABLE, key=lambda k: (-len(k), k))
+
+
+def encoding_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc encoding-health signals — the corpus-hygiene check a web
+    pipeline runs before training (ftfy-style, detection half):
+    ``n_mojibake`` (UTF-8-as-cp1252 artifact sequences from
+    ``MOJIBAKE_TABLE``), ``n_replacement`` (U+FFFD from upstream decode
+    failures), ``n_control`` (C0 controls except tab/newline/CR, plus
+    DEL), ``n_nbsp`` (non-breaking spaces), and an ``enc_clean``
+    verdict.  NULL text -> NULL counts (unknown, like the extraction
+    report's NULL policy).
+
+    Scale shape: one alternation ``regexp_count`` per signal class —
+    four scans per doc regardless of table size, pure Column projection,
+    zero shuffle, whole-stage codegen.  Patterns are literal
+    alternations / hex classes in the Java-RE2-common dialect, so a SQL
+    oracle runs the SAME pattern text."""
+    text = F.col(text_col)
+    moji = "|".join(_mojibake_keys())
+    n_moji = F.regexp_count(text, F.lit(moji))
+    n_repl = F.regexp_count(text, F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(text, F.lit(_CONTROL_RE))
+    n_nbsp = F.regexp_count(text, F.lit("\u00a0"))
+    return df.select(
+        F.col(id_col),
+        n_moji.alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_nbsp.alias("n_nbsp"),
+        ((n_moji + n_repl + n_ctrl + n_nbsp) == 0).alias("enc_clean"))
+
+
+def fix_encoding(df: DataFrame, id_col: str, text_col: str, *,
+                 fixed_col: str = "fixed_text") -> DataFrame:
+    """Repair half of the encoding check: chained LITERAL replaces of
+    every ``MOJIBAKE_TABLE`` artifact (longest-first order), U+FFFD and
+    C0-control stripping, NBSP -> space.  Emits the original columns
+    plus ``fixed_col``; NULL text stays NULL.  Same fixed rewrite order
+    as the oracle — the repaired text is engine-portable byte-for-byte.
+
+    One projection, zero shuffle: each replace is a codegen'd scan of an
+    in-flight string, the same shape as ``pii_features(redact=True)``."""
+    fixed = F.col(text_col)
+    for key in _mojibake_keys():
+        fixed = F.replace(fixed, F.lit(key), F.lit(MOJIBAKE_TABLE[key]))
+    fixed = F.replace(fixed, F.lit("\ufffd"), F.lit(""))
+    fixed = F.regexp_replace(fixed, _CONTROL_RE, "")
+    fixed = F.replace(fixed, F.lit("\u00a0"), F.lit(" "))
+    return df.withColumn(fixed_col, fixed)

@@ -714,6 +714,56 @@ def test_embedding_decontaminate(spark):
                                 "embedding")
 
 
+def test_encoding_features_and_fix(spark):
+    """Hand-computed mojibake/control/NBSP signals and the chained
+    literal-replace repair; NULL text -> NULL counts and NULL fix."""
+    from spark_schema_guard.operators.textstats import (MOJIBAKE_TABLE,
+                                                        encoding_features,
+                                                        fix_encoding)
+
+    moji = "cafÃ© â€œquoteâ€™"
+    # 'caf' + mojibake e-acute + space + mojibake left dquote + 'quote'
+    # + mojibake right squote
+    dirty = spark.createDataFrame(
+        [(1, moji),
+         (2, "bad\u0007ctl\u007f and\u00a0nbsp\ufffd"),
+         (3, "perfectly clean ascii"),
+         (4, None),
+         (5, "\u00c2\u00a0lead")],  # Â+NBSP pair
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in encoding_features(dirty, "doc_id", "text").collect()}
+    assert out[1]["n_mojibake"] == 3 and not out[1]["enc_clean"]
+    assert out[1]["n_control"] == 0 and out[1]["n_nbsp"] == 0
+    assert out[2] == {"doc_id": 2, "n_mojibake": 0, "n_replacement": 1,
+                      "n_control": 2, "n_nbsp": 1, "enc_clean": False}
+    assert out[3] == {"doc_id": 3, "n_mojibake": 0, "n_replacement": 0,
+                      "n_control": 0, "n_nbsp": 0, "enc_clean": True}
+    assert all(v is None for k, v in out[4].items() if k != "doc_id")
+    assert out[5]["n_mojibake"] == 1  # the Â+NBSP pair counts as mojibake
+
+    fx = {r["doc_id"]: r["fixed_text"]
+          for r in fix_encoding(dirty, "doc_id", "text").collect()}
+    assert fx[1] == "café “quote’"
+    assert fx[2] == "badctl and nbsp"
+    assert fx[3] == "perfectly clean ascii"
+    assert fx[4] is None
+    assert fx[5] == " lead"
+    # tab / newline / CR are NOT stripped as controls
+    keepws = spark.createDataFrame([(1, "a\tb\nc\rd")],
+                                   "doc_id long, text string")
+    assert fix_encoding(keepws, "doc_id", "text").collect()[0][
+        "fixed_text"] == "a\tb\nc\rd"
+    # every table entry round-trips to its intended character
+    table_doc = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(sorted(MOJIBAKE_TABLE))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["fixed_text"]
+           for r in fix_encoding(table_doc, "doc_id", "text").collect()}
+    for i, k in enumerate(sorted(MOJIBAKE_TABLE)):
+        assert got[i] == MOJIBAKE_TABLE[k], repr(k)
+
+
 def _naive_bpe(word_counts: dict, n_merges: int):
     """Textbook BPE with a FULL pair recount every round — the slow
     oracle the incremental trainer must match merge-for-merge.  Also
