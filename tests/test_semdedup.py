@@ -97,6 +97,36 @@ def test_max_cell_caps_degenerate_cells(emb):
                               n_centroids=1, max_cell=6).count() > 0
 
 
+def test_arrow_stream_survives_tiny_batches(spark):
+    """The streaming pair stage must accumulate a cell ACROSS Arrow
+    batch boundaries (and still enforce max_cell exactly) — forced by
+    shrinking maxRecordsPerBatch below the cell sizes."""
+    import numpy as np
+
+    from spark_schema_guard.operators.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        got = {(r["id_a"], r["id_b"]) for r in semantic_near_dups(
+            df, "vec_id", "v", threshold=0.5, n_centroids=1).collect()}
+        # single cell of 80 > cap 79 -> everything dropped, exactly
+        assert semantic_near_dups(df, "vec_id", "v", threshold=0.5,
+                                  n_centroids=1, max_cell=79).count() == 0
+        assert semantic_near_dups(df, "vec_id", "v", threshold=0.5,
+                                  n_centroids=1, max_cell=80).count() \
+            == len(got)
+    finally:
+        spark.conf.set(key, old)
+    want = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, "vec_id", "v", threshold=0.5, exact=True).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_keep_best_prefers_score_then_low_id(emb):
     scored = emb.withColumn(
         "score", F.when(F.col("vec_id") == 2, 100.0).otherwise(1.0))
