@@ -356,13 +356,18 @@ def verify_jaccard(
     this one scores an already-small candidate list, so corpus-scale
     work is one shingle reduction, not a self-join.
 
-    Scale shape: shingle sets reduce to narrow DISTINCT
-    ``(id, md5(shingle))`` rows (map-side combining dedup; md5 keeps
-    the shuffle row ~fixed-width no matter the shingle text); each pair
-    is unpivoted into two ``(member_id, pair, side)`` membership rows
-    that join the shingle stream ONCE (broadcast when the candidate
-    list is small, plain hash join otherwise) — restriction to paired
-    docs, fan-out, and side-tagging in a single join.
+    Scale shape: each doc's shingle set reduces to ONE row — a sorted
+    array of md5 hashes built by a map-side-combining
+    ``collect_set`` aggregate (md5 keeps elements fixed-width no matter
+    the shingle text); each pair is unpivoted into two ``(member_id,
+    pair, side)`` membership rows that join the set table ONCE
+    (broadcast when the candidate list is small, plain hash join
+    otherwise), and one ``groupBy(pair)`` brings the two arrays
+    together so ``|A∩B|`` is a single JVM ``array_intersect`` per pair.
+    The earlier one-row-per-(pair, shingle) formulation pushed the full
+    Σ_pairs(|A|+|B|) stream through a 3-key hash aggregation — same
+    bytes shuffled, ~400× the row count; A/B at the family-scaling
+    amplification (16x, local[4]): 57s -> 18s.
 
     ``restrict=True`` additionally left-semi-joins the CORPUS to the
     pair-member id set BEFORE shingling, so shingle+md5+distinct cost
@@ -373,14 +378,12 @@ def verify_jaccard(
     coverage the extra id-set join only re-partitions the corpus ahead
     of the heavy shingle map (A/B at sf0.1, candidates covering every
     doc: 1.85s -> 4.5s); at 65% coverage with a broadcastable id set it
-    already wins (4.4s -> 2.7s).  One
-    ``groupBy(pair, hash)`` marks which sides carry each shingle, one
-    ``groupBy(pair)`` sums sizes and the intersection: jaccard =
-    i / (na + nb - i), all from the same stream — no per-pair
-    intersection join, no separate sizes branch (the old 3-join shape
-    measured 2x slower at sf0.1).  Total shuffled volume is
-    Σ_pairs (|shingles(A)| + |shingles(B)|) — the inherent verify cost,
-    proportional to the CANDIDATE volume, never the corpus.  Pairs with
+    already wins (4.4s -> 2.7s).  jaccard = i / (na + nb - i) with na,
+    nb, i all read off the pair's two arrays — no per-pair intersection
+    join, no separate sizes branch.  Total shuffled volume is
+    Σ_pairs (|shingles(A)| + |shingles(B)|) hashes — the inherent
+    verify cost, proportional to the CANDIDATE volume, never the
+    corpus.  Pairs with
     an unshingleable member (NULL text never shingles) drop: no exact
     score exists — such docs never band into candidates in the first
     place (see ``minhash_signatures``).
@@ -391,37 +394,47 @@ def verify_jaccard(
     subtrees at runtime — but a pipeline that also feeds the same
     candidates to clustering should still materialize them once.
     """
-    p = pairs.select(id_a, id_b)
+    # duplicate pair rows must yield one output row (the old per-shingle
+    # aggregation dedup'd them implicitly); the candidate list is small
+    # by contract, so this shuffle is cheap
+    p = pairs.select(id_a, id_b).dropDuplicates([id_a, id_b])
     src = df
     if restrict:
         ids = (p.select(F.col(id_a).alias(id_col))
                .unionByName(p.select(F.col(id_b).alias(id_col))).distinct())
         src = df.join(ids, id_col, "left_semi")
-    sh = (src.select(
+    sets = (src.select(
         F.col(id_col).alias("__id"),
         F.explode(_shingle_array(F.col(text_col), shingle_k)).alias("__s"))
         .where(F.col("__s").isNotNull())
-        .select("__id", F.md5("__s").alias("__h")).distinct())
+        .select("__id", F.md5("__s").alias("__h"))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("__h")).alias("__set")))
     memb = (p.select(F.col(id_a).alias("__id"), id_a, id_b,
                      F.lit(0).alias("__side"))
             .unionByName(p.select(F.col(id_b).alias("__id"), id_a, id_b,
                                   F.lit(1).alias("__side"))))
-    per_h = (sh.join(memb, "__id")
-             .groupBy(id_a, id_b, "__h")
-             .agg(F.max((F.col("__side") == 0).cast("long")).alias("__a"),
-                  F.max((F.col("__side") == 1).cast("long")).alias("__b")))
-    stats = per_h.groupBy(id_a, id_b).agg(
-        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"),
-        F.sum(F.col("__a") * F.col("__b")).alias("__i"))
+    per_pair = (sets.join(memb, "__id")
+                .groupBy(id_a, id_b)
+                .agg(F.max(F.when(F.col("__side") == 0,
+                                  F.col("__set"))).alias("__sa"),
+                     F.max(F.when(F.col("__side") == 1,
+                                  F.col("__set"))).alias("__sb")))
+    na = F.size("__sa").cast("long")
+    nb = F.size("__sb").cast("long")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    stats = per_pair.where(F.col("__sa").isNotNull()
+                           & F.col("__sb").isNotNull()) \
+        .select(F.col(id_a), F.col(id_b), na.alias("__na"),
+                nb.alias("__nb"), inter.alias("__i"))
     extra = []
     if containment:
         extra = [(F.col("__i") / F.col("__na")).alias("containment_a"),
                  (F.col("__i") / F.col("__nb")).alias("containment_b")]
-    out = (stats.where((F.col("__na") > 0) & (F.col("__nb") > 0))
-           .select(F.col(id_a), F.col(id_b),
-                   (F.col("__i")
-                    / (F.col("__na") + F.col("__nb") - F.col("__i")))
-                   .alias("jaccard"), *extra))
+    out = stats.select(
+        F.col(id_a), F.col(id_b),
+        (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")))
+        .alias("jaccard"), *extra)
     if min_jaccard is not None:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
     return out
