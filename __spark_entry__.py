@@ -465,11 +465,14 @@ def q_dedup_clusters(spark, sf_dir):
         (F.col("doc_id") < 200) & (F.length("text") >= 8))
     edges = minhash_candidates(docs, "doc_id", "text", num_hashes=4, bands=4,
                                shingle_k=8, hash_fn="md5")
-    # driver_max_edges=0 forces the DISTRIBUTED iterative path so the
-    # 10^12-row algorithm (not the small-graph union-find shortcut) is
-    # what the oracle verifies
+    # driver_max_edges=0 forces the DISTRIBUTED iterative path and
+    # contract_max_edges=0 disables the contraction finish, so the
+    # 10^12-row algorithm's pure loop (not a driver shortcut) is what
+    # the oracle verifies; the contraction finish is pinned equal to
+    # both other strategies by tests
     return duplicate_clusters(docs.select("doc_id"), "doc_id", edges,
-                              driver_max_edges=0).select(
+                              driver_max_edges=0,
+                              contract_max_edges=0).select(
         "doc_id", "cluster_id", "is_canonical")
 
 

@@ -515,12 +515,34 @@ def test_connected_components_adaptive_paths_agree(spark):
               for r in connected_components(edges).collect()}
     dist = {(r["id"], r["component"])
             for r in connected_components(
-                edges, driver_max_edges=0).collect()}
+                edges, driver_max_edges=0,
+                contract_max_edges=0).collect()}
     assert driver == dist
+    # contraction finish (the default distributed strategy): forced to
+    # trigger by contracting from round 1 with a roomy cap, and forced
+    # NOT to fit with a cap of 1 — all three ways must agree exactly
+    contracted = {(r["id"], r["component"])
+                  for r in connected_components(
+                      edges, driver_max_edges=0,
+                      contract_after_rounds=0).collect()}
+    assert contracted == driver
+    tiny_cap = {(r["id"], r["component"])
+                for r in connected_components(
+                    edges, driver_max_edges=0, contract_after_rounds=0,
+                    contract_max_edges=1).collect()}
+    assert tiny_cap == driver
     assert (3, 1) in driver and (13, 10) in driver and (21, 20) in driver
     # threshold boundary: exactly at the limit still uses one collect
     small = connected_components(edges, driver_max_edges=7).collect()
     assert {(r["id"], r["component"]) for r in small} == driver
+    # a 60-node path needs many propagation rounds without contraction;
+    # with the default finish it must resolve exactly well under that
+    path = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                 "id_a long, id_b long")
+    got = {(r["id"], r["component"])
+           for r in connected_components(path, driver_max_edges=0,
+                                         max_iter=6).collect()}
+    assert got == {(i, 0) for i in range(61)}
 
 
 def test_ivf_topk_recall_and_determinism(spark, sf_dir):
