@@ -186,12 +186,19 @@ def strip_boilerplate(
                .select(group_col, "__h", id_col).distinct()
                .groupBy(group_col, "__h")
                .agg(F.count(F.lit(1)).alias("__df")))
-    boiler = (line_df.join(group_docs, group_col)
+    boiler = (line_df.join(F.broadcast(group_docs), group_col)
               .where((F.col("__df") >= F.lit(min_docs))
                      & (F.col("__df") >= F.lit(min_frac) * F.col("__nd")))
               .select(group_col, "__h", F.lit(True).alias("__bp")))
 
-    marked = lines.join(boiler, [group_col, "__h"], "left")
+    # explicit broadcast: the boilerplate set is small BY DEFINITION
+    # (lines above a per-group document-frequency floor), but its plan
+    # contains corpus-scale aggregations, so the optimizer's size
+    # estimate is useless and the unhinted join ran as a SortMergeJoin
+    # that SORTED the full line stream — a second corpus-volume shuffle
+    # on top of the reassembly groupBy (A/B at the 16x family
+    # amplification, local[4]: 7.0s -> 5.0s)
+    marked = lines.join(F.broadcast(boiler), [group_col, "__h"], "left")
     kept_line = F.col("line").isNotNull() & F.col("__bp").isNull()
     surviving = F.when(kept_line, F.struct(F.col("pos"), F.col("line")))
     out = (marked.groupBy(id_col, group_col).agg(
