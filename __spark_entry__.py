@@ -241,6 +241,25 @@ def q_web_url_normalize(spark, sf_dir):
     )
 
 
+def q_web_url_features(spark, sf_dir):
+    """URL quality scoring (operators/urlfilter.py::url_features): the
+    crawl urls are deterministically messied — doc_id%9 gains two query
+    params, doc_id%17 a blocked-word + digits path tail — then host /
+    path depth / query-param count / digit fraction / blocked-word
+    count are recomputed by the oracle with the same regex text."""
+    from spark_schema_guard.operators import url_features
+
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    messy = F.concat(
+        F.col("url"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("/casino/77777"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("?utm=1&ref=22"))
+         .otherwise(F.lit("")))
+    src = web.select("doc_id", messy.alias("url"))
+    return url_features(src, "doc_id", "url")
+
+
 def q_web_uniqueness_summary(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     return uniqueness_report(web, "url")
@@ -985,6 +1004,24 @@ def q_decontam_embedding(spark, sf_dir):
                                    bench, "embedding", threshold=0.5)
 
 
+def q_text_langmix(spark, sf_dir):
+    """Mixed-language detection (operators/textstats.py::
+    language_consistency): docs are PLANTED bilingual by concatenating
+    each doc's text with its successor's (same construction in both
+    engines), then each of 2 token spans votes a language via the
+    marker heuristic; disagreeing spans -> mixed.  The oracle replays
+    the token-position chunking, the per-span (hits, lang) argmax, and
+    the doc rollup."""
+    from spark_schema_guard.operators.textstats import language_consistency
+
+    docs = _read(spark, sf_dir, "documents")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("text").alias("__t2"))
+    src = docs.join(nxt, "doc_id").select(
+        "doc_id", F.concat("text", F.lit(" "), "__t2").alias("text"))
+    return language_consistency(src, "doc_id", "text", n_chunks=2)
+
+
 def q_text_encoding(spark, sf_dir):
     """Encoding health + repair (operators/textstats.py): mojibake /
     replacement-char / control / NBSP counts and the chained-literal-
@@ -1399,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_violation_rows": q_web_violation_rows,
         "web_duplicate_urls": q_web_duplicate_urls,
         "web_url_normalize": q_web_url_normalize,
+        "web_url_features": q_web_url_features,
         "web_uniqueness_summary": q_web_uniqueness_summary,
         "web_extraction": q_web_extraction,
         "fk_orders_customer": q_fk_orders_customer,
@@ -1454,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_embedding": q_decontam_embedding,
         "bpe_train": q_bpe_train,
         "text_encoding": q_text_encoding,
+        "text_langmix": q_text_langmix,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -1529,6 +1568,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'data.lang', 'enum',
                    'data.lang {_WEB_ENUM_MSG_SQL}'
             FROM web WHERE lang NOT IN {WEB_LANGS}
+        """,
+        "web_url_features": f"""
+            WITH {WEB_CTE}, messy AS (
+              SELECT doc_id,
+                     url
+                     || (CASE WHEN doc_id % 17 = 0
+                              THEN '/casino/77777' ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0
+                              THEN '?utm=1&ref=22' ELSE '' END) AS url
+              FROM web
+            ), parts AS (
+              SELECT doc_id, url,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+                       AS authority,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path,
+                     regexp_extract(url, '^[^#?]*(\\?[^#]*)', 1) AS query
+              FROM messy
+            )
+            SELECT doc_id,
+                   lower(regexp_extract(authority,
+                     '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1)) AS host,
+                   CAST(len(regexp_extract_all(path, '/[^/]')) AS INT)
+                     AS path_depth,
+                   CAST(len(regexp_extract_all(query, '[?&][^&?]')) AS INT)
+                     AS n_query_params,
+                   round(CASE WHEN length(path || query) > 0
+                              THEN length(regexp_replace(path || query,
+                                          '[^0-9]', '', 'g')) * 1.0
+                                   / length(path || query)
+                              ELSE 0.0 END, 4) AS digit_frac,
+                   CAST(length(url) AS INT) AS url_len,
+                   CAST(len(regexp_extract_all(lower(url),
+                     'casino|poker|porn|torrent|viagra|warez|xxx')) AS INT)
+                     AS n_blocked_words,
+                   len(regexp_extract_all(lower(url),
+                     'casino|poker|porn|torrent|viagra|warez|xxx')) = 0
+                     AS url_ok
+            FROM parts
         """,
         "web_duplicate_urls": f"""
             WITH {WEB_CTE}
@@ -3133,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_sql(k=8),
         "text_encoding": _text_encoding_sql(),
+        "text_langmix": _text_langmix_sql(n_chunks=2),
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,
@@ -3419,6 +3500,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+def _text_langmix_sql(n_chunks: int = 2) -> str:
+    """Generated oracle for q_text_langmix: replays the bilingual
+    construction, the token-position span chunking (floor(pos *
+    n_chunks / n_tokens) over 0-based positions), the per-span
+    max-(hits, lang) vote, and the per-doc rollup (sorted distinct
+    votes, span-lang count, max-(won, lang) dominant)."""
+    from spark_schema_guard.operators.textstats import LANG_MARKERS
+
+    marker_rows = ", ".join(
+        f"('{w}', '{lang}')" for lang in sorted(LANG_MARKERS)
+        for w in LANG_MARKERS[lang])
+    return rf"""
+        WITH src AS (
+          SELECT d.doc_id, d.text || ' ' || d2.text AS text
+          FROM documents d
+          JOIN documents d2 ON d2.doc_id = d.doc_id + 1),
+        markers(tok, lang) AS (VALUES {marker_rows}),
+        tarr AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM src),
+        toks AS (
+          SELECT doc_id, t[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+          FROM tarr, UNNEST(generate_series(1, len(t))) AS s(i)
+          WHERE t[i] <> ''),
+        nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        chunked AS (
+          SELECT toks.doc_id, tok,
+                 CAST(floor(pos * {n_chunks} / n) AS INT) AS chunk
+          FROM toks JOIN nt USING (doc_id)),
+        hits AS (
+          SELECT doc_id, chunk, lang, count(*) AS h
+          FROM chunked JOIN markers ON chunked.tok = markers.tok
+          GROUP BY 1, 2, 3),
+        votes AS (
+          SELECT doc_id, chunk, lang,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, chunk
+                                    ORDER BY h DESC, lang DESC) AS rn
+          FROM hits),
+        won AS (
+          SELECT doc_id, lang, count(*) AS w,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY count(*) DESC, lang DESC)
+                   AS wrn
+          FROM votes WHERE rn = 1 GROUP BY 1, 2),
+        rolled AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list(DISTINCT lang)), ',')
+                   AS langs,
+                 CAST(count(*) AS INT) AS n_span_langs,
+                 max(CASE WHEN wrn = 1 THEN lang END) AS dominant_lang
+          FROM won GROUP BY 1)
+        SELECT s.doc_id, r.langs, r.n_span_langs,
+               CASE WHEN r.n_span_langs IS NULL THEN NULL
+                    ELSE r.n_span_langs > 1 END AS mixed,
+               r.dominant_lang
+        FROM src s LEFT JOIN rolled r USING (doc_id)
+    """
 
 
 def _text_encoding_sql() -> str:

@@ -355,6 +355,17 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.textstats import token_vocabulary
     timed("text_vocab", lambda: token_vocabulary(
         docs, "doc_id", "text", k=1000, min_count=2).collect())
+    from spark_schema_guard.operators import url_features
+    timed("url_features", lambda: url_features(web, "doc_id", "url").agg(
+        F.sum("path_depth"), F.sum("n_query_params"), F.sum("digit_frac"),
+        F.sum("url_len"), F.sum("n_blocked_words"),
+        F.sum(F.col("url_ok").cast("long")),
+        F.count_distinct("host")).collect())
+    from spark_schema_guard.operators.textstats import language_consistency
+    timed("text_langmix", lambda: language_consistency(
+        docs, "doc_id", "text", n_chunks=4).agg(
+        F.sum(F.col("mixed").cast("long")), F.sum("n_span_langs"),
+        F.count_distinct("dominant_lang")).collect())
     from spark_schema_guard.operators.textstats import (encoding_features,
                                                         fix_encoding)
 

@@ -8,7 +8,7 @@ from .sampling import (assign_splits, cap_per_stratum, downsample,
                        importance_weights, nb_classifier_scores,
                        stratified_sample,
                        take_token_budget, temperature_mix)
-from .urlfilter import blocked_urls, filter_blocked
+from .urlfilter import blocked_urls, filter_blocked, url_features
 from .urlnorm import duplicate_urls_normalized, normalize_url, url_host
 from .bpe import (bpe_encode_counts, bpe_merges_frame, bpe_word_counts,
                   train_bpe)
@@ -53,6 +53,7 @@ __all__ = [
     "url_host",
     "blocked_urls",
     "filter_blocked",
+    "url_features",
     "ngram_decontaminate",
     "embedding_decontaminate",
     "bpe_word_counts",

@@ -280,6 +280,65 @@ def language_guess(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def language_consistency(df: DataFrame, id_col: str, text_col: str, *,
+                         n_chunks: int = 4) -> DataFrame:
+    """Mixed-language detection: the document's token stream is cut into
+    ``n_chunks`` contiguous spans, each span votes a language with the
+    same stopword-marker heuristic as :func:`language_guess` (same
+    max-(hits, lang) tie-break), and documents whose spans disagree are
+    flagged — boilerplate in one language wrapping body text in another,
+    machine-translated halves, template pollution.  Per doc:
+
+    ``langs`` (sorted ','-joined distinct span votes), ``n_span_langs``,
+    ``mixed`` (>1 distinct vote), ``dominant_lang`` (most spans won,
+    ties to the LAST lang code — the ``language_guess`` tie direction).
+    Spans with zero marker hits vote nothing; docs where NO span votes
+    (NULL/empty/unknown-language text) return NULL in all four columns
+    — unknown, not "consistent".
+
+    Scale shape: posexplode(tokens) -> broadcast join against the tiny
+    marker->lang table (only marker tokens survive) -> three stacked
+    map-side-combining aggregations (span-lang counts, span argmax, doc
+    rollup).  The explode+groupBy form, not per-span HOF filters — HOFs
+    are CodegenFallback and one in the projection drops the whole stage
+    out of codegen (see CLAUDE.md invariant); shuffle volume is marker
+    HITS only, a tiny fraction of tokens."""
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(w, lang) for lang in sorted(LANG_MARKERS)
+         for w in LANG_MARKERS[lang]],
+        "tok string, __lang string")
+    toks = _tokens(F.lower(F.col(text_col)))
+    st = (df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"),
+                    F.size(toks).alias("__nt"))
+          .where(F.col("tok") != ""))
+    st = st.withColumn(
+        "__chunk",
+        F.floor(F.col("pos") * n_chunks / F.col("__nt")).cast("int"))
+    span_counts = (st.join(F.broadcast(markers), "tok")
+                   .groupBy(id_col, "__chunk", "__lang")
+                   .agg(F.count(F.lit(1)).alias("__hits")))
+    span_votes = (span_counts.groupBy(id_col, "__chunk")
+                  .agg(F.max(F.struct(F.col("__hits"),
+                                      F.col("__lang"))).alias("__best"))
+                  .select(id_col, F.col("__best.__lang").alias("__vote")))
+    per_doc = (span_votes.groupBy(id_col, "__vote")
+               .agg(F.count(F.lit(1)).alias("__won"))
+               .groupBy(id_col)
+               .agg(F.array_join(F.array_sort(F.collect_set("__vote")),
+                                 ",").alias("langs"),
+                    F.count(F.lit(1)).cast("int").alias("n_span_langs"),
+                    F.max(F.struct(F.col("__won"), F.col("__vote")))
+                    .getField("__vote").alias("dominant_lang")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col), "langs", "n_span_langs",
+                    F.when(F.col("n_span_langs").isNotNull(),
+                           F.col("n_span_langs") > 1).alias("mixed"),
+                    "dominant_lang"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix: int = 32) -> DataFrame:
     """Cheap stable document fingerprint: md5 over (normalized prefix,
     normalized suffix, length) — an O(1)-per-doc rolling-hash stand-in."""

@@ -65,6 +65,58 @@ def blocked_urls(df: DataFrame, id_col: str, url_col: str,
         "blocked", F.col("matched_domain").isNotNull())
 
 
+# generic spam/adult tokens of the kind public crawl pipelines match in
+# URLs (C4 §2.2 "bad words" filtering, RefinedWeb URL scoring); plain
+# lowercase alpha, regex-metacharacter-free, substring semantics —
+# callers curating a serious gate pass their own list
+DEFAULT_URL_BLOCKWORDS = ("casino", "poker", "porn", "torrent",
+                          "viagra", "warez", "xxx")
+
+
+def url_features(df: DataFrame, id_col: str, url_col: str, *,
+                 blocked_words=DEFAULT_URL_BLOCKWORDS) -> DataFrame:
+    """Per-URL quality features — the RefinedWeb-style URL scoring gate
+    that complements the domain blocklist: ``host``, ``path_depth``
+    (non-empty path segments), ``n_query_params``, ``digit_frac``
+    (digit share of path+query — id-mill pages score high), ``url_len``,
+    ``n_blocked_words`` (SUBSTRING occurrences of ``blocked_words`` in
+    the lowercased URL — the C4 matching rule, with its known
+    false-positive caveat), and ``url_ok`` (no blocked word).  NULL
+    urls yield NULL features ("unknown").
+
+    Scale shape: pure Column regexp projection fused into the scan —
+    zero shuffle, whole-stage codegen; one alternation scan for the
+    word list regardless of its size.  Patterns live in the
+    Java-RE2-common dialect so a SQL oracle runs the same text."""
+    from .urlnorm import _PATH, _QUERY
+
+    u = F.col(url_col)
+    path = F.regexp_extract(u, _PATH, 1)
+    query = F.regexp_extract(u, _QUERY, 1)
+    pq = F.concat(path, query)
+    digits = F.length(F.regexp_replace(pq, "[^0-9]", ""))
+    # two-arm when with NO otherwise: a NULL url must stay NULL, not
+    # fall into the empty-path 0.0 arm
+    digit_frac = F.round(
+        F.when(F.length(pq) > 0, digits / F.length(pq))
+        .when(pq.isNotNull(), F.lit(0.0)), 4)
+    if blocked_words:
+        n_blocked = F.regexp_count(
+            F.lower(u), F.lit("|".join(sorted(blocked_words))))
+    else:
+        n_blocked = F.when(u.isNotNull(), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        url_host(u).alias("host"),
+        F.regexp_count(path, F.lit("/[^/]")).cast("int").alias("path_depth"),
+        F.regexp_count(query, F.lit("[?&][^&?]")).cast("int")
+         .alias("n_query_params"),
+        digit_frac.alias("digit_frac"),
+        F.length(u).cast("int").alias("url_len"),
+        n_blocked.cast("int").alias("n_blocked_words"),
+        (n_blocked == 0).alias("url_ok"))
+
+
 def filter_blocked(df: DataFrame, id_col: str, url_col: str,
                    blocklist: DataFrame, *, domain_col: str = "domain",
                    broadcast: bool = True, max_labels: int = 10) -> DataFrame:
@@ -75,4 +127,5 @@ def filter_blocked(df: DataFrame, id_col: str, url_col: str,
     return out.where(~F.col("blocked")).drop("matched_domain", "blocked")
 
 
-__all__ = ["blocked_urls", "filter_blocked"]
+__all__ = ["blocked_urls", "filter_blocked", "url_features",
+           "DEFAULT_URL_BLOCKWORDS"]

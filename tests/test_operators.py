@@ -736,6 +736,40 @@ def test_embedding_decontaminate(spark):
                                 "embedding")
 
 
+def test_language_consistency(spark):
+    """Hand-computed span votes: a bilingual doc flags mixed, a
+    monolingual doc doesn't, markerless/NULL text is unknown (NULL)."""
+    from spark_schema_guard.operators.textstats import language_consistency
+
+    en = "the cat and the dog is happy to see the end"      # 10 tokens
+    de = "der hund und die katze ist nicht froh und nass"   # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, en + " " + de),     # half en, half de -> mixed
+         (2, en + " " + en),     # all en
+         (3, "xxxx yyyy zzzz"),  # no markers anywhere -> unknown
+         (4, None),
+         (5, en)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in language_consistency(
+        docs, "doc_id", "text", n_chunks=2).collect()}
+    assert out[1]["langs"] == "de,en" and out[1]["mixed"] is True
+    assert out[1]["n_span_langs"] == 2
+    assert out[2] == {"doc_id": 2, "langs": "en", "n_span_langs": 1,
+                      "mixed": False, "dominant_lang": "en"}
+    for unk in (3, 4):
+        assert out[unk]["langs"] is None and out[unk]["mixed"] is None, unk
+        assert out[unk]["dominant_lang"] is None, unk
+    assert out[5]["mixed"] is False and out[5]["dominant_lang"] == "en"
+    # dominant: en wins 2 spans vs de 2 spans in a 4-chunk alternating
+    # doc -> tie goes to the LAST lang code (the language_guess rule)
+    alt = spark.createDataFrame(
+        [(9, " ".join([en, de, en, de]))], "doc_id long, text string")
+    r = language_consistency(alt, "doc_id", "text", n_chunks=4).collect()[0]
+    assert r["mixed"] is True and r["dominant_lang"] == "en"
+    with pytest.raises(ValueError):
+        language_consistency(docs, "doc_id", "text", n_chunks=0)
+
+
 def test_encoding_features_and_fix(spark):
     """Hand-computed mojibake/control/NBSP signals and the chained
     literal-replace repair; NULL text -> NULL counts and NULL fix."""

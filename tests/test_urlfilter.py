@@ -88,3 +88,38 @@ def test_plan_is_jvm_only_with_broadcast_probe(corpus, blocklist):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_features_hand_computed(spark):
+    from spark_schema_guard.operators import url_features
+
+    df = spark.createDataFrame(
+        [(1, "https://user@Ex.com:8080/a/b/c123?x=1&y=2#frag"),
+         (2, "https://clean.org/"),
+         (3, "https://bad.net/casino/xxx"),
+         (4, "not a url"),
+         (5, None),
+         (6, "https://h.io")],
+        "id long, url string")
+    out = {r["id"]: r.asDict()
+           for r in url_features(df, "id", "url").collect()}
+    r1 = out[1]
+    assert r1["host"] == "ex.com"
+    assert r1["path_depth"] == 3 and r1["n_query_params"] == 2
+    # path+query = '/a/b/c123' + '?x=1&y=2' (fragment excluded): 5
+    # digits over 17 chars
+    assert r1["digit_frac"] == round(5 / 17, 4)
+    assert r1["n_blocked_words"] == 0 and r1["url_ok"] is True
+    assert out[2]["path_depth"] == 0 and out[2]["n_query_params"] == 0
+    assert out[2]["digit_frac"] == 0.0 and out[2]["url_ok"] is True
+    assert out[3]["n_blocked_words"] == 2 and out[3]["url_ok"] is False
+    assert out[4]["host"] == "" and out[4]["path_depth"] == 0
+    assert all(out[5][k] is None for k in
+               ("host", "path_depth", "n_query_params", "digit_frac",
+                "url_len", "n_blocked_words", "url_ok"))
+    assert out[6]["path_depth"] == 0 and out[6]["digit_frac"] == 0.0
+    # empty word list -> everything ok, counts 0
+    empty = {r["id"]: r for r in url_features(
+        df, "id", "url", blocked_words=()).collect()}
+    assert empty[3]["n_blocked_words"] == 0 and empty[3]["url_ok"] is True
+    assert empty[5]["url_ok"] is None
