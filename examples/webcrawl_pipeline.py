@@ -7,15 +7,18 @@ Stages (each one scan/shuffle-shaped as analyzed in SCALE.md):
 
 1. schema validation  — compiled plan, verdict + violations columns;
                         html->text extraction byte-identity check
-2. quality gates      — per-column stats, url uniqueness, lang drift,
-                        repetition signals, Gopher/C4 rule gates,
-                        benchmark decontamination, PII scan
+2. quality gates      — per-column stats, url uniqueness + quality
+                        scoring, lang drift, encoding health, mixed-
+                        language detection, repetition signals,
+                        Gopher/C4 rule gates, benchmark n-gram AND
+                        embedding decontamination, PII scan
 3. dedup              — hot-domain cap -> MinHash LSH candidates ->
                         exact-Jaccard VERIFY stage -> connected
                         components -> keep the highest-quality doc per
-                        cluster
+                        cluster -> SemDeDup semantic pass
 4. data mixing        — deterministic per-lang sampling, temperature
-                        mixing diagnostic + per-lang token budgets
+                        mixing diagnostic + per-lang token budgets,
+                        BPE tokenizer prep on the shipped mix
 5. chunk + audited write — 256-token training windows; clean corpus +
                         violation rows + per-file audit metrics
                         (resumable: re-running skips completed input
@@ -78,6 +81,15 @@ def main():
     assert report["blocklist"]["kept"] + report["blocklist"]["blocked"] \
         == n_raw
 
+    # URL quality scoring (RefinedWeb-style): depth / params / digit
+    # share / blocked words — report-only here (the synthetic crawl is
+    # clean); a real job drops url_ok=false rows alongside the blocklist
+    from spark_schema_guard.operators import url_features
+    uf = url_features(web, "doc_id", "url")
+    report["url_quality"] = {
+        "flagged": uf.where(~F.col("url_ok")).count(),
+        "max_depth": uf.agg(F.max("path_depth")).collect()[0][0]}
+
     # -- 1. validation ----------------------------------------------------
     plan = ssg.compile_plan(WEB_PAGE_SCHEMA, web.schema)
     validated = plan.apply(web)
@@ -115,6 +127,28 @@ def main():
     psi = psi_by_unit(web, "lang", F.col("doc_id") % 4).collect()
     report["lang_psi_by_unit"] = {
         str(r["unit"]): round(r["psi"], 4) for r in psi}
+
+    # encoding health + repair (ftfy-style): count mojibake / control /
+    # NBSP artifacts and substitute the repaired text — the clean-page
+    # fast path is a no-op (fixed == text)
+    from spark_schema_guard.operators.textstats import (encoding_features,
+                                                        fix_encoding)
+    enc = encoding_features(web, "doc_id", "text")
+    report["encoding_gate"] = {
+        "dirty": enc.where(~F.col("enc_clean")).count(),
+        # repaired bytes == original on a clean corpus (the no-op fast
+        # path); a real job substitutes fixed_text the way the PII gate
+        # substitutes redacted below
+        "bytes_changed": fix_encoding(web, "doc_id", "text")
+        .where(F.col("fixed_text") != F.col("text")).count()}
+
+    # mixed-language detection: spans voting different languages flag
+    # template pollution / machine-translated halves
+    from spark_schema_guard.operators.textstats import language_consistency
+    mixed = language_consistency(web, "doc_id", "text", n_chunks=4)
+    report["language_mix"] = {
+        "mixed": mixed.where(F.col("mixed")).count(),
+        "unknown": mixed.where(F.col("mixed").isNull()).count()}
 
     # repetition gate (Gopher-style): drop keyword-stuffed / boilerplate
     # pages whose most frequent bigram takes over half the text
@@ -246,6 +280,17 @@ def main():
         .drop("embedding").persist()
     report["semantic_dedup"] = {"after": deduped.count()}
 
+    # embedding-space decontamination: the semantic sibling of the
+    # n-gram check above — flag survivors whose embedding is
+    # near-identical to a bench item (paraphrased eval leakage)
+    from spark_schema_guard.operators import embedding_decontaminate
+    sem_contam = embedding_decontaminate(
+        with_emb.where(F.col("embedding").isNotNull()), "doc_id",
+        "embedding", emb.where(F.col("doc_id") % 97 == 0), "embedding",
+        threshold=0.9)
+    report["semantic_decontamination"] = {
+        "contaminated": sem_contam.where(F.col("contaminated")).count()}
+
     # incremental leg: persist the survivors' band index once, then any
     # FUTURE snapshot probes it instead of re-running the corpus
     # self-join (here: re-ingesting this same crawl drops every doc)
@@ -309,6 +354,18 @@ def main():
     report["splits"] = {r["split"]: r["n"] for r in
                         mixed.groupBy("split").agg(
                             F.count(F.lit(1)).alias("n")).collect()}
+
+    # tokenizer prep: train BPE merges on the SHIPPED mix (distributed
+    # word counts -> deterministic driver merge loop) and measure the
+    # resulting tokens/doc on the same corpus
+    from spark_schema_guard.operators import bpe_encode_counts, train_bpe
+    merges = train_bpe(mixed, "doc_id", "text", n_merges=64)
+    bpe = bpe_encode_counts(mixed, "doc_id", "text", merges).agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    report["tokenizer_prep"] = {
+        "merges": len(merges),
+        "bpe_tokens_per_word": round(bpe["t"] / max(bpe["w"], 1), 3)}
 
     # -- 5. chunk + audited, resumable write ------------------------------
     corpus_path = os.path.join(out_dir, "corpus")

@@ -389,6 +389,57 @@ def stream_text_quality_by_window(
     )
 
 
+def stream_encoding_by_window(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    time_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked windowed encoding-health rates — live crawl-ingest
+    monitoring for the ftfy-style signals (a sudden mojibake spike is a
+    decoder regression upstream, caught per window instead of per
+    post-hoc batch audit).  Per window: rows, dirty share, and total
+    mojibake / replacement-char / control / NBSP counts.  The
+    per-window state is six sums — bounded by windows-in-horizon; the
+    signal columns are the same pure row expressions as
+    ``operators/textstats.py::encoding_features``, built inline on a
+    frame that keeps the event time (a stream cannot re-join projected
+    features back onto itself)."""
+    from .operators.textstats import _CONTROL_RE, _mojibake_keys
+
+    text = F.col(text_col)
+    moji = "|".join(_mojibake_keys())
+    n_moji = F.regexp_count(text, F.lit(moji))
+    n_repl = F.regexp_count(text, F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(text, F.lit(_CONTROL_RE))
+    n_nbsp = F.regexp_count(text, F.lit("\u00a0"))
+    base = stream_df.select(
+        F.col(id_col), F.col(time_col),
+        n_moji.alias("__m"), n_repl.alias("__r"),
+        n_ctrl.alias("__c"), n_nbsp.alias("__n"),
+        ((n_moji + n_repl + n_ctrl + n_nbsp) == 0).alias("__clean"))
+    win = F.window(F.col(time_col), window, slide) if slide else \
+        F.window(F.col(time_col), window)
+    return (
+        base.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.avg((~F.col("__clean")).cast("double")).alias("dirty_share"),
+             F.sum("__m").cast("long").alias("n_mojibake"),
+             F.sum("__r").cast("long").alias("n_replacement"),
+             F.sum("__c").cast("long").alias("n_control"),
+             F.sum("__n").cast("long").alias("n_nbsp"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "rows", "dirty_share", "n_mojibake", "n_replacement",
+                "n_control", "n_nbsp")
+    )
+
+
 def stream_gate_by_window(
     stream_df: DataFrame,
     id_col: str,

@@ -394,6 +394,35 @@ def test_stream_text_quality_window(spark, tmp_path):
     assert row["mean_tokens"] == (14 + 1) / 2
 
 
+def test_stream_encoding_window(spark, tmp_path):
+    from spark_schema_guard.streaming import stream_encoding_by_window
+
+    rows = [(1, "cafÃ© mojibake here", "2024-03-01 00:10:00"),
+            (2, "perfectly clean ascii", "2024-03-01 00:20:00"),
+            (3, "late\u0007control\ufffd", "2024-03-01 00:30:00"),
+            (4, "x", "2024-03-02 12:00:00")]  # sentinel closes window 1
+    src = str(tmp_path / "enc_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = stream_encoding_by_window(
+        stream, "doc_id", "text", time_col="ts",
+        window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("encw")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {str(r["window_start"]): r
+           for r in spark.sql("SELECT * FROM encw").collect()}
+    row = got["2024-03-01 00:00:00"]
+    assert row["rows"] == 3
+    assert row["n_mojibake"] == 1     # the Ã© sequence in doc 1
+    assert row["n_control"] == 1 and row["n_replacement"] == 1
+    assert row["n_nbsp"] == 0
+    assert abs(row["dirty_share"] - 2 / 3) < 1e-12
+
+
 def test_stream_repetition_window(spark, tmp_path):
     from spark_schema_guard.streaming import stream_repetition_by_window
 

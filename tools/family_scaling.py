@@ -107,24 +107,36 @@ def run_leg(cores: int) -> dict:
     from spark_schema_guard.session import build_session, load_table
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # 64x: the sf0.1 base tables are tiny (5k docs / 2k vectors); at 16x
-    # the legs finished in single-digit seconds and measured FIXED costs
-    # (broadcast builds, Arrow batch setup, round barriers), not the
-    # scaling term — efficiencies came out 0.3-0.6 purely from overhead
+    # PER-LEG amplification: the sf0.1 base tables are tiny (5k docs /
+    # 2k vectors), and at low amp a leg measures FIXED costs (broadcast
+    # builds, Arrow batch setup, round barriers), not the scaling term
+    # — worse, every time an optimization cuts a leg's distributed work
+    # the same amp reads as a LOWER efficiency (w shrinks, c doesn't).
+    # The heavy banded/CC legs stay at 64x (their edge build already
+    # costs minutes); the cheap per-row legs get 256x so each again
+    # times seconds of real distributed work.
     copies = int(os.environ.get("SPARK_GRAFT_FAMILY_AMP", "64"))
+    copies_hi = int(os.environ.get("SPARK_GRAFT_FAMILY_AMP_HI", "256"))
     spark = build_session(app_name=f"family-scaling-{cores}", cores=cores,
                           shuffle_partitions=max(cores * 2, 32))
-    docs = _amplify(load_table(spark, sf_dir, "documents"),
-                    "doc_id", copies, varier=_rotate_text).cache()
-    emb = _amplify(load_table(spark, sf_dir, "embeddings"),
-                   "vec_id", copies, varier=_perturb_vec).cache()
-    emb2 = _amplify(load_table(spark, sf_dir, "embeddings"),
-                    "vec_id", copies, varier=_diag_rescale).cache()
-    docs.count(), emb.count(), emb2.count()
-    bench = docs.where(F.col("doc_id") % 97 == 0)
+    docs0 = load_table(spark, sf_dir, "documents")
+    docs = _amplify(docs0, "doc_id", copies, varier=_rotate_text).cache()
+    docs_hi = _amplify(docs0, "doc_id", copies_hi,
+                       varier=_rotate_text).cache()
+    emb_hi = _amplify(load_table(spark, sf_dir, "embeddings"),
+                      "vec_id", copies_hi, varier=_perturb_vec).cache()
+    emb2_hi = _amplify(load_table(spark, sf_dir, "embeddings"),
+                       "vec_id", copies_hi, varier=_diag_rescale).cache()
+    docs.count(), docs_hi.count(), emb_hi.count(), emb2_hi.count()
+    # the benchmark side of decontamination is FIXED-SIZE by nature
+    # (eval suites do not grow with the corpus): slice the BASE table,
+    # so the leg scales the corpus against a constant broadcast set —
+    # the amplified-bench variant timed the broadcast build, not the
+    # corpus scan
+    bench = docs0.where(F.col("doc_id") % 7 == 0)
     n_q = int(os.environ.get("SPARK_GRAFT_FAMILY_QUERIES", "256"))
     qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]])
-             for r in emb.where(F.col("vec_id") < n_q).collect()]
+             for r in emb_hi.where(F.col("vec_id") < n_q).collect()]
 
     # the clusters leg must time the DISTRIBUTED CC loop (the 10^12-row
     # path), not the adaptive driver union-find (serial by design — it
@@ -148,16 +160,16 @@ def run_leg(cores: int) -> dict:
             docs.select("doc_id"), "doc_id", edges, driver_max_edges=0)
         .where(~F.col("is_canonical")).count(),
         "ann_topk_lsh": lambda: cosine_topk_lsh(
-            emb, "vec_id", "embedding", qvecs, k=5, n_planes=6,
+            emb_hi, "vec_id", "embedding", qvecs, k=5, n_planes=6,
             multiprobe=2, n_tables=4).collect(),
         "decontaminate": lambda: ngram_decontaminate(
-            docs, "doc_id", "text", bench, "text", n=8).agg(
+            docs_hi, "doc_id", "text", bench, "text", n=8).agg(
             F.sum(F.col("contaminated").cast("long"))).collect(),
         # docs text is single-line: split on spaces so every token is a
         # candidate "line" — the df-count/join/reassembly machinery runs
         # at full line volume; the consumer forces the rebuilt text
         "strip_boilerplate": lambda: strip_boilerplate(
-            docs, "doc_id", "text", "lang", min_docs=2, min_frac=0.5,
+            docs_hi, "doc_id", "text", "lang", min_docs=2, min_frac=0.5,
             split_pattern=" ", join_sep=" ").agg(
             F.sum(F.length("text"))).collect(),
         # the verify stage over a deterministic 1/64 slice of the
@@ -173,9 +185,12 @@ def run_leg(cores: int) -> dict:
         # in-cell Gram matmuls dominate (the operator's quadratic term);
         # clone cliques are bounded by the diag-rescale construction so
         # CC stays the adaptive driver path and the leg times the
-        # blocked-BLAS pair stage
+        # streaming blocked-BLAS pair stage; centroids scale with the
+        # amplification so cell SIZE (and thus pair volume per row)
+        # stays what SemDeDup targets at any corpus scale
         "semantic_dedup": lambda: semantic_dedup(
-            emb2, "vec_id", "embedding", threshold=0.99, n_centroids=64,
+            emb2_hi, "vec_id", "embedding", threshold=0.99,
+            n_centroids=64 * max(copies_hi // 64, 1),
             max_cell=200_000).agg(
             F.sum(F.col("is_canonical").cast("long"))).collect(),
         # gram-count reduction + join-back + the per-doc coverage lag()
@@ -226,8 +241,12 @@ def main() -> None:
         START,
         "### Per-family scaling (one N -> 4N pair per shuffling operator)",
         "",
-        f"`tools/family_scaling.py`: sf0.1 tables amplified "
-        f"{os.environ.get('SPARK_GRAFT_FAMILY_AMP', '64')}x, "
+        f"`tools/family_scaling.py`: sf0.1 tables amplified per leg — "
+        f"{os.environ.get('SPARK_GRAFT_FAMILY_AMP', '64')}x for the "
+        f"banded/CC legs (minhash, clusters, verify, dup_spans), "
+        f"{os.environ.get('SPARK_GRAFT_FAMILY_AMP_HI', '256')}x for the "
+        "per-row legs (ann, decontaminate, boilerplate, semdedup; fixed "
+        "base-table bench for decontaminate) — "
         f"local[{lo}] vs local[{hi}], interleaved best-of-"
         f"{rounds} rounds.",
         "",
