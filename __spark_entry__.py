@@ -260,6 +260,19 @@ def q_web_url_features(spark, sf_dir):
     return url_features(src, "doc_id", "url")
 
 
+def q_web_domain_report(spark, sf_dir):
+    """Per-domain quality rollup (operators/stats.py::domain_report):
+    pages, distinct urls, token totals, EXACT-integer e4-scaled quality
+    sums (a float mean would reassociate differently per partitioning),
+    low-quality counts, lang spread and top lang per host.  The oracle
+    recomputes the host split, the full quality formula, and both
+    rollups."""
+    from spark_schema_guard.operators import domain_report
+
+    web = web_pages(_read(spark, sf_dir, "documents"))
+    return domain_report(web, "url", "text", "lang")
+
+
 def q_web_uniqueness_summary(spark, sf_dir):
     web = web_pages(_read(spark, sf_dir, "documents"))
     return uniqueness_report(web, "url")
@@ -1437,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_duplicate_urls": q_web_duplicate_urls,
         "web_url_normalize": q_web_url_normalize,
         "web_url_features": q_web_url_features,
+        "web_domain_report": q_web_domain_report,
         "web_uniqueness_summary": q_web_uniqueness_summary,
         "web_extraction": q_web_extraction,
         "fk_orders_customer": q_fk_orders_customer,
@@ -3214,6 +3228,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(k=8),
         "text_encoding": _text_encoding_sql(),
         "text_langmix": _text_langmix_sql(n_chunks=2),
+        "web_domain_report": _domain_report_sql(),
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,
@@ -3500,6 +3515,73 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+def _domain_report_sql(low: float = 0.5) -> str:
+    """Generated oracle for q_web_domain_report: host extraction with
+    the same flat authority regexes as `url_host`, the full quality
+    formula replayed per page, EXACT-integer e4-scaled quality sums,
+    and both rollups (host stats + per-(host, lang) counts with the
+    max-(n, lang) top-lang tie-break)."""
+    from spark_schema_guard.operators.textstats import STOPWORDS
+
+    stop_hits = _stop_hits_sql(STOPWORDS)
+    return rf"""
+        WITH {WEB_CTE},
+        base AS (
+          SELECT url, lang,
+                 lower(regexp_extract(
+                   regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                   '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1)) AS host,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE array_length(
+                        regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens,
+                 {stop_hits} AS stop_hits,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS punct,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+          FROM web),
+        scored AS (
+          SELECT host, url, lang, n_tokens,
+                 round(
+                   least(n_tokens / 20.0, 1.0) * 0.4
+                   + least((CASE WHEN n_tokens > 0
+                                 THEN stop_hits * 1.0 / n_tokens
+                                 ELSE 0.0 END) * 5.0, 1.0) * 0.3
+                   + (1.0 - least((CASE WHEN n_chars > 0
+                                        THEN punct * 1.0 / n_chars
+                                        ELSE 0.0 END) * 10.0, 1.0)) * 0.15
+                   + (1.0 - least((CASE WHEN n_chars > 0
+                                        THEN digits * 1.0 / n_chars
+                                        ELSE 0.0 END) * 5.0, 1.0)) * 0.15
+                 , 4) AS q
+          FROM base),
+        hs AS (
+          SELECT host,
+                 CAST(count(*) AS BIGINT) AS n_pages,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS BIGINT)
+                   AS quality_sum_e4,
+                 CAST(sum(CASE WHEN q < {low} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_low_quality
+          FROM scored GROUP BY 1),
+        ls0 AS (
+          SELECT host, lang, count(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY host
+                                    ORDER BY count(*) DESC, lang DESC)
+                   AS rn
+          FROM scored GROUP BY 1, 2),
+        ls AS (
+          SELECT host, CAST(count(*) AS INT) AS n_langs,
+                 max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+          FROM ls0 GROUP BY 1)
+        SELECT hs.*, ls.n_langs, ls.top_lang
+        FROM hs JOIN ls USING (host)
+    """
 
 
 def _text_langmix_sql(n_chunks: int = 2) -> str:

@@ -355,6 +355,12 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.textstats import token_vocabulary
     timed("text_vocab", lambda: token_vocabulary(
         docs, "doc_id", "text", k=1000, min_count=2).collect())
+    from spark_schema_guard.operators import domain_report
+    timed("domain_report", lambda: domain_report(
+        web, "url", "text", "lang").agg(
+        F.sum("n_pages"), F.sum("n_urls"), F.sum("n_tokens"),
+        F.sum("quality_sum_e4"), F.sum("n_low_quality"),
+        F.sum("n_langs"), F.count_distinct("top_lang")).collect())
     from spark_schema_guard.operators import url_features
     timed("url_features", lambda: url_features(web, "doc_id", "url").agg(
         F.sum("path_depth"), F.sum("n_query_params"), F.sum("digit_frac"),

@@ -189,6 +189,68 @@ def domain_skew(df: DataFrame, url_col: str = "url", *, k: int = 10) -> DataFram
     return heavy_hitters(df, F.when(domain != "", domain), k=k)
 
 
+def domain_report(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    *,
+    low_quality_below: float = 0.5,
+) -> DataFrame:
+    """Per-DOMAIN quality rollup — the "which hosts to ban or cap"
+    operational table every crawl pipeline maintains (RefinedWeb /
+    Dolma curate at domain granularity).  One row per host:
+
+    ``host, n_pages, n_urls, n_tokens, quality_sum_e4, n_low_quality``
+    (+ ``n_langs, top_lang`` when ``lang_col`` is given); mean quality
+    = ``quality_sum_e4 / 1e4 / n_pages`` — the sum ships as a LONG of
+    e4-scaled per-doc scores (each already rounded to 4 decimals by
+    ``quality_features``), so the aggregate is EXACT-integer and
+    engine-portable: a float mean would reassociate differently on
+    every partitioning.  ``top_lang`` breaks count ties toward the
+    larger lang code (the ``language_guess`` direction).  Rows whose
+    URL has no host (non-URL strings) group under ``''``.
+
+    Scale shape: host + quality features are pure Column expressions on
+    the scan; the host rollup is one map-side-combining ``groupBy(host)``
+    (count_distinct expands to the standard two-phase distinct — volume
+    = distinct urls), and the lang leg (only with ``lang_col``) is a
+    stacked ``groupBy(host, lang)`` → ``groupBy(host)`` joined back on
+    one-row-per-host frames.  No windows; a hot domain is one reducer
+    row, not a skew hazard.  ``approx_count_distinct`` for ``n_urls``
+    at corpus scale is the caller's swap-in; the default exact count
+    keeps the oracle contract."""
+    from .textstats import quality_features
+    from .urlnorm import url_host
+
+    keep = (lang_col,) if lang_col else ()
+    feats = quality_features(
+        df.select(F.col(url_col), F.col(text_col),
+                  *[F.col(c) for c in keep])
+        .withColumn("__host", url_host(F.col(url_col))),
+        "__host", text_col, keep=(url_col, *keep))
+    q_e4 = F.round(F.col("quality_score") * 10000).cast("long")
+    host_stats = (feats.groupBy(F.col("__host").alias("host"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                       F.count_distinct(F.col(url_col)).cast("long")
+                       .alias("n_urls"),
+                       F.sum("n_tokens").cast("long").alias("n_tokens"),
+                       F.sum(q_e4).cast("long").alias("quality_sum_e4"),
+                       F.sum((F.col("quality_score")
+                              < F.lit(low_quality_below)).cast("long"))
+                       .cast("long").alias("n_low_quality")))
+    if not lang_col:
+        return host_stats
+    lang_stats = (feats.groupBy(F.col("__host").alias("host"),
+                                F.col(lang_col).alias("__lang"))
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .groupBy("host")
+                  .agg(F.count(F.lit(1)).cast("int").alias("n_langs"),
+                       F.max(F.struct(F.col("__n"), F.col("__lang")))
+                       .getField("__lang").alias("top_lang")))
+    return host_stats.join(lang_stats, "host")
+
+
 def partition_verdicts(applied: DataFrame) -> DataFrame:
     """Per-partition pass/fail rollup (north rule): one row per input
     partition with row/valid/violation counts — the distributed analog of

@@ -736,6 +736,39 @@ def test_embedding_decontaminate(spark):
                                 "embedding")
 
 
+def test_domain_report_hand_computed(spark):
+    from spark_schema_guard.operators import domain_report
+    from spark_schema_guard.operators.textstats import quality_features
+
+    rows = [
+        (1, "https://a.com/x", "the cat and the dog is here to see it", "en"),
+        (2, "https://a.com/x", "zz", "en"),            # dup url, low q
+        (3, "https://A.com/y", "der hund und die katze ist nicht da", "de"),
+        (4, "https://b.org/1", "all of the words and the rest", "en"),
+        (5, "not a url", "whatever text", "en"),       # host '' bucket
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, "
+                                     "text string, lang string")
+    out = {r["host"]: r.asDict()
+           for r in domain_report(df, "url", "text", "lang").collect()}
+    a = out["a.com"]
+    assert a["n_pages"] == 3 and a["n_urls"] == 2  # case-folded host
+    assert a["n_langs"] == 2
+    assert a["top_lang"] == "en"  # 2 en vs 1 de
+    assert out["b.org"]["n_pages"] == 1
+    assert out[""]["n_pages"] == 1  # non-URL strings group under ''
+    # exact-integer quality sum equals the per-doc recompute
+    q = {r["doc_id"]: r["quality_score"] for r in quality_features(
+        df, "doc_id", "text").collect()}
+    assert a["quality_sum_e4"] == sum(
+        round(q[i] * 10000) for i in (1, 2, 3))
+    assert a["n_low_quality"] == sum(1 for i in (1, 2, 3) if q[i] < 0.5)
+    assert a["n_tokens"] == 10 + 1 + 8
+    # no lang column -> host stats only
+    cols = domain_report(df, "url", "text").columns
+    assert "top_lang" not in cols and "n_langs" not in cols
+
+
 def test_language_consistency(spark):
     """Hand-computed span votes: a bilingual doc flags mixed, a
     monolingual doc doesn't, markerless/NULL text is unknown (NULL)."""
