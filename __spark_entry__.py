@@ -1017,6 +1017,26 @@ def q_decontam_embedding(spark, sf_dir):
                                    bench, "embedding", threshold=0.5)
 
 
+def q_text_chunks_sent(spark, sf_dir):
+    """Sentence-boundary chunking (operators/textstats.py::
+    chunk_by_sentences): doc_id%3 docs gain a terminator after every
+    token (each token its own sentence — many small sentences packing
+    into 16-token chunks), the rest stay one long sentence (the
+    whole-sentence-overflow case).  The oracle replays the
+    lookaround-free segmentation (backreference rewrite + sentinel
+    split), the per-doc cumulative-token window, and the ordered
+    reassembly."""
+    from spark_schema_guard.operators.textstats import chunk_by_sentences
+
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.replace(F.col("text"), F.lit(" "), F.lit(". ")))
+        .otherwise(F.col("text")).alias("text"))
+    return chunk_by_sentences(src, "doc_id", "text", chunk_tokens=16)
+
+
 def q_text_langmix(spark, sf_dir):
     """Mixed-language detection (operators/textstats.py::
     language_consistency): docs are PLANTED bilingual by concatenating
@@ -1507,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "text_encoding": q_text_encoding,
         "text_langmix": q_text_langmix,
+        "text_chunks_sent": q_text_chunks_sent,
         "events_json_verdicts": q_events_json_verdicts,
         "events_json_coerce": q_events_json_coerce,
         "events_json_exact": q_events_json_exact,
@@ -3229,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "text_encoding": _text_encoding_sql(),
         "text_langmix": _text_langmix_sql(n_chunks=2),
         "web_domain_report": _domain_report_sql(),
+        "text_chunks_sent": _text_chunks_sent_sql(chunk_tokens=16),
         "text_langid": _text_langid_sql(),
         "text_fingerprints": r"""
             SELECT doc_id,
@@ -3515,6 +3537,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+def _text_chunks_sent_sql(chunk_tokens: int = 16) -> str:
+    """Generated oracle for q_text_chunks_sent: the same lookaround-free
+    sentence segmentation (capture-group rewrite to terminator +
+    chr(30), then a sentinel split), a per-doc cumulative token window
+    over preceding sentences, floor(start/chunk) assignment, and the
+    in-order reassembly."""
+    return rf"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', '. ')
+                      ELSE text END AS text
+          FROM documents),
+        marked AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '([.!?])\s+',
+                                             '\1' || chr(30), 'g'),
+                              chr(30)) AS t
+          FROM src),
+        sent AS (
+          SELECT doc_id, i, t[i] AS s
+          FROM marked, UNNEST(generate_series(1, len(t))) AS u(i)
+          WHERE trim(t[i]) <> ''),
+        tok AS (
+          SELECT doc_id, i, s,
+                 len(regexp_split_to_array(trim(s), '\s+')) AS nt
+          FROM sent),
+        cum AS (
+          SELECT doc_id, i, s, nt,
+                 COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS start
+          FROM tok)
+        SELECT doc_id,
+               CAST(floor(start / {chunk_tokens}) AS INT) AS chunk_id,
+               CAST(count(*) AS INT) AS n_sentences,
+               CAST(sum(nt) AS INT) AS n_chunk_tokens,
+               string_agg(s, ' ' ORDER BY i) AS chunk_text
+        FROM cum GROUP BY 1, 2
+    """
 
 
 def _domain_report_sql(low: float = 0.5) -> str:

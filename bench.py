@@ -406,6 +406,14 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     timed("text_pii", lambda: pii_features(docs, "doc_id", "text").agg(
         F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"),
         F.sum(F.col("pii_free").cast("long"))).collect())
+    from spark_schema_guard.operators.textstats import chunk_by_sentences
+    timed("text_chunks_sent", lambda: chunk_by_sentences(
+        docs.select("doc_id",
+                    F.replace(F.col("text"), F.lit(" "), F.lit(". "))
+                    .alias("text")),
+        "doc_id", "text", chunk_tokens=32).agg(
+        F.sum("n_sentences"), F.sum("n_chunk_tokens"),
+        F.sum(F.length("chunk_text"))).collect())
     from spark_schema_guard.operators.textstats import chunk_documents
     # sum(length(chunk_text)) forces the slice + array_join, not just
     # the chunk-id explode

@@ -438,6 +438,56 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
                         F.array_join(piece, " ").alias("chunk_text")))
 
 
+def chunk_by_sentences(df: DataFrame, id_col: str, text_col: str, *,
+                       chunk_tokens: int = 256) -> DataFrame:
+    """Sentence-boundary chunking — the RAG/training-prep complement to
+    :func:`chunk_documents`: sentences are never split mid-way; each
+    sentence joins the chunk its STARTING token offset falls into
+    (``floor(start / chunk_tokens)``), so chunks hold whole sentences
+    and run ~``chunk_tokens`` long, overflowing by at most one
+    sentence.  Deterministic on any cluster size.
+
+    Sentences end at ``. ! ?`` followed by whitespace — marked
+    LOOKAROUND-FREE (a ``([.!?])\\s+`` capture rewritten to ``$1`` + a
+    unit-separator control char, then a plain split), so a SQL oracle
+    replays the segmentation with its own backreference syntax rather
+    than a lookbehind RE2 lacks.  Text containing U+001E itself would
+    split there too — the documented sentinel caveat.
+
+    Returns ``(id, chunk_id, n_sentences, n_chunk_tokens, chunk_text)``
+    with ``chunk_text`` the original sentences space-joined in order;
+    blank/NULL docs produce no chunks.
+
+    Scale shape: split -> posexplode -> per-DOC cumulative-token window
+    (bounded by doc length, the ``word_ngram_stack`` precedent — never
+    corpus-wide) -> one ``groupBy(id, chunk)`` reassembly via
+    ``sort_array(collect_list(struct))`` (per-chunk memory, no lambda
+    HOFs).  Shuffle volume ~ corpus sentences."""
+    from pyspark.sql.window import Window
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    marked = F.regexp_replace(F.trim(F.col(text_col)),
+                              r"([.!?])\s+", "$1\u001e")
+    sent = (df.select(F.col(id_col),
+                      F.posexplode(F.split(marked, "\u001e"))
+                      .alias("__i", "__s"))
+            .where(F.trim(F.col("__s")) != ""))
+    sent = sent.withColumn("__nt", token_count(F.col("__s")))
+    w = (Window.partitionBy(id_col).orderBy("__i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    sent = sent.withColumn(
+        "chunk_id", F.floor(start / chunk_tokens).cast("int"))
+    piece = F.when(F.col("__s").isNotNull(),
+                   F.struct(F.col("__i"), F.col("__s")))
+    return (sent.groupBy(id_col, "chunk_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_sentences"),
+                 F.sum("__nt").cast("int").alias("n_chunk_tokens"),
+                 F.array_join(F.sort_array(F.collect_list(piece))
+                              .getField("__s"), " ").alias("chunk_text")))
+
+
 # PII scanning — patterns deliberately restricted to syntax that Java's
 # regex and RE2 (DuckDB) interpret identically (no lookaround, no
 # backreferences), so the same literal pattern is the oracle's pattern.

@@ -736,6 +736,40 @@ def test_embedding_decontaminate(spark):
                                 "embedding")
 
 
+def test_chunk_by_sentences(spark):
+    """Hand-computed sentence packing: whole sentences only, chunk by
+    starting token offset, overflow stays with its start chunk."""
+    from spark_schema_guard.operators.textstats import chunk_by_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "one two three. four five! six seven eight nine? ten"),
+         (2, "a b c d e f g h"),     # no terminators: one sentence
+         (3, None),
+         (4, "   "),
+         (5, "ends with period. ")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): r.asDict() for r in
+           chunk_by_sentences(docs, "doc_id", "text",
+                              chunk_tokens=4).collect()}
+    # doc 1 sentences: [3 tok][2 tok][4 tok][1 tok] at starts 0,3,5,9
+    # -> chunks 0,0,1,2
+    assert out[(1, 0)]["n_sentences"] == 2
+    assert out[(1, 0)]["n_chunk_tokens"] == 5  # overflow by one sentence
+    assert out[(1, 0)]["chunk_text"] == "one two three. four five!"
+    assert out[(1, 1)]["chunk_text"] == "six seven eight nine?"
+    assert out[(1, 2)]["chunk_text"] == "ten"
+    # one long sentence never splits
+    assert out[(2, 0)]["n_sentences"] == 1
+    assert out[(2, 0)]["n_chunk_tokens"] == 8
+    # NULL / blank docs produce no chunks
+    assert not any(k[0] in (3, 4) for k in out)
+    # trailing terminator yields no phantom empty sentence
+    assert out[(5, 0)]["n_sentences"] == 1
+    assert out[(5, 0)]["chunk_text"] == "ends with period."
+    with pytest.raises(ValueError):
+        chunk_by_sentences(docs, "doc_id", "text", chunk_tokens=0)
+
+
 def test_domain_report_hand_computed(spark):
     from spark_schema_guard.operators import domain_report
     from spark_schema_guard.operators.textstats import quality_features
