@@ -270,7 +270,9 @@ def q_web_domain_report(spark, sf_dir):
     from spark_schema_guard.operators import domain_report
 
     web = web_pages(_read(spark, sf_dir, "documents"))
-    return domain_report(web, "url", "text", "lang")
+    # distinct="exact" is the oracle mode; the scale default is the
+    # HLL++ sketch (distinct="approx"), which DuckDB can't reproduce
+    return domain_report(web, "url", "text", "lang", distinct="exact")
 
 
 def q_web_uniqueness_summary(spark, sf_dir):
@@ -1461,83 +1463,35 @@ def q_text_dup_spans(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # CORE-FIRST ordering: the correctness driver checks a time-bounded
+    # PREFIX of this dict (r1 32, r2 44, r3 50 queries), so the first
+    # ~44 entries are a curated core — the flagship validation queries,
+    # then every query no driver round has covered yet, then one
+    # representative per operator family.  The full 84 stay checked by
+    # tools/check_oracles.py either way.
     return {
+        # flagship validation (rowcheck + columnar + variant engines)
         "v_verdicts": q_v_verdicts,
         "v_violation_messages": q_v_violation_messages,
-        "v_lang_agg": q_v_lang_agg,
         "web_verdicts_agg": q_web_verdicts_agg,
-        "web_violation_rows": q_web_violation_rows,
-        "web_duplicate_urls": q_web_duplicate_urls,
-        "web_url_normalize": q_web_url_normalize,
-        "web_url_features": q_web_url_features,
-        "web_domain_report": q_web_domain_report,
-        "web_uniqueness_summary": q_web_uniqueness_summary,
+        "events_json_exact": q_events_json_exact,
+        "events_json_open": q_events_json_open,
+        "events_json_recursive": q_events_json_recursive,
+        "events_json_unique": q_events_json_unique,
         "web_extraction": q_web_extraction,
-        "fk_orders_customer": q_fk_orders_customer,
-        "fk_web_lang": q_fk_web_lang,
-        "stats_documents": q_stats_documents,
-        "stats_nulls_events": q_stats_nulls_events,
-        "drift_lang_chisq": q_drift_lang_chisq,
-        "drift_ts_ks": q_drift_ts_ks,
-        "drift_events_value_ks": q_drift_events_value_ks,
-        "drift_lang_by_unit": q_drift_lang_by_unit,
-        "drift_lang_psi": q_drift_lang_psi,
-        "drift_value_ks_by_unit": q_drift_value_ks_by_unit,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_verify": q_dedup_verify,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_lines": q_dedup_lines,
-        "strip_boilerplate": q_strip_boilerplate,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_keep_best": q_dedup_keep_best,
-        "suggest_documents": q_suggest_documents,
-        "constraint_drift": q_constraint_drift,
-        "suggest_validate": q_suggest_validate,
-        "suggest_json": q_suggest_json,
-        "suggest_json_validate": q_suggest_json_validate,
-        "suggest_by_unit": q_suggest_by_unit,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_keep": q_dedup_incremental_keep,
-        "web_domain_skew": q_web_domain_skew,
-        "sample_mix": q_sample_mix,
-        "sample_token_budget": q_sample_token_budget,
-        "sample_temperature": q_sample_temperature,
-        "sample_splits": q_sample_splits,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_near_dups": q_ann_near_dups,
-        "ann_near_dups_blocked": q_ann_near_dups_blocked,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "simhash_near_dups": q_simhash_near_dups,
-        "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
+        # never driver-checked before round 4
+        "stats_outliers": q_stats_outliers,
         "text_gopher": q_text_gopher,
         "text_c4": q_text_c4,
         "text_dup_lines": q_text_dup_lines,
         "sample_domain_cap": q_sample_domain_cap,
         "sample_importance": q_sample_importance,
-        "text_langid": q_text_langid,
-        "text_fingerprints": q_text_fingerprints,
-        "text_repetition": q_text_repetition,
-        "decontaminate": q_decontaminate,
         "decontam_embedding": q_decontam_embedding,
         "bpe_train": q_bpe_train,
         "text_encoding": q_text_encoding,
         "text_langmix": q_text_langmix,
-        "text_chunks_sent": q_text_chunks_sent,
-        "events_json_verdicts": q_events_json_verdicts,
-        "events_json_coerce": q_events_json_coerce,
-        "events_json_exact": q_events_json_exact,
-        "events_json_open": q_events_json_open,
-        "events_json_recursive": q_events_json_recursive,
-        "events_json_unique": q_events_json_unique,
-        "multimodal_meta": q_multimodal_meta,
-        "simhash": q_simhash,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "text_chunks": q_text_chunks,
+        "text_chunks_sent": q_text_chunks_sent,
         "text_pii": q_text_pii,
         "text_vocab": q_text_vocab,
         "text_lm_score": q_text_lm_score,
@@ -1545,7 +1499,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "text_classifier": q_text_classifier,
         "text_dup_spans": q_text_dup_spans,
-        "stats_outliers": q_stats_outliers,
+        # one representative per remaining family
+        "stats_documents": q_stats_documents,
+        "drift_lang_chisq": q_drift_lang_chisq,
+        "fk_orders_customer": q_fk_orders_customer,
+        "web_duplicate_urls": q_web_duplicate_urls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_verify": q_dedup_verify,
+        "dedup_clusters": q_dedup_clusters,
+        "strip_boilerplate": q_strip_boilerplate,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "suggest_json": q_suggest_json,
+        "sample_mix": q_sample_mix,
+        "decontaminate": q_decontaminate,
+        "multimodal_meta": q_multimodal_meta,
+        # ---- end of the ~44-entry core ----
+        "v_lang_agg": q_v_lang_agg,
+        "web_violation_rows": q_web_violation_rows,
+        "web_url_normalize": q_web_url_normalize,
+        "web_url_features": q_web_url_features,
+        "web_domain_report": q_web_domain_report,
+        "web_uniqueness_summary": q_web_uniqueness_summary,
+        "fk_web_lang": q_fk_web_lang,
+        "stats_nulls_events": q_stats_nulls_events,
+        "drift_ts_ks": q_drift_ts_ks,
+        "drift_events_value_ks": q_drift_events_value_ks,
+        "drift_lang_by_unit": q_drift_lang_by_unit,
+        "drift_lang_psi": q_drift_lang_psi,
+        "drift_value_ks_by_unit": q_drift_value_ks_by_unit,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_lines": q_dedup_lines,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_keep_best": q_dedup_keep_best,
+        "suggest_documents": q_suggest_documents,
+        "constraint_drift": q_constraint_drift,
+        "suggest_validate": q_suggest_validate,
+        "suggest_json_validate": q_suggest_json_validate,
+        "suggest_by_unit": q_suggest_by_unit,
+        "dedup_incremental_keep": q_dedup_incremental_keep,
+        "web_domain_skew": q_web_domain_skew,
+        "sample_token_budget": q_sample_token_budget,
+        "sample_temperature": q_sample_temperature,
+        "sample_splits": q_sample_splits,
+        "ann_near_dups": q_ann_near_dups,
+        "ann_near_dups_blocked": q_ann_near_dups_blocked,
+        "simhash_near_dups": q_simhash_near_dups,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
+        "events_json_verdicts": q_events_json_verdicts,
+        "events_json_coerce": q_events_json_coerce,
+        "simhash": q_simhash,
+        "text_bpe_tokens": q_text_bpe_tokens,
     }
 
 
@@ -3593,10 +3605,10 @@ def _domain_report_sql(low: float = 0.5) -> str:
         WITH {WEB_CTE},
         base AS (
           SELECT url, lang,
-                 lower(regexp_extract(
+                 coalesce(lower(regexp_extract(
                    regexp_extract(url,
                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
-                   '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1)) AS host,
+                   '^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)', 1)), '') AS host,
                  length(text) AS n_chars,
                  CASE WHEN length(trim(text)) = 0 THEN 0
                       ELSE array_length(
@@ -3637,13 +3649,13 @@ def _domain_report_sql(low: float = 0.5) -> str:
                  ROW_NUMBER() OVER (PARTITION BY host
                                     ORDER BY count(*) DESC, lang DESC)
                    AS rn
-          FROM scored GROUP BY 1, 2),
+          FROM scored WHERE lang IS NOT NULL GROUP BY 1, 2),
         ls AS (
           SELECT host, CAST(count(*) AS INT) AS n_langs,
                  max(CASE WHEN rn = 1 THEN lang END) AS top_lang
           FROM ls0 GROUP BY 1)
         SELECT hs.*, ls.n_langs, ls.top_lang
-        FROM hs JOIN ls USING (host)
+        FROM hs LEFT JOIN ls USING (host)
     """
 
 

@@ -264,8 +264,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
 
     def decontam_emb_leg():
         # amplified corpus (linear cost: one matmul per batch against a
-        # fixed ~|emb|/97 bench matrix) — scaled replicas keep direction,
-        # so bench originals flag all their copies
+        # fixed ~|emb|/97 bench matrix) — each replica is a UNIFORM
+        # per-replica scale of its original (direction preserved), so
+        # bench originals flag all their copies
         embn = emb.count()
         reps = max(1, 128000 // max(embn, 1))
         big = emb.select(
@@ -275,7 +276,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
             .alias("vec_id"),
             F.transform(
                 F.col("embedding").cast("array<double>"),
-                lambda x, i: x * (1.0 + (F.col("__r") * (i + 1)) % 5))
+                lambda x: x * (1.0 + F.col("__r") % 5))
             .alias("embedding"))
         return embedding_decontaminate(
             big, "vec_id", "embedding",

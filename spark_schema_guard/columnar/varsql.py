@@ -281,6 +281,34 @@ class _VariantSQLMixin:
         return self._vsql_spend(
             self._variant_canon_tpl(depth).replace(_CANON_V, v_sql))
 
+    def _variant_too_deep_tpl(self, depth: int) -> str:
+        """Boolean template over ``__CANON_V__``: does the value contain
+        a CONTAINER nested more than ``depth`` levels down — exactly the
+        data that would hit the canon template's raise branch.  Used by
+        ``on_depth_exceeded="violation"`` to flag too-deep rows as
+        violations (job completes) instead of raising mid-scan."""
+        cache = getattr(self, "_too_deep_tpl_cache", None)
+        if cache is None:
+            cache = self._too_deep_tpl_cache = {}
+        if depth in cache:
+            return cache[depth]
+        w = _Views(_CANON_V)
+        if depth <= 0:
+            tpl = f"({w.is_arr} OR {w.is_obj})"
+        else:
+            x = f"__cd{depth}"
+            inner = self._variant_too_deep_tpl(depth - 1).replace(
+                _CANON_V, x)
+            tpl = (f"(({w.is_arr} AND exists({w.arr}, {x} -> {inner})) "
+                   f"OR ({w.is_obj} AND exists(map_values({w.obj}), "
+                   f"{x} -> {inner})))")
+        cache[depth] = tpl
+        return tpl
+
+    def _variant_too_deep_sql(self, v_sql: str, depth: int) -> str:
+        return self._vsql_spend(
+            self._variant_too_deep_tpl(depth).replace(_CANON_V, v_sql))
+
     # -- enum/const deep equality ------------------------------------------
 
     def _member_match_sql(self, w: _Views, m) -> str:
@@ -852,10 +880,30 @@ class _VariantSQLMixin:
                     x = self._vsql_var()
                     canon = self._variant_canon_sql(x, self.canon_depth)
                     canons = f"transform({w.arr}, {x} -> {canon})"
+                    dup = (f"({w.is_arr} AND size({w.arr}) > "
+                           f"size(array_distinct({canons})))")
+                    if self.on_depth_exceeded == "violation":
+                        # scale mode: a too-deep element becomes ONE
+                        # violation row and the canon (whose depth-0
+                        # branch raises) is skipped via a lazy CASE —
+                        # never an aborted job, never a silent verdict
+                        xd = self._vsql_var()
+                        probe = self._variant_too_deep_sql(
+                            xd, self.canon_depth)
+                        too_deep = (f"({w.is_arr} AND exists({w.arr}, "
+                                    f"{xd} -> {probe}))")
+                        out.append((
+                            "uniqueItems-depth",
+                            msg("nests deeper than the uniqueItems "
+                                "canonicalization depth (canon_depth="
+                                f"{self.canon_depth}); raise canon_depth "
+                                "for an exact verdict"),
+                            too_deep))
+                        dup = (f"(CASE WHEN {too_deep} THEN false "
+                               f"ELSE {dup} END)")
                     out.append((
                         "uniqueItems", msg("must contain unique items"),
-                        f"({w.is_arr} AND size({w.arr}) > "
-                        f"size(array_distinct({canons})))"))
+                        dup))
             elif keyword == "items":
                 items_definition = definition["items"]
                 if items_definition is False:

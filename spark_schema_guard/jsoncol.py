@@ -108,12 +108,24 @@ def validate_json_column(
     verdict_col: str = "verdict",
     formats=None,
     json_types: str = "exact",
+    mode: str = "strict",
     ref_unroll_depth: int = 3,
-    on_depth_exceeded: str = "error",
+    on_depth_exceeded: str | None = None,
     canon_depth: int = 5,
     plan_text_budget: int = 2_000_000,
 ) -> DataFrame:
     """Append violations + verdict for a JSON string column.
+
+    ``mode`` presets the depth-exceeded policy (columnar engine only):
+
+    * ``"strict"`` (default): data nested past ``ref_unroll_depth`` /
+      ``canon_depth`` RAISES at evaluation time — exact-parity mode,
+      right for differential tests and bounded contracts.
+    * ``"scale"``: the same data yields a per-row depth violation and
+      the job COMPLETES — the right default for a multi-hour corpus
+      run, where one pathological row at hour 10 must not abort the
+      job.  Equivalent to ``on_depth_exceeded="violation"``; an
+      explicit ``on_depth_exceeded`` always wins over the preset.
 
     ``json_types`` (columnar engine only): ``"exact"`` (default) types
     declared scalar fields from the variant view — exact reference
@@ -135,6 +147,10 @@ def validate_json_column(
     is deliberately not restored — sessions that rely on the builder's
     strict duplicate-key rejection for their OWN variant parses should
     validate in ``json_types="coerce"`` mode or a separate session."""
+    if mode not in ("strict", "scale"):
+        raise ValueError(f"mode must be 'strict' or 'scale', got {mode!r}")
+    if on_depth_exceeded is None:
+        on_depth_exceeded = "violation" if mode == "scale" else "error"
     if engine == "auto":
         from .columnar.compiler import PlanUnsupported
         try:

@@ -77,7 +77,7 @@ def embedding_decontaminate(
     bench_vec_col: str,
     *,
     threshold: float = 0.9,
-    max_bench: int = 2_000_000,
+    max_bench: int = 100_000,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag training
     documents whose embedding is near-identical (cosine >= ``threshold``)
@@ -94,13 +94,17 @@ def embedding_decontaminate(
 
     Scale shape (10^12-row argument): the benchmark side is SMALL and
     FIXED-SIZE (eval suites are 10^3-10^5 items), so its matrix is
-    collected once driver-side (guarded by ``max_bench``) and shipped
-    into a ``mapInPandas`` stage closure — one BLAS matmul per Arrow
-    batch against the corpus scan, ZERO shuffles, zero joins, no
-    per-query fan-out.  Cost is one corpus scan x a constant-width
-    matmul; a 4x cluster does it 4x as fast with no cross-talk.
-    Bench vectors that cannot be scored are dropped at collect time
-    (they could never clear a cosine threshold).
+    collected once driver-side (guarded by ``max_bench``, whose default
+    of 10^5 rows keeps the matrix tens of MB, inside safe broadcast
+    range) and shipped to executors as a BROADCAST variable — torrent
+    distribution once per executor, never re-serialized inside each
+    task's closure — then one BLAS matmul per Arrow batch against the
+    corpus scan, ZERO shuffles, zero joins, no per-query fan-out.  Cost
+    is one corpus scan x a constant-width matmul; a 4x cluster does it
+    4x as fast with no cross-talk.  Bench vectors that cannot be scored
+    are dropped at collect time (they could never clear a cosine
+    threshold); a NULL *element* inside a bench vector becomes NaN and
+    the row is dropped by the same finite filter.
 
     Pair membership (cosine >= threshold) is stable across engines for
     any threshold not within ~1e-12 of a real cosine — the same
@@ -121,7 +125,9 @@ def embedding_decontaminate(
             f"benchmark embeddings must share one dimension, got {sorted(dims)}"
             if dims else "no well-formed benchmark embeddings to compare against")
     dim = dims.pop()
-    B = np.asarray([[float(x) for x in v] for v in bvecs], dtype=np.float64)
+    B = np.asarray(
+        [[float(x) if x is not None else float("nan") for x in v]
+         for v in bvecs], dtype=np.float64)
     bnorm = np.sqrt((B * B).sum(axis=1))
     ok = np.isfinite(B).all(axis=1) & (bnorm > 0)
     B, bnorm = B[ok], bnorm[ok]
@@ -134,8 +140,13 @@ def embedding_decontaminate(
         T.StructField("n_bench_matches", T.LongType()),
         T.StructField("contaminated", T.BooleanType())])
     thr = float(threshold)
+    # broadcast, not closure capture: the bench matrix ships to each
+    # executor once via torrent instead of riding every task's
+    # serialized closure
+    bc = df.sparkSession.sparkContext.broadcast((B, bnorm))
 
     def score(batches):
+        Bm, Bn = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -147,7 +158,7 @@ def embedding_decontaminate(
             valid = np.isfinite(M).all(axis=1) & (nrm > 0)
             n = np.zeros(len(pdf), dtype=np.int64)
             if valid.any():
-                S = (M[valid] @ B.T) / np.outer(nrm[valid], bnorm)
+                S = (M[valid] @ Bm.T) / np.outer(nrm[valid], Bn)
                 n[valid] = (S >= thr).sum(axis=1)
             out = pd.DataFrame({
                 "__id": pdf["__id"],

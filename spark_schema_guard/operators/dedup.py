@@ -947,7 +947,11 @@ def connected_components(
     keeping the pure-iterative behavior under test in the gate's
     distributed-path pin).
 
-    Round materialization (public API only, no ``_jsc`` bookkeeping):
+    Round materialization (public API only — one documented exception:
+    deleting a NON-local scratch dir on exit goes through
+    ``sparkContext._jsc.hadoopConfiguration()``, the only filesystem
+    surface PySpark exposes; it is failure-tolerant cleanup only, a
+    Spark upgrade that breaks it leaks a scratch dir, never a result):
     each round's label table is WRITTEN to parquet and read back — this
     truncates the logical lineage (without truncation the self-joining
     plan grows exponentially and Catalyst analysis dominates) and,

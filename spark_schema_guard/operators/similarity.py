@@ -248,14 +248,40 @@ def _probe_frame(spark, pairs, qid_type, key_name: str) -> DataFrame:
     return spark.createDataFrame(pairs, schema)
 
 
-def _cap_buckets(data: DataFrame, key: str, max_bucket) -> DataFrame:
+# "auto" bucket-cap policy: keep buckets up to AUTO_CAP_FACTOR x the
+# mean bucket size, never below AUTO_CAP_FLOOR rows (tiny corpora and
+# mildly skewed buckets are harmless; the cap exists to bound the
+# DEGENERATE case — e.g. zero-heavy embeddings all landing in one sign
+# bucket, which would otherwise make one task score ~the whole corpus)
+AUTO_CAP_FLOOR = 10_000
+AUTO_CAP_FACTOR = 8
+
+
+def _cap_buckets(data: DataFrame, key: str, max_bucket,
+                 *, n_buckets: int | None = None) -> DataFrame:
     """Drop buckets larger than ``max_bucket`` before the candidate
     join — the dedup.minhash_candidates safety valve against degenerate
-    buckets (mirrored in the SQL oracles).  ``None`` disables."""
+    buckets (mirrored in the SQL oracles).  ``None`` disables (explicit
+    opt-out); ``"auto"`` (the ANN-path default) derives the cap from the
+    data itself: ``max(AUTO_CAP_FLOOR, ceil(AUTO_CAP_FACTOR * total /
+    n_buckets))`` — total and the cap are computed INSIDE the plan (a
+    one-row agg over the bucket-size frame, cross-joined broadcast), so
+    auto mode costs no extra driver job."""
     if max_bucket is None:
         return data
     sizes = data.groupBy(key).agg(F.count(F.lit(1)).alias("__bn"))
-    keep = sizes.where(F.col("__bn") <= max_bucket).select(key)
+    if max_bucket == "auto":
+        if not n_buckets:
+            raise ValueError("auto bucket cap needs n_buckets")
+        total = sizes.agg(F.sum("__bn").alias("__tot"))
+        cap = F.greatest(
+            F.lit(AUTO_CAP_FLOOR).cast("long"),
+            F.ceil(F.lit(float(AUTO_CAP_FACTOR) / n_buckets)
+                   * F.col("__tot")))
+        keep = (sizes.crossJoin(F.broadcast(total))
+                .where(F.col("__bn") <= cap).select(key))
+    else:
+        keep = sizes.where(F.col("__bn") <= max_bucket).select(key)
     return data.join(F.broadcast(keep), key)
 
 
@@ -320,12 +346,17 @@ def cosine_topk_lsh(
     seed: int = 42,
     multiprobe: int = 2,
     n_tables: int = 1,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket (plus
     ``multiprobe`` single-bit-flip neighbor buckets).  ``max_bucket``
-    drops degenerate buckets before the join (see module docstring);
-    ranking is the same two-stage prune+merge as ``cosine_topk``.
+    drops degenerate buckets before the join (see module docstring) —
+    the default ``"auto"`` caps at ``max(AUTO_CAP_FLOOR,
+    AUTO_CAP_FACTOR x mean bucket size)`` so a pathological corpus
+    (e.g. all-identical sign patterns) cannot funnel the whole table
+    into one scoring task; pass ``None`` to explicitly opt out or an
+    int for a fixed cap.  Ranking is the same two-stage prune+merge as
+    ``cosine_topk``.
 
     ``n_tables`` is the recall lever (classic multi-table LSH): each
     table is an independent hyperplane set; a candidate is anything
@@ -351,7 +382,8 @@ def cosine_topk_lsh(
             for t in range(n_tables)]
         data = data.withColumn("bucket",
                                F.explode(F.array(*per_table)))
-    data = _cap_buckets(data, "bucket", max_bucket)
+    data = _cap_buckets(data, "bucket", max_bucket,
+                        n_buckets=n_tables * 2 ** n_planes)
 
     def buckets_for(vec):
         probes = []
@@ -479,7 +511,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     iterations: int = 0,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """IVF ANN top-k: vectors are bucketed by nearest coarse centroid
     (``ivf_centroids``), and each query scores only the vectors in its
@@ -487,13 +519,14 @@ def cosine_topk_ivf(
     ``nprobe/n_centroids`` of the corpus per query — the inverted-file
     alternative to the hyperplane-LSH path, with the same
     broadcast-join + two-stage-rank shape.  ``max_bucket`` drops
-    degenerate cells before the join."""
+    degenerate cells before the join (default ``"auto"`` — see
+    ``cosine_topk_lsh``; ``None`` opts out, an int fixes the cap)."""
     cents = ivf_centroids(df, id_col, vec_col, n_centroids,
                           iterations=iterations)
     dim = len(queries[0][1])
     data = _valid_vectors(df, id_col, vec_col, dim)
     data = data.withColumn("cell", ivf_cell_column(F.col("v"), cents))
-    data = _cap_buckets(data, "cell", max_bucket)
+    data = _cap_buckets(data, "cell", max_bucket, n_buckets=n_centroids)
 
     def probes_for(vec):
         vnorm = sum(x * x for x in vec) ** 0.5

@@ -196,6 +196,8 @@ def domain_report(
     lang_col: str | None = None,
     *,
     low_quality_below: float = 0.5,
+    distinct: str = "approx",
+    distinct_rsd: float = 0.05,
 ) -> DataFrame:
     """Per-DOMAIN quality rollup — the "which hosts to ban or cap"
     operational table every crawl pipeline maintains (RefinedWeb /
@@ -209,31 +211,43 @@ def domain_report(
     engine-portable: a float mean would reassociate differently on
     every partitioning.  ``top_lang`` breaks count ties toward the
     larger lang code (the ``language_guess`` direction).  Rows whose
-    URL has no host (non-URL strings) group under ``''``.
+    URL has no host (non-URL strings, and NULL urls too) group under
+    ``''`` — in BOTH legs, so hostless rows keep their lang rollup.
+    NULL lang values are excluded from ``n_langs``/``top_lang`` (NULL is
+    "unknown", not a language); a host with only NULL langs gets NULL in
+    both columns via the left join.
+
+    ``distinct="approx"`` (the scale default) computes ``n_urls`` with a
+    HyperLogLog++ sketch (``approx_count_distinct``, relative error
+    ``distinct_rsd``) — constant memory per host, no two-phase distinct
+    expansion; ``distinct="exact"`` swaps in ``count_distinct`` and is
+    the oracle/differential mode.
 
     Scale shape: host + quality features are pure Column expressions on
     the scan; the host rollup is one map-side-combining ``groupBy(host)``
-    (count_distinct expands to the standard two-phase distinct — volume
-    = distinct urls), and the lang leg (only with ``lang_col``) is a
-    stacked ``groupBy(host, lang)`` → ``groupBy(host)`` joined back on
-    one-row-per-host frames.  No windows; a hot domain is one reducer
-    row, not a skew hazard.  ``approx_count_distinct`` for ``n_urls``
-    at corpus scale is the caller's swap-in; the default exact count
-    keeps the oracle contract."""
+    (exact mode expands to the standard two-phase distinct — volume
+    = distinct urls; approx mode is one phase), and the lang leg (only
+    with ``lang_col``) is a stacked ``groupBy(host, lang)`` →
+    ``groupBy(host)`` joined back on one-row-per-host frames.  No
+    windows; a hot domain is one reducer row, not a skew hazard."""
     from .textstats import quality_features
     from .urlnorm import url_host
 
+    if distinct not in ("approx", "exact"):
+        raise ValueError("distinct must be 'approx' or 'exact'")
     keep = (lang_col,) if lang_col else ()
+    host = F.coalesce(url_host(F.col(url_col)), F.lit(""))
     feats = quality_features(
         df.select(F.col(url_col), F.col(text_col),
                   *[F.col(c) for c in keep])
-        .withColumn("__host", url_host(F.col(url_col))),
+        .withColumn("__host", host),
         "__host", text_col, keep=(url_col, *keep))
     q_e4 = F.round(F.col("quality_score") * 10000).cast("long")
+    n_urls = (F.count_distinct(F.col(url_col)) if distinct == "exact"
+              else F.approx_count_distinct(F.col(url_col), distinct_rsd))
     host_stats = (feats.groupBy(F.col("__host").alias("host"))
                   .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
-                       F.count_distinct(F.col(url_col)).cast("long")
-                       .alias("n_urls"),
+                       n_urls.cast("long").alias("n_urls"),
                        F.sum("n_tokens").cast("long").alias("n_tokens"),
                        F.sum(q_e4).cast("long").alias("quality_sum_e4"),
                        F.sum((F.col("quality_score")
@@ -245,15 +259,16 @@ def domain_report(
     # projection, never from the feature stream (reusing `feats` here
     # re-ran the whole tokenize for a pair of counts: A/B on the 2M-row
     # bench table, second pass 1.9s -> 0.6s)
-    lang_stats = (df.select(url_host(F.col(url_col)).alias("host"),
+    lang_stats = (df.select(host.alias("host"),
                             F.col(lang_col).alias("__lang"))
+                  .where(F.col("__lang").isNotNull())
                   .groupBy("host", "__lang")
                   .agg(F.count(F.lit(1)).alias("__n"))
                   .groupBy("host")
                   .agg(F.count(F.lit(1)).cast("int").alias("n_langs"),
                        F.max(F.struct(F.col("__n"), F.col("__lang")))
                        .getField("__lang").alias("top_lang")))
-    return host_stats.join(lang_stats, "host")
+    return host_stats.join(lang_stats, "host", "left")
 
 
 def partition_verdicts(applied: DataFrame) -> DataFrame:
