@@ -30,6 +30,8 @@ near-dup edge list.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -40,17 +42,49 @@ from .dedup import duplicate_clusters, keep_canonical
 from .similarity import (_batch_matrix, _valid_vectors, ivf_cell_column,
                          ivf_centroids)
 
+# Density-adaptive cell count ("auto", round 5): target a CELL SIZE,
+# not a cell count — in-cell pair work is then N * SEM_TARGET_CELL / 2,
+# linear in the corpus, the SemDeDup paper's own scaling posture
+# (fixed per-cluster budget; cross-cell near-dups are the accepted
+# approximation).  Past SEM_MAX_CENTROIDS the centroid table would
+# stop being driver-small, so cells grow instead (pair budget grows
+# linearly from there — still far from quadratic).
+SEM_TARGET_CELL = 1_000
+SEM_MAX_CENTROIDS = 100_000
+
+
+def _auto_sem_centroids(n: int) -> int:
+    return max(2, min(SEM_MAX_CENTROIDS,
+                      math.ceil(max(n, 1) / SEM_TARGET_CELL)))
+
+
+def _resolve_centroids(df, id_col, vec_col, n_centroids, iterations, dim):
+    """Shared ``n_centroids="auto"`` resolution: one narrow count of
+    the non-NULL vectors, then ``ceil(n / SEM_TARGET_CELL)`` clamped to
+    [2, SEM_MAX_CENTROIDS].  Pass an explicit int (or ``centroids``) to
+    skip the count job."""
+    if isinstance(n_centroids, str):
+        if n_centroids != "auto":
+            raise ValueError(
+                f"n_centroids must be an int or 'auto'; got {n_centroids!r}")
+        n_centroids = _auto_sem_centroids(
+            df.where(F.col(vec_col).isNotNull()).count())
+    return ivf_centroids(df, id_col, vec_col, n_centroids,
+                         iterations=iterations, dim=dim)
+
 
 def semantic_cells(df: DataFrame, id_col: str, vec_col: str, *,
-                   n_centroids: int = 16, iterations: int = 0,
+                   n_centroids: int | str = "auto", iterations: int = 0,
                    dim: int | None = None, centroids=None) -> DataFrame:
     """``(id, cell)`` k-means cell assignment for every well-formed
     vector (NULL / mis-dimensioned embeddings get no row — they cannot
     be semantically compared).  Pass ``centroids`` (the
-    ``ivf_centroids`` return shape) to reuse a trained quantizer."""
+    ``ivf_centroids`` return shape) to reuse a trained quantizer.
+    ``n_centroids="auto"`` (default since round 5) targets
+    ``SEM_TARGET_CELL`` rows per cell — see ``_resolve_centroids``."""
     if centroids is None:
-        centroids = ivf_centroids(df, id_col, vec_col, n_centroids,
-                                  iterations=iterations, dim=dim)
+        centroids = _resolve_centroids(df, id_col, vec_col, n_centroids,
+                                       iterations, dim)
     dim = len(centroids[0][1])
     data = _valid_vectors(df, id_col, vec_col, dim)
     return data.select(
@@ -157,7 +191,8 @@ def _arrow_cell_pairs(base: DataFrame, threshold: float, dim: int,
 
 
 def semantic_near_dups(df: DataFrame, id_col: str, vec_col: str, *,
-                       threshold: float = 0.95, n_centroids: int = 16,
+                       threshold: float = 0.95,
+                       n_centroids: int | str = "auto",
                        iterations: int = 0, max_cell: int | None = None,
                        dim: int | None = None, centroids=None,
                        method: str = "arrow") -> DataFrame:
@@ -180,8 +215,8 @@ def semantic_near_dups(df: DataFrame, id_col: str, vec_col: str, *,
     if method not in ("arrow", "fold"):
         raise ValueError(f"method must be 'arrow' or 'fold', got {method!r}")
     if centroids is None:
-        centroids = ivf_centroids(df, id_col, vec_col, n_centroids,
-                                  iterations=iterations, dim=dim)
+        centroids = _resolve_centroids(df, id_col, vec_col, n_centroids,
+                                       iterations, dim)
     dim = len(centroids[0][1])
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
                               lambda acc, x: acc + x * x))
@@ -218,7 +253,8 @@ def semantic_near_dups(df: DataFrame, id_col: str, vec_col: str, *,
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
-                   threshold: float = 0.95, n_centroids: int = 16,
+                   threshold: float = 0.95,
+                   n_centroids: int | str = "auto",
                    iterations: int = 0, max_cell: int | None = None,
                    dim: int | None = None, method: str = "arrow",
                    max_iter: int = 25,
@@ -238,7 +274,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
 
 def semantic_keep_best(df: DataFrame, id_col: str, vec_col: str,
                        score_col: str, *, threshold: float = 0.95,
-                       n_centroids: int = 16, iterations: int = 0,
+                       n_centroids: int | str = "auto", iterations: int = 0,
                        max_cell: int | None = None,
                        dim: int | None = None, method: str = "arrow",
                        max_iter: int = 25,

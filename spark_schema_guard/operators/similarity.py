@@ -56,7 +56,9 @@ order and matches row-for-row).
 from __future__ import annotations
 
 
+import math
 import random
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -255,6 +257,60 @@ def _probe_frame(spark, pairs, qid_type, key_name: str) -> DataFrame:
 # bucket, which would otherwise make one task score ~the whole corpus)
 AUTO_CAP_FLOOR = 10_000
 AUTO_CAP_FACTOR = 8
+# auto caps warn when they silently remove more than this fraction of
+# the corpus from candidacy — the signal a caller needs to raise
+# n_planes/n_centroids or opt out with max_bucket=None
+CAP_WARN_FRACTION = 0.02
+# past this many dropped bucket ids the NOT-IN literal filter would
+# bloat the plan; fall back to a broadcast keep-join instead
+_CAP_ISIN_LIMIT = 1_000
+
+# Density-adaptive defaults ("auto", round 5): fixed plane/centroid
+# counts cannot hold recall as the corpus grows, so "auto" targets a
+# BUCKET/CELL SIZE, not a bucket count — the same policy as
+# max_bucket="auto".  Grounding (SCALE.md recall grids, sf0.1
+# embeddings at 1x/10x density): single-table 6-plane LSH is stuck at
+# ~0.2 recall@5 at BOTH scales, 4-table 6-plane LSH holds 0.52/0.63,
+# and IVF recall rises monotonically with centroid count
+# (32 centroids = 0.98/1.00 at ~3-12% scan).
+LSH_TARGET_BUCKET = 512   # auto n_planes aims for ~this many rows/bucket
+LSH_AUTO_TABLES = 4       # the measured recall lever (1-(1-r)^L)
+IVF_MIN_CENTROIDS = 8
+IVF_MAX_CENTROIDS = 65_536
+
+
+def _auto_n_planes(n: int) -> int:
+    """ceil(log2(n / LSH_TARGET_BUCKET)) clamped to [4, 16] — bucket
+    population tracks LSH_TARGET_BUCKET instead of shrinking the
+    per-bucket recall floor as density grows."""
+    if n <= LSH_TARGET_BUCKET:
+        return 4
+    return max(4, min(16, math.ceil(math.log2(n / LSH_TARGET_BUCKET))))
+
+
+def _auto_n_centroids(n: int) -> int:
+    """round(sqrt(n)) clamped to [8, 65536] — the classic IVF nlist
+    rule: per-query scanned fraction shrinks as nprobe/sqrt(n) while
+    cells keep following the data (recall rose monotonically with
+    centroid count on both measured densities)."""
+    return max(IVF_MIN_CENTROIDS,
+               min(IVF_MAX_CENTROIDS, round(math.sqrt(max(n, 1)))))
+
+
+def _validate_max_bucket(max_bucket) -> None:
+    """Reject typo'd strings ('aut0' used to fall into the int branch
+    and Spark coerced the long<=string comparison — silent wrong
+    filtering) and non-int garbage."""
+    if max_bucket is None or max_bucket == "auto":
+        return
+    if isinstance(max_bucket, str):
+        raise ValueError(
+            f"max_bucket must be an int, None, or 'auto'; got {max_bucket!r}")
+    if isinstance(max_bucket, bool) or not isinstance(max_bucket, int):
+        raise ValueError(
+            f"max_bucket must be an int, None, or 'auto'; got {max_bucket!r}")
+    if max_bucket <= 0:
+        raise ValueError(f"max_bucket must be positive; got {max_bucket}")
 
 
 def _cap_buckets(data: DataFrame, key: str, max_bucket,
@@ -262,26 +318,60 @@ def _cap_buckets(data: DataFrame, key: str, max_bucket,
     """Drop buckets larger than ``max_bucket`` before the candidate
     join — the dedup.minhash_candidates safety valve against degenerate
     buckets (mirrored in the SQL oracles).  ``None`` disables (explicit
-    opt-out); ``"auto"`` (the ANN-path default) derives the cap from the
-    data itself: ``max(AUTO_CAP_FLOOR, ceil(AUTO_CAP_FACTOR * total /
-    n_buckets))`` — total and the cap are computed INSIDE the plan (a
-    one-row agg over the bucket-size frame, cross-joined broadcast), so
-    auto mode costs no extra driver job."""
+    opt-out); an int keeps the original lazy in-plan keep-join (the
+    oracle-replicated mode).
+
+    ``"auto"`` (the ANN-path default) derives the cap from the data:
+    ``max(AUTO_CAP_FLOOR, ceil(AUTO_CAP_FACTOR * total / n_buckets))``.
+    Since round 5 auto mode is EAGER and REPORTED: the bucket histogram
+    (tiny — one row per populated bucket) is aggregated up front, the
+    over-cap bucket ids are collected, and
+
+    * nothing over cap (the common case) → the candidate plan gains NO
+      join at all;
+    * a small dropped set → a literal NOT-IN filter (no join, no
+      broadcast);
+    * a dropped fraction above ``CAP_WARN_FRACTION`` →
+      ``warnings.warn`` naming the dropped rows/buckets, so a clustered
+      corpus whose true neighbors live in a hot bucket cannot lose them
+      silently (the round-4 ADVICE finding).
+
+    The eager histogram costs one narrow job; the previous in-plan form
+    recomputed the same histogram inside the candidate job anyway, so
+    total scan work is unchanged while the join disappears."""
+    _validate_max_bucket(max_bucket)
     if max_bucket is None:
         return data
     sizes = data.groupBy(key).agg(F.count(F.lit(1)).alias("__bn"))
-    if max_bucket == "auto":
-        if not n_buckets:
-            raise ValueError("auto bucket cap needs n_buckets")
-        total = sizes.agg(F.sum("__bn").alias("__tot"))
-        cap = F.greatest(
-            F.lit(AUTO_CAP_FLOOR).cast("long"),
-            F.ceil(F.lit(float(AUTO_CAP_FACTOR) / n_buckets)
-                   * F.col("__tot")))
-        keep = (sizes.crossJoin(F.broadcast(total))
-                .where(F.col("__bn") <= cap).select(key))
-    else:
+    if max_bucket != "auto":
         keep = sizes.where(F.col("__bn") <= max_bucket).select(key)
+        return data.join(F.broadcast(keep), key)
+    if not n_buckets:
+        raise ValueError("auto bucket cap needs n_buckets")
+    sizes = sizes.persist()
+    try:
+        total = sizes.agg(F.sum("__bn").alias("t")).first()["t"] or 0
+        cap = max(AUTO_CAP_FLOOR,
+                  math.ceil(AUTO_CAP_FACTOR * total / n_buckets))
+        dropped = sizes.where(F.col("__bn") > cap) \
+                       .select(key, "__bn").collect()
+    finally:
+        sizes.unpersist()
+    if not dropped:
+        return data
+    dropped_rows = sum(r["__bn"] for r in dropped)
+    frac = dropped_rows / total if total else 0.0
+    if frac > CAP_WARN_FRACTION:
+        warnings.warn(
+            f"max_bucket='auto' dropped {len(dropped)} bucket(s) holding "
+            f"{dropped_rows} rows ({frac:.1%} of the corpus, cap={cap}) "
+            f"from ANN candidacy; queries whose true neighbors live "
+            f"there will under-recall.  Raise n_planes/n_tables/"
+            f"n_centroids, or pass max_bucket=None to opt out.",
+            stacklevel=3)
+    if len(dropped) <= _CAP_ISIN_LIMIT:
+        return data.where(~F.col(key).isin([r[key] for r in dropped]))
+    keep = sizes.where(F.col("__bn") <= cap).select(key)
     return data.join(F.broadcast(keep), key)
 
 
@@ -342,10 +432,10 @@ def cosine_topk_lsh(
     queries: list[tuple],
     k: int = 5,
     *,
-    n_planes: int = 6,
+    n_planes: int | str = "auto",
     seed: int = 42,
     multiprobe: int = 2,
-    n_tables: int = 1,
+    n_tables: int | str = "auto",
     max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket (plus
@@ -367,11 +457,28 @@ def cosine_topk_lsh(
     needs ~10× the scan for).  Table t's buckets live in the id range
     ``[t·2^n_planes, (t+1)·2^n_planes)``, so the cap and the broadcast
     probe machinery are shared unchanged; cross-table duplicate
-    candidates are dropped before scoring."""
+    candidates are dropped before scoring.
+
+    ``n_planes``/``n_tables`` default to ``"auto"`` (round 5): one
+    narrow count of the well-formed vectors sizes the corpus, then
+    ``n_planes = clamp(ceil(log2(n / LSH_TARGET_BUCKET)), 4, 16)`` and
+    ``n_tables = LSH_AUTO_TABLES`` — the density-adaptive policy
+    measured in SCALE.md (the old fixed 6/1 default fell to ~0.2
+    recall@5 as density grew; auto holds ≥0.6 at both measured
+    densities).  Pass explicit ints to skip the count job."""
     dim = len(queries[0][1])
+    data = _valid_vectors(df, id_col, vec_col, dim)
+    for name, val in (("n_planes", n_planes), ("n_tables", n_tables)):
+        if isinstance(val, str) and val != "auto":
+            raise ValueError(f"{name} must be an int or 'auto'; got {val!r}")
+    if n_planes == "auto" or n_tables == "auto":
+        n = data.count()
+        if n_planes == "auto":
+            n_planes = _auto_n_planes(n)
+        if n_tables == "auto":
+            n_tables = LSH_AUTO_TABLES
     tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
               for t in range(n_tables)]
-    data = _valid_vectors(df, id_col, vec_col, dim)
     if n_tables == 1:
         data = data.withColumn(
             "bucket", lsh_bucket_column(F.col("v"), tables[0]))
@@ -508,7 +615,7 @@ def cosine_topk_ivf(
     queries: list[tuple],
     k: int = 5,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
     nprobe: int = 4,
     iterations: int = 0,
     max_bucket: int | str | None = "auto",
@@ -520,11 +627,23 @@ def cosine_topk_ivf(
     alternative to the hyperplane-LSH path, with the same
     broadcast-join + two-stage-rank shape.  ``max_bucket`` drops
     degenerate cells before the join (default ``"auto"`` — see
-    ``cosine_topk_lsh``; ``None`` opts out, an int fixes the cap)."""
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids,
-                          iterations=iterations)
+    ``cosine_topk_lsh``; ``None`` opts out, an int fixes the cap).
+
+    ``n_centroids`` defaults to ``"auto"`` (round 5): one narrow count
+    sizes the corpus and ``n_centroids = clamp(round(sqrt(n)), 8,
+    65536)`` — the classic IVF nlist rule, so the scanned fraction
+    shrinks as ``nprobe/sqrt(n)`` while cells keep tracking the data
+    (recall rose monotonically with centroid count at both measured
+    densities — SCALE.md).  Pass an explicit int to skip the count."""
     dim = len(queries[0][1])
     data = _valid_vectors(df, id_col, vec_col, dim)
+    if isinstance(n_centroids, str) and n_centroids != "auto":
+        raise ValueError(
+            f"n_centroids must be an int or 'auto'; got {n_centroids!r}")
+    if n_centroids == "auto":
+        n_centroids = _auto_n_centroids(data.count())
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids,
+                          iterations=iterations)
     data = data.withColumn("cell", ivf_cell_column(F.col("v"), cents))
     data = _cap_buckets(data, "cell", max_bucket, n_buckets=n_centroids)
 
