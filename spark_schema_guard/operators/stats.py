@@ -223,6 +223,15 @@ def domain_report(
     expansion; ``distinct="exact"`` swaps in ``count_distinct`` and is
     the oracle/differential mode.
 
+    .. note:: **Behavior change (round 4)** — ``n_urls`` used to be
+       exact by default; it is now a sketch.  Callers comparing
+       ``n_urls`` against exact counts (or against ``n_pages``) must
+       pass ``distinct="exact"`` or tolerate ``distinct_rsd`` noise.
+       The approx path marks the column with field metadata
+       ``{"approx": true, "rsd": <distinct_rsd>}`` so downstream code
+       can detect the sketch programmatically
+       (``df.schema["n_urls"].metadata``).
+
     Scale shape: host + quality features are pure Column expressions on
     the scan; the host rollup is one map-side-combining ``groupBy(host)``
     (exact mode expands to the standard two-phase distinct — volume
@@ -243,11 +252,17 @@ def domain_report(
         .withColumn("__host", host),
         "__host", text_col, keep=(url_col, *keep))
     q_e4 = F.round(F.col("quality_score") * 10000).cast("long")
-    n_urls = (F.count_distinct(F.col(url_col)) if distinct == "exact"
-              else F.approx_count_distinct(F.col(url_col), distinct_rsd))
+    if distinct == "exact":
+        n_urls = F.count_distinct(F.col(url_col)).cast("long") \
+            .alias("n_urls")
+    else:
+        n_urls = (F.approx_count_distinct(F.col(url_col), distinct_rsd)
+                  .cast("long")
+                  .alias("n_urls",
+                         metadata={"approx": True, "rsd": distinct_rsd}))
     host_stats = (feats.groupBy(F.col("__host").alias("host"))
                   .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
-                       n_urls.cast("long").alias("n_urls"),
+                       n_urls,
                        F.sum("n_tokens").cast("long").alias("n_tokens"),
                        F.sum(q_e4).cast("long").alias("quality_sum_e4"),
                        F.sum((F.col("quality_score")

@@ -142,6 +142,50 @@ def test_auto_cap_no_join_when_nothing_dropped(spark):
     assert plan_auto.count("Join") == plan_off.count("Join")
 
 
+# --- ADVICE-r04 (low): decontam broadcast lifecycle + error message ---------
+
+
+def test_release_bench_broadcasts(spark):
+    from spark_schema_guard.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "doc_id long, v array<double>")
+    bench = spark.createDataFrame([([1.0, 0.0],)], "bv array<double>")
+    out = decontam.embedding_decontaminate(
+        docs, "doc_id", "v", bench, "bv", threshold=0.99)
+    got = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert got == {1: True, 2: False}
+    assert decontam.release_bench_broadcasts() >= 1
+    assert decontam._BENCH_BROADCASTS == []
+
+
+def test_max_bench_error_names_old_default(spark):
+    from spark_schema_guard.operators.decontam import embedding_decontaminate
+
+    docs = spark.createDataFrame([(1, [1.0])], "doc_id long, v array<double>")
+    bench = spark.createDataFrame([([float(i)],) for i in range(4)],
+                                  "bv array<double>")
+    with pytest.raises(ValueError, match="2,000,000"):
+        embedding_decontaminate(docs, "doc_id", "v", bench, "bv",
+                                max_bench=3)
+
+
+# --- ADVICE-r04 (low): approx n_urls is detectable --------------------------
+
+
+def test_domain_report_marks_approx_n_urls(spark):
+    from spark_schema_guard.operators.stats import domain_report
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "some plain text here", "en")] * 3,
+        "url string, text string, lang string")
+    approx = domain_report(df, "url", "text", "lang")
+    assert approx.schema["n_urls"].metadata.get("approx") is True
+    exact = domain_report(df, "url", "text", "lang", distinct="exact")
+    assert not exact.schema["n_urls"].metadata.get("approx")
+    assert exact.select("host", "n_urls").collect()[0]["n_urls"] == 1
+
+
 # --- VERDICT #1: at-density recall floors for the auto defaults -------------
 
 
