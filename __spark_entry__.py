@@ -859,7 +859,7 @@ def q_ann_topk_lsh(spark, sf_dir):
              for r in emb.where(F.col("vec_id") < 3).collect()}
     queries = [(qid, qvecs[qid]) for qid in sorted(qvecs)]
     return cosine_topk_lsh(emb, "vec_id", "embedding", queries, k=5,
-                           n_planes=3, multiprobe=0,
+                           n_planes=3, multiprobe=0, n_tables=1,
                            max_bucket=10000).select(
         "query_id", "rank", "neighbor_id")
 
@@ -1463,12 +1463,13 @@ def q_text_dup_spans(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # CORE-FIRST ordering: the correctness driver checks a time-bounded
-    # PREFIX of this dict (r1 32, r2 44, r3 50 queries), so the first
-    # ~44 entries are a curated core — the flagship validation queries,
-    # then every query no driver round has covered yet, then one
-    # representative per operator family.  The full 84 stay checked by
-    # tools/check_oracles.py either way.
+    # ROTATED core-first ordering (round 5): the correctness driver
+    # checks a time-bounded PREFIX of this dict (r1 32, r2 44, r3/r4
+    # 50 queries), so the flagship validation queries stay first, then
+    # the 34 queries the r4 driver run did NOT reach (they were the
+    # tail of the r4 ordering; every one has a green r1-r3 row and my
+    # full-gate runs, but rotating keeps DRIVER rows cycling over all
+    # 84).  The full set stays checked by tools/check_oracles.py.
     return {
         # flagship validation (rowcheck + columnar + variant engines)
         "v_verdicts": q_v_verdicts,
@@ -1479,51 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_recursive": q_events_json_recursive,
         "events_json_unique": q_events_json_unique,
         "web_extraction": q_web_extraction,
-        # never driver-checked before round 4
-        "stats_outliers": q_stats_outliers,
-        "text_gopher": q_text_gopher,
-        "text_c4": q_text_c4,
-        "text_dup_lines": q_text_dup_lines,
-        "sample_domain_cap": q_sample_domain_cap,
-        "sample_importance": q_sample_importance,
-        "decontam_embedding": q_decontam_embedding,
-        "bpe_train": q_bpe_train,
-        "text_encoding": q_text_encoding,
-        "text_langmix": q_text_langmix,
-        "text_chunks": q_text_chunks,
-        "text_chunks_sent": q_text_chunks_sent,
-        "text_pii": q_text_pii,
-        "text_vocab": q_text_vocab,
-        "text_lm_score": q_text_lm_score,
-        "web_blocklist": q_web_blocklist,
-        "semantic_dedup": q_semantic_dedup,
-        "text_classifier": q_text_classifier,
-        "text_dup_spans": q_text_dup_spans,
-        # one representative per remaining family
-        "stats_documents": q_stats_documents,
-        "drift_lang_chisq": q_drift_lang_chisq,
-        "fk_orders_customer": q_fk_orders_customer,
-        "web_duplicate_urls": q_web_duplicate_urls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_verify": q_dedup_verify,
-        "dedup_clusters": q_dedup_clusters,
-        "strip_boilerplate": q_strip_boilerplate,
-        "dedup_incremental": q_dedup_incremental,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "suggest_json": q_suggest_json,
-        "sample_mix": q_sample_mix,
-        "decontaminate": q_decontaminate,
-        "multimodal_meta": q_multimodal_meta,
-        # ---- end of the ~44-entry core ----
-        "v_lang_agg": q_v_lang_agg,
-        "web_violation_rows": q_web_violation_rows,
-        "web_url_normalize": q_web_url_normalize,
-        "web_url_features": q_web_url_features,
-        "web_domain_report": q_web_domain_report,
-        "web_uniqueness_summary": q_web_uniqueness_summary,
+        # the 34 queries the r4 driver prefix did not reach
         "fk_web_lang": q_fk_web_lang,
         "stats_nulls_events": q_stats_nulls_events,
         "drift_ts_ks": q_drift_ts_ks,
@@ -1558,6 +1515,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_coerce": q_events_json_coerce,
         "simhash": q_simhash,
         "text_bpe_tokens": q_text_bpe_tokens,
+        # representatives whose operators changed this round
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "semantic_dedup": q_semantic_dedup,
+        "decontam_embedding": q_decontam_embedding,
+        "web_domain_report": q_web_domain_report,
+        # ---- ~47-entry rotation boundary; r4-checked queries follow ----
+        "stats_outliers": q_stats_outliers,
+        "text_gopher": q_text_gopher,
+        "text_c4": q_text_c4,
+        "text_dup_lines": q_text_dup_lines,
+        "sample_domain_cap": q_sample_domain_cap,
+        "sample_importance": q_sample_importance,
+        "bpe_train": q_bpe_train,
+        "text_encoding": q_text_encoding,
+        "text_langmix": q_text_langmix,
+        "text_chunks": q_text_chunks,
+        "text_chunks_sent": q_text_chunks_sent,
+        "text_pii": q_text_pii,
+        "text_vocab": q_text_vocab,
+        "text_lm_score": q_text_lm_score,
+        "web_blocklist": q_web_blocklist,
+        "text_classifier": q_text_classifier,
+        "text_dup_spans": q_text_dup_spans,
+        "stats_documents": q_stats_documents,
+        "drift_lang_chisq": q_drift_lang_chisq,
+        "fk_orders_customer": q_fk_orders_customer,
+        "web_duplicate_urls": q_web_duplicate_urls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_verify": q_dedup_verify,
+        "dedup_clusters": q_dedup_clusters,
+        "strip_boilerplate": q_strip_boilerplate,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "suggest_json": q_suggest_json,
+        "sample_mix": q_sample_mix,
+        "decontaminate": q_decontaminate,
+        "multimodal_meta": q_multimodal_meta,
+        "v_lang_agg": q_v_lang_agg,
+        "web_violation_rows": q_web_violation_rows,
+        "web_url_normalize": q_web_url_normalize,
+        "web_url_features": q_web_url_features,
+        "web_uniqueness_summary": q_web_uniqueness_summary,
     }
 
 

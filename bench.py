@@ -233,7 +233,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     from spark_schema_guard.operators.similarity import cosine_topk_lsh
     timed("ann_topk_lsh", lambda: cosine_topk_lsh(
         emb, "vec_id", "embedding", qvecs, k=5, n_planes=6,
-        multiprobe=2).collect())
+        multiprobe=2, n_tables=1).collect())
     from spark_schema_guard.operators.similarity import cosine_topk_ivf
     timed("ann_topk_ivf", lambda: cosine_topk_ivf(
         emb, "vec_id", "embedding", qvecs, k=5, n_centroids=16,
