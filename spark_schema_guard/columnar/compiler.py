@@ -52,7 +52,8 @@ from ..rowcheck.compiler import (
 )
 from . import typemap
 from .plan import Rule, ValidationPlan
-from .varsql import _NestedSQL, _VariantSQLMixin, _Views
+from .varsql import (_NestedSQL, _PackEntries, _PackSingle,
+                     _VariantSQLMixin, _Views)
 from .varsql import sqlstr as _sqlstr
 
 _ISO_TS = "yyyy-MM-dd'T'HH:mm:ss'Z'"
@@ -233,6 +234,12 @@ class _PlanCompiler(_VariantSQLMixin):
         self._vref_budget = int(options.get("ref_unroll_budget", 4000))
         self._vsql_char_budget = int(
             options.get("plan_text_budget", 2_000_000))
+        # packed recursion (SCALE.md jsoncol): re-encountered recursive
+        # $refs compile as ONE shared child body per level applied over
+        # a tagged kid array — text linear in unroll depth instead of
+        # exponential in the per-level site count.  False restores the
+        # classic full inline unroll (differential escape hatch).
+        self.pack_recursion = bool(options.get("pack_recursion", True))
         self._vsql_chars = 0
         self._vsql_n = 0
         self._vref_stack: list[str] = []
@@ -1029,9 +1036,11 @@ class _PlanCompiler(_VariantSQLMixin):
                         saved_base = self._v_base_uri
                         self._v_base_uri = base.base_uri
                         try:
-                            triples = self._entry_triples_sql(
+                            triples = self._vpack_compile_top(
                                 prop_definition, _sqlstr(base.sname),
-                                views)
+                                views,
+                                _PackSingle(f"`{vname}`",
+                                            _sqlstr(base.sname)))
                         finally:
                             self._v_base_uri = saved_base
                         for rule_id, message, fail in triples:
@@ -1272,12 +1281,18 @@ class _PlanCompiler(_VariantSQLMixin):
         aux_sql = site.object_variant_map_sql()
         e = self._vsql_var("e")
         y = self._vsql_var("y")
+        se = self._vsql_var("e")
         name_sql = f"concat({_sqlstr(site.sname)}, '.', {e}.key)"
         saved_base = self._v_base_uri
         self._v_base_uri = site.base_uri
         try:
-            triples = self._entry_triples_sql(
-                value_definition, name_sql, _Views(f"{e}.value"))
+            triples = self._vpack_compile_top(
+                value_definition, name_sql, _Views(f"{e}.value"),
+                _PackEntries(
+                    f"map_entries({aux_sql})", se,
+                    key_filter_sql(f"{se}.key"), f"{se}.value",
+                    f"concat({_sqlstr(site.sname)}, '.', {se}.key)",
+                    f"{e}.key"))
         finally:
             self._v_base_uri = saved_base
         viol = self._violation_sql(triples, name_sql)
@@ -1626,6 +1641,7 @@ def compile_plan_for_column(
     canon_depth: int = 5,
     ref_unroll_budget: int = 4000,
     plan_text_budget: int = 2_000_000,
+    pack_recursion: bool = True,
 ) -> ValidationPlan:
     """Compile a schema whose root is one (struct/map-typed) column rather
     than the whole row — used for ``from_json``-parsed JSON columns.
@@ -1655,6 +1671,7 @@ def compile_plan_for_column(
         "canon_depth": canon_depth,
         "ref_unroll_budget": ref_unroll_budget,
         "plan_text_budget": plan_text_budget,
+        "pack_recursion": pack_recursion,
     })
     site = _Site(F.col(column), dtype, "data", F.lit("data"),
                  compiler.store.root_uri(),
@@ -1667,6 +1684,7 @@ def compile_plan_for_column(
                             if keys_source_col else None),
                  compiler=compiler)
     rules = compiler.compile_value(definition, site)
+    compiler._vpack_flush()
     return ValidationPlan(
         rules=rules, defaults=[], schema_definition=definition,
         df_schema=None, row_validator=row_validator, regex_engine=regex_engine,
@@ -1683,6 +1701,7 @@ def compile_plan_for_column(
             "canon_depth": canon_depth,
             "ref_unroll_budget": ref_unroll_budget,
             "plan_text_budget": plan_text_budget,
+            "pack_recursion": pack_recursion,
             "regex_engine": regex_engine,
             "use_formats": use_formats,
             "use_default": use_default,
@@ -1727,6 +1746,7 @@ def compile_plan(
         "formats": formats,
     })
     rules = compiler.compile_root(definition, df_schema)
+    compiler._vpack_flush()
     return ValidationPlan(
         rules=rules,
         aux_cols=compiler.aux_cols,

@@ -155,6 +155,154 @@ class _Views:
         return f"startswith({self.sov}, 'OBJECT')"
 
 
+class _PackCtx:
+    """Where the value currently being compiled sits RELATIVE TO its
+    recursion-level root — enough information to enumerate, at level
+    scope, every value a recursion site ranges over (the kid segment)
+    and to correlate an inner lambda's value back to its packed result.
+
+    Packed recursion (SCALE.md jsoncol section): SQL text's only
+    sharing mechanism is a lambda applied over an array, so instead of
+    re-inlining a recursive ``$ref``'s body at every site (text(d) =
+    B + sites·text(d-1), exponential), each level collects every
+    site's values into ONE tagged array and applies the child body
+    once via ``transform`` (text(d) = B + text(d-1), linear).  A ctx
+    exists only while the value is reachable from the level root
+    through static hops plus AT MOST ONE collection hop (array
+    elements or object entries) — deeper sites fall back to the
+    classic inline unroll (correct, just bigger)."""
+
+    __slots__ = ()
+
+    def replace(self, val: str, name: str):
+        raise NotImplementedError
+
+
+class _PackSingle(_PackCtx):
+    """A single level-scope value (level root, or a static property /
+    positional-item hop below one)."""
+
+    __slots__ = ("val", "name")
+
+    def __init__(self, val: str, name: str):
+        self.val = val
+        self.name = name
+
+    def replace(self, val, name):
+        return _PackSingle(val, name)
+
+    def corr(self, rv: str) -> str:
+        return ""
+
+    def segment(self, tag: int, cidx: int) -> str:
+        return (f"array(named_struct('t', {tag}, 'c', {cidx}, "
+                f"'i', 0, 'k', '', "
+                f"'v', {self.val}, 'nm', {self.name}))")
+
+
+class _PackArray(_PackCtx):
+    """Every element of a level-scope array (``items`` /
+    ``additionalItems`` hop).  ``val``/``name`` are templates over the
+    segment's own lambda vars ``(sx, si)``; ``inner_i`` is the
+    CONSUMING check lambda's index var, correlated via the kid's ``i``
+    field."""
+
+    __slots__ = ("coll", "sx", "si", "val", "name", "inner_i")
+
+    def __init__(self, coll, sx, si, val, name, inner_i):
+        self.coll = coll
+        self.sx = sx
+        self.si = si
+        self.val = val
+        self.name = name
+        self.inner_i = inner_i
+
+    def replace(self, val, name):
+        return _PackArray(self.coll, self.sx, self.si, val, name,
+                          self.inner_i)
+
+    def corr(self, rv: str) -> str:
+        return f" AND {rv}.i = {self.inner_i}"
+
+    def segment(self, tag: int, cidx: int) -> str:
+        # coalesce: a non-array value makes the collection NULL, and a
+        # NULL leg would NULL the whole concat'd kid array (silent pass)
+        return (f"coalesce(transform({self.coll}, "
+                f"({self.sx}, {self.si}) -> "
+                f"named_struct('t', {tag}, 'c', {cidx}, "
+                f"'i', {self.si}, 'k', '', "
+                f"'v', {self.val}, 'nm', {self.name})), array())")
+
+
+class _PackEntries(_PackCtx):
+    """Every (filtered) entry value of a level-scope object
+    (``additionalProperties`` / ``patternProperties`` hop); correlated
+    by map key (unique within an object)."""
+
+    __slots__ = ("entries", "se", "filt", "val", "name", "inner_key")
+
+    def __init__(self, entries, se, filt, val, name, inner_key):
+        self.entries = entries
+        self.se = se
+        self.filt = filt
+        self.val = val
+        self.name = name
+        self.inner_key = inner_key
+
+    def replace(self, val, name):
+        return _PackEntries(self.entries, self.se, self.filt, val, name,
+                            self.inner_key)
+
+    def corr(self, rv: str) -> str:
+        return f" AND {rv}.k = {self.inner_key}"
+
+    def segment(self, tag: int, cidx: int) -> str:
+        src = self.entries
+        if self.filt is not None:
+            src = f"filter({src}, {self.se} -> {self.filt})"
+        # coalesce: a non-object value makes map_entries NULL, and a
+        # NULL leg would NULL the whole concat'd kid array (silent pass)
+        return (f"coalesce(transform({src}, {self.se} -> "
+                f"named_struct('t', {tag}, 'c', {cidx}, "
+                f"'i', 0, 'k', {self.se}.key, "
+                f"'v', {self.val}, 'nm', {self.name})), array())")
+
+
+def _derive_ctx(ctx, val_fn, name_fn):
+    """Static value hop under a pack ctx: compose the accessor into the
+    ctx's value/name templates (``val_fn(level_views) -> value text``,
+    ``name_fn(parent_name_text) -> name text``)."""
+    if ctx is None:
+        return None
+    lv = _Views(ctx.val)
+    return ctx.replace(val_fn(lv), name_fn(ctx.name))
+
+
+class _PackGroup:
+    """One recursion COMPONENT's packed sites within one level frame.
+    ``comp`` is the sorted tuple of mutually-recursive canonicals; the
+    shared child body dispatches on the kid's member index, so the
+    whole component costs ONE body per level (text linear in depth).
+    Full and probe sites share the body: a probe consumes
+    ``viol IS NULL`` (equivalent to its pass boolean — _violation_sql
+    yields a struct iff some triple fails)."""
+
+    __slots__ = ("rsvar", "comp", "stack", "segments")
+
+    def __init__(self, rsvar, comp, stack):
+        self.rsvar = rsvar
+        self.comp = comp
+        self.stack = stack
+        self.segments: list = []
+
+
+class _PackFrame:
+    __slots__ = ("groups",)
+
+    def __init__(self):
+        self.groups: dict = {}
+
+
 def _nf(x: str) -> str:
     """NULL-as-false coalesce (compiler._null_false)."""
     return f"coalesce({x}, false)"
@@ -204,6 +352,266 @@ class _VariantSQLMixin:
                 "is too large for expression form; raise plan_text_budget "
                 "or use engine='python'")
         return text
+
+    # -- packed recursion ---------------------------------------------------
+
+    @property
+    def _vpack_frames(self):
+        frames = getattr(self, "_vpack_frames_", None)
+        if frames is None:
+            frames = self._vpack_frames_ = []
+        return frames
+
+    def _vref_graph_scan(self, canonical, target, doc_uri) -> None:
+        """Record ``canonical``'s direct $ref edges (and, transitively,
+        every canonical it can reach) in ``self._vref_edges`` /
+        ``self._vref_targets``.  Conservative walk over every nested
+        dict/list, so a $ref-shaped DATA literal inside enum/const may
+        add an edge — harmless: packing a non-recursive ref is correct,
+        just unnecessary."""
+        edges = getattr(self, "_vref_edges", None)
+        if edges is None:
+            edges = self._vref_edges = {}
+            self._vref_targets = {}
+        if canonical in edges:
+            return
+        self._vref_targets[canonical] = (target, doc_uri)
+        out: dict = {}
+
+        def walk(defn, base):
+            if isinstance(defn, dict):
+                ref = defn.get("$ref")
+                if isinstance(ref, str):
+                    try:
+                        t, uri, canon = self.store.resolve(ref, base)
+                    except Exception:
+                        return
+                    out.setdefault(canon, (t, uri))
+                    return
+                for v in defn.values():
+                    walk(v, base)
+                return
+            if isinstance(defn, (list, tuple)):
+                for v in defn:
+                    walk(v, base)
+
+        walk(target, doc_uri)
+        edges[canonical] = frozenset(out)
+        for canon2, (t2, uri2) in out.items():
+            self._vref_graph_scan(canon2, t2, uri2)
+
+    def _vref_component(self, canonical, target, doc_uri) -> tuple:
+        """The recursion component of ``canonical``: the sorted tuple of
+        canonicals on a $ref cycle through it — empty when the ref is
+        not recursive at all.  One packed group (and ONE shared dispatch
+        body per level) serves the whole component; per-member chains
+        under mutual recursion would re-create the exponential
+        branching packing exists to remove."""
+        memo = getattr(self, "_vref_comp_memo", None)
+        if memo is None:
+            memo = self._vref_comp_memo = {}
+        if canonical in memo:
+            return memo[canonical]
+        self._vref_graph_scan(canonical, target, doc_uri)
+        edges = self._vref_edges
+        # transitive closure by worklist (the scanned graph is small)
+        reach = {c: set(edges.get(c, ())) for c in edges}
+        changed = True
+        while changed:
+            changed = False
+            for c, r in reach.items():
+                add = set()
+                for d in r:
+                    add |= reach.get(d, set())
+                if not add <= r:
+                    r |= add
+                    changed = True
+        for c in edges:
+            if c in reach.get(c, ()):
+                memo[c] = tuple(sorted(
+                    d for d in reach[c] | {c}
+                    if c in reach.get(d, ()) and d in reach.get(d, ())))
+            else:
+                memo[c] = ()
+        return memo[canonical]
+
+    def _vpack_global_frame(self) -> _PackFrame:
+        """The ONE frame shared by every top-level compile site: its
+        groups' result arrays become helper (aux) columns at
+        ``_vpack_flush``, so all top-level sites of a recursion target
+        share a single packed chain instead of one chain per declared
+        property."""
+        fr = getattr(self, "_vpack_global_", None)
+        if fr is None:
+            fr = self._vpack_global_ = _PackFrame()
+        return fr
+
+    def _vpack_register(self, canonical, target, doc_uri, ctx, w,
+                        pass_only):
+        """Register one recursion site in the innermost level frame and
+        return the triple that reads its packed result.  The site's
+        values join the group's kid array; the shared child body
+        compiles EAGERLY on group creation (so an unsupported target
+        raises inside the caller's try/fallback) and the kid array is
+        assembled at frame finalize (``_vpack_child_sql``)."""
+        frame = self._vpack_frames[-1]
+        # one group per recursion COMPONENT: under mutual recursion,
+        # per-canonical (or per-stack, or per-mode) groups each spawn
+        # their own chains and the branching re-creates the exponential
+        # blowup packing exists to kill.  Merged sites share the FIRST
+        # registration's stack; the shared body bounds recursion at
+        # ref_unroll_depth chain LEVELS (each level pushes every
+        # component member once) — for single-ref recursion exactly the
+        # inline depth, for ref cycles a uniform level bound instead of
+        # the inline form's per-canonical path counting.
+        comp = self._vref_component(canonical, target, doc_uri)
+        group = frame.groups.get(comp)
+        if group is None:
+            self._vsql_n += 1
+            top = frame is getattr(self, "_vpack_global_", None)
+            rsvar = (f"`__vrs{self._vsql_n}_pack__`" if top
+                     else f"__vrs{self._vsql_n}")
+            group = _PackGroup(rsvar, comp, list(self._vref_stack))
+            frame.groups[comp] = group
+        _, lengths, _ = self._vpack_body(group)
+        cidx = comp.index(canonical)
+        tag = len(group.segments)
+        group.segments.append(ctx.segment(tag, cidx))
+        self._vref_budget -= 1
+        rv = self._vsql_var("r")
+        corr = ctx.corr(rv)
+        if pass_only:
+            yv = self._vsql_var("y")
+            fail = (f"exists({group.rsvar}, {rv} -> "
+                    f"({rv}.t = {tag}{corr} AND exists({rv}.viols, "
+                    f"{yv} -> {yv} IS NOT NULL)))")
+            return [(None, "NULL", self._vsql_spend(fail))]
+        # one triple per target-body slot: the inline expansion returns
+        # the target's full triple list, and top-level consumers build
+        # one RULE per triple — collect-all output must match
+        sel = (f"try_element_at(filter({group.rsvar}, {rv} -> "
+               f"({rv}.t = {tag}{corr})), 1).viols")
+        out = []
+        for j in range(lengths[cidx]):
+            # try_element_at, not [..]: subscripting would throw on an
+            # out-of-bound index under ANSI mode instead of NULLing
+            struct = f"try_element_at({sel}, {j + 1})"
+            out.append((_NestedSQL(struct, "true"),
+                        "CAST(NULL AS STRING)",
+                        self._vsql_spend(f"(({struct}) IS NOT NULL)")))
+        return out
+
+    def _vpack_child_sql(self, group: _PackGroup) -> str:
+        """The group's packed result array: kids (the concatenated tagged
+        segments) mapped through ONE instance of the recursion target's
+        body — compiled at the ref-stack depth the inline expansion
+        would have used, with its OWN frame so deeper recursion packs
+        again (the linear chain).
+
+        The body lambda (everything but the group-specific kid array) is
+        MEMOIZED on (canonical, mode, per-canonical stack counts) — the
+        only stack property the compile consults is ``count(c)``, so two
+        groups at the same depth profile share one body text and the
+        many per-top-site chains collapse onto one body set."""
+        kvar, _lengths, body = self._vpack_body(group)
+        kids = group.segments[0] if len(group.segments) == 1 \
+            else "concat(" + ", ".join(group.segments) + ")"
+        return self._vsql_spend(
+            f"transform({kids}, {kvar} -> named_struct("
+            f"'t', {kvar}.t, 'i', {kvar}.i, 'k', {kvar}.k, "
+            f"'viols', {body}))")
+
+    def _vpack_body(self, group: _PackGroup):
+        """Compile (memoized) the component's shared dispatch body as a
+        (kvar, violation-struct-text) closed check over one kid."""
+        memo = getattr(self, "_vpack_body_memo", None)
+        if memo is None:
+            memo = self._vpack_body_memo = {}
+        stack = list(group.stack) + list(group.comp)
+        counts = {}
+        for c in stack:
+            counts[c] = counts.get(c, 0) + 1
+        mkey = (group.comp, tuple(sorted(counts.items())))
+        cached = memo.get(mkey)
+        if cached is None:
+            kvar = self._vsql_var("k")
+            saved_stack = self._vref_stack
+            saved_base = self._v_base_uri
+            self._vref_stack = stack
+            self._vpack_frames.append(_PackFrame())
+            try:
+                ctx = _PackSingle(f"{kvar}.v", f"{kvar}.nm")
+                arms = []
+                lengths = []
+                for j, canon in enumerate(group.comp):
+                    target, uri = self._vref_targets[canon]
+                    self._v_base_uri = uri
+                    triples = self._entry_triples_sql(
+                        target, f"{kvar}.nm", _Views(f"{kvar}.v"),
+                        ctx=ctx)
+                    parts = self._violation_parts(triples, f"{kvar}.nm")
+                    lengths.append(len(parts))
+                    # per-TRIPLE violation slots, not just the first
+                    # failing: a top-level site expands back to one
+                    # rule per slot, so collect-all output matches the
+                    # inline unroll exactly
+                    arms.append(
+                        "array(" + ", ".join(parts) + ")" if parts
+                        else f"CAST(array() AS ARRAY<{VIOL_STRUCT_SQL}>)")
+                if len(arms) == 1:
+                    body = arms[0]
+                else:
+                    body = ("CASE " + " ".join(
+                        f"WHEN {kvar}.c = {j} THEN {v}"
+                        for j, v in enumerate(arms)) + " END")
+                body = self._vpack_bind(self._vpack_frames[-1], body)
+            finally:
+                self._vpack_frames.pop()
+                self._vref_stack = saved_stack
+                self._v_base_uri = saved_base
+            cached = memo[mkey] = (kvar, tuple(lengths), body)
+        return cached
+
+    def _vpack_flush(self) -> None:
+        """Assemble each global group's packed result array into its
+        helper column (rules already reference the fixed name).  Called
+        once by the plan builders after every rule has compiled."""
+        fr = getattr(self, "_vpack_global_", None)
+        if fr is None or not fr.groups:
+            return
+        from pyspark.sql import functions as F
+        for group in fr.groups.values():
+            rs = self._vpack_child_sql(group)
+            self.aux_cols.append((group.rsvar.strip("`"), F.expr(rs)))
+        fr.groups.clear()
+
+    def _vpack_bind(self, frame: _PackFrame, text: str) -> str:
+        """Bind every packed group's result array around ``text`` (the
+        composed level expression) via the array-of-one ``transform``
+        trick — SQL text's only let-binding."""
+        for group in reversed(list(frame.groups.values())):
+            rs = self._vpack_child_sql(group)
+            text = (f"try_element_at(transform(array({rs}), "
+                    f"{group.rsvar} -> {text}), 1)")
+        return text
+
+    def _vpack_compile_top(self, definition, name_sql, views, ctx,
+                           pass_only: bool = False):
+        """Compile entry triples at a TOP-LEVEL site under the shared
+        global frame: every top-level recursion site of one target
+        joins the SAME group, whose result array becomes ONE helper
+        column (``_vpack_flush``) that all consuming rules reference by
+        its fixed name — zero per-rule, per-property duplication of the
+        packed chain."""
+        if not getattr(self, "pack_recursion", True):
+            return self._entry_triples_sql(definition, name_sql, views,
+                                           pass_only=pass_only, ctx=None)
+        self._vpack_frames.append(self._vpack_global_frame())
+        try:
+            return self._entry_triples_sql(definition, name_sql, views,
+                                           pass_only=pass_only, ctx=ctx)
+        finally:
+            self._vpack_frames.pop()
 
     # -- uniqueItems freeze canonicalization -------------------------------
 
@@ -383,10 +791,9 @@ class _VariantSQLMixin:
 
     # -- violation struct ----------------------------------------------------
 
-    def _violation_sql(self, triples, name_sql: str) -> str:
-        """First failing triple as a violation struct (NULL when none) —
-        a flat coalesce of per-triple CASEs, so every struct (and every
-        nested child's struct) is written exactly once."""
+    def _violation_parts(self, triples, name_sql: str) -> list:
+        """Per-triple violation structs (NULL when that triple passes),
+        in keyword order."""
         parts = []
         for rule_id, message, fail in triples:
             if isinstance(rule_id, _NestedSQL):
@@ -401,18 +808,26 @@ class _VariantSQLMixin:
                 parts.append(f"CASE WHEN {_nf(fail)} THEN named_struct("
                              f"'name', {name_sql}, 'rule', {rid}, "
                              f"'message', {message}) END")
+        return parts
+
+    def _violation_sql(self, triples, name_sql: str) -> str:
+        """First failing triple as a violation struct (NULL when none) —
+        a flat coalesce of per-triple CASEs, so every struct (and every
+        nested child's struct) is written exactly once."""
+        parts = self._violation_parts(triples, name_sql)
         if not parts:
             return f"CAST(NULL AS {VIOL_STRUCT_SQL})"
         if len(parts) == 1:
             return parts[0]
         return "coalesce(" + ", ".join(parts) + ")"
 
-    def _branch_pass_sql(self, sub, name_sql, w: _Views) -> str:
+    def _branch_pass_sql(self, sub, name_sql, w: _Views,
+                         ctx=None) -> str:
         """True where a subschema accepts the VARIANT value — no triple
         of the branch fails.  Compiles in pass-only mode: probes never
         surface names/messages/structs, so none are generated."""
         triples = self._entry_triples_sql(sub, name_sql, w,
-                                          pass_only=True)
+                                          pass_only=True, ctx=ctx)
         if not triples:
             return "true"
         return ("(" + " AND ".join(f"NOT {_nf(fail)}"
@@ -421,7 +836,7 @@ class _VariantSQLMixin:
     # -- the keyword table ---------------------------------------------------
 
     def _entry_triples_sql(self, definition, name_sql: str, w: _Views,
-                           pass_only: bool = False):
+                           pass_only: bool = False, ctx=None):
         """(rule_id, message_sql, fail_sql) triples validating one
         VARIANT value against a scalar-subset schema, in dialect keyword
         order with reference-parity messages.
@@ -429,7 +844,12 @@ class _VariantSQLMixin:
         ``pass_only``: the caller is a combinator probe that consumes
         only the fail booleans — names, messages and nested violation
         structs are skipped (they would be discarded anyway, and on
-        recursion-unrolled schemas they dominate plan size)."""
+        recursion-unrolled schemas they dominate plan size).
+
+        ``ctx``: the value's position relative to its recursion-level
+        root (``_PackCtx``), threading the packed-recursion machinery —
+        ``None`` disables packing for this subtree (sites fall back to
+        the inline unroll)."""
         if definition is True or definition == {}:
             return []
         if definition is False:
@@ -451,6 +871,15 @@ class _VariantSQLMixin:
             if self._vref_stack.count(canonical) >= self.ref_unroll_depth:
                 return [self._depth_guard_triple_sql(
                     name_sql, w, pass_only=pass_only)]
+            if (getattr(self, "pack_recursion", True) and ctx is not None
+                    and self._vpack_frames
+                    and self._vref_component(canonical, target, doc_uri)):
+                # PACKED recursion: a re-encountered ref becomes a site
+                # in the level frame instead of re-inlining its body —
+                # text linear in depth instead of exponential in the
+                # per-level site count (SCALE.md jsoncol section)
+                return self._vpack_register(canonical, target, doc_uri,
+                                            ctx, w, pass_only)
             self._vref_budget -= 1
             if self._vref_budget < 0:
                 self._plan_too_large(
@@ -462,7 +891,8 @@ class _VariantSQLMixin:
             self._v_base_uri = doc_uri
             try:
                 expanded = self._entry_triples_sql(target, name_sql, w,
-                                                   pass_only=pass_only)
+                                                   pass_only=pass_only,
+                                                   ctx=ctx)
             finally:
                 self._v_base_uri = saved
                 self._vref_stack.pop()
@@ -490,7 +920,8 @@ class _VariantSQLMixin:
             return ("(" + " OR ".join(_nf(f) for _, _, f in triples)
                     + ")")
 
-        def nested_value(sub, child_name_sql, child_w, gate_sql):
+        def nested_value(sub, child_name_sql, child_w, gate_sql,
+                         child_ctx=None):
             """One triple whose violation struct is the child value's
             own first-failing rule (pass-only probes reduce to the bare
             boolean — no struct, no messages).
@@ -503,7 +934,8 @@ class _VariantSQLMixin:
             var = self._vsql_var("v")
             triples = self._entry_triples_sql(sub, child_name_sql,
                                               _Views(var),
-                                              pass_only=pass_only)
+                                              pass_only=pass_only,
+                                              ctx=child_ctx)
             if not triples:
                 return
             if pass_only:
@@ -519,29 +951,46 @@ class _VariantSQLMixin:
                         "CAST(NULL AS STRING)",
                         f"({_nf(gate_sql)} AND ({struct}) IS NOT NULL)"))
 
+        def elems_ctx(start, inner_i):
+            """Pack ctx for an array-elements hop — only from a Single
+            parent (one collection hop per level, see _PackCtx)."""
+            if not isinstance(ctx, _PackSingle):
+                return None
+            lv = _Views(ctx.val)
+            sx, si = self._vsql_var(), self._vsql_var("i")
+            coll = (f"slice({lv.arr}, {start + 1}, "
+                    f"greatest(size({lv.arr}) - {start}, 0))")
+            cname = (f"concat({ctx.name}, '[', CAST({si} + {start} "
+                     f"AS STRING), ']')")
+            return _PackArray(coll, sx, si, sx, cname, inner_i)
+
         def first_failing_elems(sub, start):
             """First array element from ``start`` violating the element
             schema (name ``data...[i]``)."""
             x, i, y = self._vsql_var(), self._vsql_var("i"), \
                 self._vsql_var("y")
+            tail = (f"slice({w.arr}, {start + 1}, "
+                    f"greatest(size({w.arr}) - {start}, 0))")
             if pass_only:
-                triples = self._entry_triples_sql(sub, "NULL", _Views(x),
-                                                  pass_only=True)
+                # (x, i) transform instead of a bare exists: packed
+                # sites inside the element schema correlate by index
+                triples = self._entry_triples_sql(
+                    sub, "NULL", _Views(x), pass_only=True,
+                    ctx=elems_ctx(start, i))
                 if not triples:
                     return
-                tail = (f"slice({w.arr}, {start + 1}, "
-                        f"greatest(size({w.arr}) - {start}, 0))")
+                bools = (f"transform({tail}, ({x}, {i}) -> "
+                         f"{any_fail(triples)})")
                 out.append((None, "NULL",
-                            f"({w.is_arr} AND {_nf(f'exists({tail}, {x} -> {any_fail(triples)})')})"))
+                            f"({w.is_arr} AND {_nf(f'exists({bools}, {y} -> {y})')})"))
                 return
             ename = f"concat({name_sql}, '[', CAST({i} + {start} " \
                     f"AS STRING), ']')"
-            triples = self._entry_triples_sql(sub, ename, _Views(x))
+            triples = self._entry_triples_sql(sub, ename, _Views(x),
+                                              ctx=elems_ctx(start, i))
             if not triples:
                 return
             viol = self._violation_sql(triples, ename)
-            tail = (f"slice({w.arr}, {start + 1}, "
-                    f"greatest(size({w.arr}) - {start}, 0))")
             failing = (f"filter(transform({tail}, ({x}, {i}) -> {viol}), "
                        f"{y} -> {y} IS NOT NULL)")
             out.append((
@@ -549,13 +998,28 @@ class _VariantSQLMixin:
                 "CAST(NULL AS STRING)",
                 f"({w.is_arr} AND {_nf(f'size({failing}) > 0')})"))
 
+        def entries_ctx(key_filter, inner_e):
+            """Pack ctx for an object-entries hop — only from a Single
+            parent; the segment applies the SAME key filter so packed
+            evaluation never touches an entry the inline form would
+            have skipped."""
+            if not isinstance(ctx, _PackSingle):
+                return None
+            lv = _Views(ctx.val)
+            se = self._vsql_var("e")
+            return _PackEntries(
+                f"map_entries({lv.obj})", se, key_filter(f"{se}.key"),
+                f"{se}.value", f"concat({ctx.name}, '.', {se}.key)",
+                f"{inner_e}.key")
+
         def first_failing_entry(key_filter, sub, rule_label):
             """First (key, value) entry passing ``key_filter`` whose
             value violates ``sub`` (name ``data...key``)."""
             e, y = self._vsql_var("e"), self._vsql_var("y")
             if pass_only:
                 triples = self._entry_triples_sql(
-                    sub, "NULL", _Views(f"{e}.value"), pass_only=True)
+                    sub, "NULL", _Views(f"{e}.value"), pass_only=True,
+                    ctx=entries_ctx(key_filter, e))
                 if not triples:
                     return
                 pred = (f"({key_filter(e + '.key')} "
@@ -565,7 +1029,9 @@ class _VariantSQLMixin:
                 return
             ename = f"concat({name_sql}, '.', {e}.key)"
             triples = self._entry_triples_sql(sub, ename,
-                                              _Views(f"{e}.value"))
+                                              _Views(f"{e}.value"),
+                                              ctx=entries_ctx(key_filter,
+                                                              e))
             if not triples:
                 return
             viol = self._violation_sql(triples, ename)
@@ -806,13 +1272,13 @@ class _VariantSQLMixin:
                     raise SchemaDefinitionError("allOf must be an array")
                 for sub in subs:
                     out.extend(self._entry_triples_sql(
-                        sub, name_sql, w, pass_only=pass_only))
+                        sub, name_sql, w, pass_only=pass_only, ctx=ctx))
             elif keyword == "anyOf":
                 subs = definition["anyOf"]
                 if not isinstance(subs, (list, tuple)):
                     raise SchemaDefinitionError("anyOf must be an array")
                 any_pass = " OR ".join(
-                    self._branch_pass_sql(sub, name_sql, w)
+                    self._branch_pass_sql(sub, name_sql, w, ctx=ctx)
                     for sub in subs) or "false"
                 out.append(("anyOf",
                             msg("cannot be validated by any definition"),
@@ -822,7 +1288,7 @@ class _VariantSQLMixin:
                 if not isinstance(subs, (list, tuple)):
                     raise SchemaDefinitionError("oneOf must be an array")
                 count = " + ".join(
-                    f"CAST({self._branch_pass_sql(sub, name_sql, w)} "
+                    f"CAST({self._branch_pass_sql(sub, name_sql, w, ctx=ctx)} "
                     "AS INT)" for sub in subs) or "0"
                 out.append(("oneOf",
                             "NULL" if pass_only else
@@ -845,17 +1311,18 @@ class _VariantSQLMixin:
                     out.append(("not",
                                 msg("must NOT match a disallowed "
                                     "definition"),
-                                self._branch_pass_sql(sub, name_sql, w)))
+                                self._branch_pass_sql(sub, name_sql, w,
+                                                      ctx=ctx)))
             elif keyword == "if":
                 if_pass = _nf(self._branch_pass_sql(
-                    definition["if"], name_sql, w))
+                    definition["if"], name_sql, w, ctx=ctx))
                 for rid, message, fail in self._entry_triples_sql(
                         definition.get("then", True), name_sql, w,
-                        pass_only=pass_only):
+                        pass_only=pass_only, ctx=ctx):
                     out.append((rid, message, f"({if_pass} AND {fail})"))
                 for rid, message, fail in self._entry_triples_sql(
                         definition.get("else", True), name_sql, w,
-                        pass_only=pass_only):
+                        pass_only=pass_only, ctx=ctx):
                     out.append((rid, message,
                                 f"(NOT {if_pass} AND {fail})"))
             elif keyword == "minItems":
@@ -914,7 +1381,13 @@ class _VariantSQLMixin:
                         nested_value(
                             idef, f"concat({name_sql}, '[{idx}]')",
                             _Views(f"try_element_at({w.arr}, {idx + 1})"),
-                            f"({w.is_arr} AND size({w.arr}) > {idx})")
+                            f"({w.is_arr} AND size({w.arr}) > {idx})",
+                            child_ctx=_derive_ctx(
+                                ctx,
+                                lambda lv, _n=idx: (
+                                    f"try_element_at({lv.arr}, {_n + 1})"),
+                                lambda nm, _n=idx: (
+                                    f"concat({nm}, '[{_n}]')")))
                     n_fixed = len(items_definition)
                     extra = definition.get("additionalItems")
                     if extra is False:
@@ -1011,7 +1484,13 @@ class _VariantSQLMixin:
                         sub, f"concat({name_sql}, {sqlstr('.' + key)})",
                         _Views(f"try_element_at({w.obj}, {sqlstr(key)})"),
                         f"({w.is_obj} AND "
-                        f"{_nf(f'map_contains_key({w.obj}, {sqlstr(key)})')})")
+                        f"{_nf(f'map_contains_key({w.obj}, {sqlstr(key)})')})",
+                        child_ctx=_derive_ctx(
+                            ctx,
+                            lambda lv, _k=key: (
+                                f"try_element_at({lv.obj}, {sqlstr(_k)})"),
+                            lambda nm, _k=key: (
+                                f"concat({nm}, {sqlstr('.' + _k)})")))
             elif keyword == "dependencies":
                 deps = definition["dependencies"]
                 if not isinstance(deps, dict):
@@ -1039,7 +1518,7 @@ class _VariantSQLMixin:
                         for rid, message, fail in \
                                 self._entry_triples_sql(
                                     req, name_sql, w,
-                                    pass_only=pass_only):
+                                    pass_only=pass_only, ctx=ctx):
                             out.append((rid, message,
                                         f"({present} AND {_nf(fail)})"))
             elif keyword == "additionalProperties":

@@ -113,6 +113,7 @@ def validate_json_column(
     on_depth_exceeded: str | None = None,
     canon_depth: int = 5,
     plan_text_budget: int = 2_000_000,
+    pack_recursion: bool = True,
 ) -> DataFrame:
     """Append violations + verdict for a JSON string column.
 
@@ -161,7 +162,8 @@ def validate_json_column(
                 ref_unroll_depth=ref_unroll_depth,
                 on_depth_exceeded=on_depth_exceeded,
                 canon_depth=canon_depth,
-                plan_text_budget=plan_text_budget)
+                plan_text_budget=plan_text_budget,
+                pack_recursion=pack_recursion)
         except PlanUnsupported:
             return validate_json_column(
                 df, column, definition, engine="python",
@@ -220,7 +222,8 @@ def validate_json_column(
             ref_unroll_depth=ref_unroll_depth,
             on_depth_exceeded=on_depth_exceeded,
             canon_depth=canon_depth,
-            plan_text_budget=plan_text_budget)
+            plan_text_budget=plan_text_budget,
+            pack_recursion=pack_recursion)
         # "malformed" = the text is not a JSON object at all (broken
         # syntax, or a scalar/array where an object is required).  A
         # field-level type mismatch parses to a NULL field while the key

@@ -109,6 +109,37 @@ def test_metaschema_dataframe_corpus(spark, reference):
             assert got[i][1][0] == e.message, (i, s, got[i][1], e.message)
 
 
+def test_metaschema_dataframe_corpus_columnar(spark, reference):
+    """The SAME corpus on the JVM columnar path (round 5): packed
+    recursion (columnar/varsql.py _vpack_*) compiles the draft-04
+    metaschema — ~17 recursive `$ref "#"` sites per body level, mutual
+    recursion through #/definitions/schemaArray — as ONE shared
+    dispatch body per unroll level, text LINEAR in depth (~4.9M chars
+    at depth 3 vs >500M inlined; SCALE.md jsoncol section).  Verdicts
+    and first messages must match the reference byte-for-byte, like the
+    python-engine leg above.  Reference behavior matched:
+    /root/reference/fastjsonschema/generator.py:133-138,192-217
+    (recursion compiled as functions)."""
+    meta = json.loads(DRAFTS["draft-04"].read_text())
+    theirs = reference.compile(meta)
+
+    docs = [json.dumps(d, sort_keys=True) for d in SCHEMA_DOCS]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)],
+                               "i INT, schema_doc STRING")
+    out = validate_json_column(df, "schema_doc", meta, engine="columnar",
+                               plan_text_budget=20_000_000)
+    got = {r["i"]: (r["verdict"], [v["message"] for v in r["violations"]])
+           for r in out.select("i", "verdict", "violations").collect()}
+
+    for i, s in enumerate(docs):
+        try:
+            theirs(json.loads(s))
+            assert got[i][0] is True, (i, s, got[i])
+        except reference.JsonSchemaValueException as e:
+            assert got[i][0] is False, (i, s)
+            assert got[i][1][0] == e.message, (i, s, got[i][1], e.message)
+
+
 def test_metaschema_self_validates(reference):
     """Each draft metaschema validates itself (the canonical smoke test)
     under both validators."""

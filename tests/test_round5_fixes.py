@@ -186,6 +186,88 @@ def test_domain_report_marks_approx_n_urls(spark):
     assert exact.select("host", "n_urls").collect()[0]["n_urls"] == 1
 
 
+# --- VERDICT #3: packed recursion in the variant SQL world ------------------
+
+
+RECURSIVE_SCHEMA = {
+    "type": "object",
+    "definitions": {"arr": {"type": "array", "items": {"$ref": "#"}}},
+    "properties": {
+        "items": {"anyOf": [{"$ref": "#"}, {"$ref": "#/definitions/arr"}]},
+        "name": {"type": "string"},
+    },
+    "additionalProperties": {"$ref": "#"},
+}
+
+RECURSIVE_DOCS = [
+    {"name": "ok"},
+    {"items": {"name": "n"}},
+    {"items": [{"name": "n"}]},
+    {"items": "neither"},
+    {"items": [{"name": 42}]},     # pinned: the NULL-segment bug made
+    {"zzz": {"name": "deep"}},     # the arr branch silently pass this
+    {"zzz": 5},
+    {"zzz": {"name": 9}},
+    {"items": [[{"name": "x"}]]},  # arr-of-arr fails items: not a schema
+]
+
+
+def _jsoncol_results(spark, schema, docs, **kw):
+    import json as _json
+
+    from spark_schema_guard.jsoncol import validate_json_column
+
+    df = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)],
+        "i INT, doc STRING")
+    out = validate_json_column(df, "doc", schema, engine="columnar", **kw)
+    return {r["i"]: (r["verdict"], [v["message"] for v in r["violations"]])
+            for r in out.select("i", "verdict", "violations").collect()}
+
+
+def test_packed_recursion_matches_inline(spark):
+    """Packed recursion (the default) must produce the exact verdicts
+    and messages of the classic inline unroll on mutual-recursion
+    schemas — including non-container values at packed sites (a NULL
+    collection leg used to NULL the whole kid array: silent pass)."""
+    packed = _jsoncol_results(spark, RECURSIVE_SCHEMA, RECURSIVE_DOCS)
+    inline = _jsoncol_results(spark, RECURSIVE_SCHEMA, RECURSIVE_DOCS,
+                              pack_recursion=False)
+    assert packed == inline
+    assert packed[4][0] is False and packed[8][0] is False
+
+
+def test_packed_recursion_text_linear(spark):
+    """Generated text must stay near-linear in unroll depth — the whole
+    point of packing (inline text multiplies per site per level)."""
+    from spark_schema_guard.columnar import spark_struct_for
+    from spark_schema_guard.columnar.compiler import (_PlanCompiler,
+                                                      compile_plan_for_column)
+
+    spent = []
+    orig = _PlanCompiler.__init__
+
+    def patched(self, *a, **k):
+        orig(self, *a, **k)
+        spent.append(self)
+
+    _PlanCompiler.__init__ = patched
+    try:
+        st = spark_struct_for(RECURSIVE_SCHEMA)
+        sizes = {}
+        for depth in (3, 6):
+            compile_plan_for_column(
+                RECURSIVE_SCHEMA, "__parsed__", st, json_source_col="doc",
+                variant_source_col="__v__", keys_source_col="__k__",
+                ref_unroll_depth=depth, plan_text_budget=10**9)
+            sizes[depth] = spent[-1]._vsql_chars
+    finally:
+        _PlanCompiler.__init__ = orig
+    # doubling the depth must cost far less than the inline form's
+    # per-level multiplier (>= 3x/level => >= 27x for +3 levels)
+    assert sizes[6] < sizes[3] * 6, sizes
+
+
 # --- VERDICT #1: at-density recall floors for the auto defaults -------------
 
 

@@ -321,10 +321,15 @@ def main() -> None:
     END = f"<!-- {marker}:end -->"
     fams = _selected()
     rounds = int(os.environ.get("SPARK_GRAFT_FAMILY_ROUNDS", "2"))
-    # 4 -> 16, mirroring the headline ladder's most demanding pair: the
-    # 32-thread leg saturates the single box's DRAM bandwidth and would
-    # measure the machine, not the plans
-    ladder = (4, 16)
+    # 4 -> 16 by default, mirroring the headline ladder's most demanding
+    # pair: the 32-thread leg saturates the single box's DRAM bandwidth
+    # and would measure the machine, not the plans.  SPARK_GRAFT_FAMILY_
+    # LADDER="2,8" selects the LOW-CORE pair — the in-envelope protocol
+    # for legs whose 16-thread point is bandwidth/disk-bound (the r4
+    # ann_topk_lsh diagnosis run).
+    ladder = tuple(int(x) for x in os.environ.get(
+        "SPARK_GRAFT_FAMILY_LADDER", "4,16").split(","))
+    assert len(ladder) == 2 and ladder[1] == 4 * ladder[0], ladder
     best: dict = {c: {} for c in ladder}
     for _ in range(rounds):
         for cores in ladder:
