@@ -314,7 +314,8 @@ def _validate_max_bucket(max_bucket) -> None:
 
 
 def _cap_buckets(data: DataFrame, key: str, max_bucket,
-                 *, n_buckets: int | None = None) -> DataFrame:
+                 *, n_buckets: int | None = None,
+                 total_hint: int | None = None) -> DataFrame:
     """Drop buckets larger than ``max_bucket`` before the candidate
     join — the dedup.minhash_candidates safety valve against degenerate
     buckets (mirrored in the SQL oracles).  ``None`` disables (explicit
@@ -348,18 +349,28 @@ def _cap_buckets(data: DataFrame, key: str, max_bucket,
         return data.join(F.broadcast(keep), key)
     if not n_buckets:
         raise ValueError("auto bucket cap needs n_buckets")
-    sizes = sizes.persist()
-    try:
-        total = sizes.agg(F.sum("__bn").alias("t")).first()["t"] or 0
-        cap = max(AUTO_CAP_FLOOR,
-                  math.ceil(AUTO_CAP_FACTOR * total / n_buckets))
-        dropped = sizes.where(F.col("__bn") > cap) \
-                       .select(key, "__bn").collect()
-    finally:
-        sizes.unpersist()
+    # cheap early exit: cap >= AUTO_CAP_FLOOR always, so no bucket can
+    # exceed it unless the corpus itself does.  total_hint comes free
+    # from the auto-sizing count; without it a bare count prunes the
+    # bucket UDF column, far cheaper than the bucket histogram.
+    total = total_hint if total_hint is not None else data.count()
+    if total <= AUTO_CAP_FLOOR:
+        return data
+    # one job: corpus total + every over-floor bucket (the dropped set
+    # is a subset — cap >= the floor)
+    row = sizes.agg(
+        F.sum("__bn").alias("t"),
+        F.collect_list(F.when(F.col("__bn") > AUTO_CAP_FLOOR,
+                              F.struct(F.col(key).alias("b"),
+                                       F.col("__bn").alias("n"))))
+        .alias("big")).first()
+    total = row["t"] or 0
+    cap = max(AUTO_CAP_FLOOR,
+              math.ceil(AUTO_CAP_FACTOR * total / n_buckets))
+    dropped = [r for r in row["big"] if r["n"] > cap]
     if not dropped:
         return data
-    dropped_rows = sum(r["__bn"] for r in dropped)
+    dropped_rows = sum(r["n"] for r in dropped)
     frac = dropped_rows / total if total else 0.0
     if frac > CAP_WARN_FRACTION:
         warnings.warn(
@@ -370,7 +381,7 @@ def _cap_buckets(data: DataFrame, key: str, max_bucket,
             f"n_centroids, or pass max_bucket=None to opt out.",
             stacklevel=3)
     if len(dropped) <= _CAP_ISIN_LIMIT:
-        return data.where(~F.col(key).isin([r[key] for r in dropped]))
+        return data.where(~F.col(key).isin([r["b"] for r in dropped]))
     keep = sizes.where(F.col("__bn") <= cap).select(key)
     return data.join(F.broadcast(keep), key)
 
@@ -471,6 +482,7 @@ def cosine_topk_lsh(
     for name, val in (("n_planes", n_planes), ("n_tables", n_tables)):
         if isinstance(val, str) and val != "auto":
             raise ValueError(f"{name} must be an int or 'auto'; got {val!r}")
+    n = None
     if n_planes == "auto" or n_tables == "auto":
         n = data.count()
         if n_planes == "auto":
@@ -490,7 +502,8 @@ def cosine_topk_lsh(
         data = data.withColumn("bucket",
                                F.explode(F.array(*per_table)))
     data = _cap_buckets(data, "bucket", max_bucket,
-                        n_buckets=n_tables * 2 ** n_planes)
+                        n_buckets=n_tables * 2 ** n_planes,
+                        total_hint=None if n is None else n * n_tables)
 
     def buckets_for(vec):
         probes = []
@@ -640,12 +653,15 @@ def cosine_topk_ivf(
     if isinstance(n_centroids, str) and n_centroids != "auto":
         raise ValueError(
             f"n_centroids must be an int or 'auto'; got {n_centroids!r}")
+    n = None
     if n_centroids == "auto":
-        n_centroids = _auto_n_centroids(data.count())
+        n = data.count()
+        n_centroids = _auto_n_centroids(n)
     cents = ivf_centroids(df, id_col, vec_col, n_centroids,
                           iterations=iterations)
     data = data.withColumn("cell", ivf_cell_column(F.col("v"), cents))
-    data = _cap_buckets(data, "cell", max_bucket, n_buckets=n_centroids)
+    data = _cap_buckets(data, "cell", max_bucket, n_buckets=n_centroids,
+                        total_hint=n)
 
     def probes_for(vec):
         vnorm = sum(x * x for x in vec) ** 0.5
