@@ -346,10 +346,18 @@ def main() -> None:
                 best[cores][name] = sec if prev is None else min(prev, sec)
 
     lo, hi = ladder
-    title = ("### Per-family scaling (one N -> 4N pair per shuffling "
-             "operator)" if marker == "family-scaling" else
-             "### Per-family scaling, MEASURED at larger amplification "
-             "(evidence run for the previously-extrapolated legs)")
+    if marker == "family-scaling":
+        title = ("### Per-family scaling (one N -> 4N pair per "
+                 "shuffling operator)")
+    elif "lowcore" in marker:
+        title = ("### Per-family scaling, LOW-CORE in-envelope pair "
+                 "(2 -> 8 busy threads stay a minority of the 32-vCPU "
+                 "box at both points — the protocol that isolates plan "
+                 "scaling from single-box DRAM/disk saturation)")
+    else:
+        title = ("### Per-family scaling, MEASURED at larger "
+                 "amplification (evidence run for the previously-"
+                 "extrapolated legs)")
     lines = [
         START,
         title,

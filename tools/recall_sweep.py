@@ -99,6 +99,19 @@ def run_grids(emb, queries, truth):
         print(f"lsh planes={n_planes} multiprobe={multiprobe} "
               f"tables={n_tables} recall@{K}={r:.3f} scanned~{frac:.1%}")
 
+    # the density-adaptive defaults (round 5): what a caller passing no
+    # tuning parameters actually gets at this corpus size
+    from spark_schema_guard.operators.similarity import (
+        LSH_AUTO_TABLES, _auto_n_centroids, _auto_n_planes)
+    n = emb.count()
+    ap, at = _auto_n_planes(n), LSH_AUTO_TABLES
+    r = recall_at_k(
+        cosine_topk_lsh(emb, "vec_id", "embedding", queries, k=K), truth)
+    frac = at * 3 / 2 ** ap
+    lsh_rows.append((f"auto={ap}", 2, at, r, frac))
+    print(f"lsh AUTO (planes={ap} tables={at}) recall@{K}={r:.3f} "
+          f"scanned~{frac:.1%}")
+
     ivf_rows = []
     for n_centroids in (8, 16, 32):
         for nprobe in (1, 2, 4):
@@ -110,6 +123,13 @@ def run_grids(emb, queries, truth):
             ivf_rows.append((n_centroids, nprobe, r, frac))
             print(f"ivf centroids={n_centroids} nprobe={nprobe} "
                   f"recall@{K}={r:.3f} scanned~{frac:.1%}")
+    ac = _auto_n_centroids(n)
+    r = recall_at_k(
+        cosine_topk_ivf(emb, "vec_id", "embedding", queries, k=K), truth)
+    frac = 4 / ac
+    ivf_rows.append((f"auto={ac}", 4, r, frac))
+    print(f"ivf AUTO (centroids={ac}) recall@{K}={r:.3f} "
+          f"scanned~{frac:.1%}")
     return lsh_rows, ivf_rows
 
 
@@ -160,9 +180,10 @@ def main() -> None:
             "|---|---|---|---|---|",
         ]
         for n_planes, multiprobe, n_tables, r, frac in lsh_rows:
-            mark = (" **(default)**"
+            mark = (" **(old fixed default)**"
                     if (n_planes, multiprobe, n_tables) == (6, 2, 1)
-                    else "")
+                    else (" **(auto default)**"
+                          if isinstance(n_planes, str) else ""))
             lines.append(f"| {n_planes} | {multiprobe} | {n_tables} "
                          f"| {r:.3f}{mark} | {frac:.1%} |")
         lines += [
@@ -171,8 +192,10 @@ def main() -> None:
             "|---|---|---|---|",
         ]
         for n_centroids, nprobe, r, frac in ivf_rows:
-            mark = (" **(default)**"
-                    if (n_centroids, nprobe) == (16, 4) else "")
+            mark = (" **(old fixed default)**"
+                    if (n_centroids, nprobe) == (16, 4) else
+                    (" **(auto default)**"
+                     if isinstance(n_centroids, str) else ""))
             lines.append(f"| {n_centroids} | {nprobe} | {r:.3f}{mark} "
                          f"| {frac:.1%} |")
         if scale != 1:
@@ -185,9 +208,15 @@ def main() -> None:
         "so **IVF is the recommended scale path**.  For LSH, `n_tables` "
         "is the recall lever: 4 independent tables at 6/2 reach what "
         "one table needs ~10x the scan for (classic 1-(1-r)^L "
-        "compounding).  `tests/test_round3_fixes.py` pins recall@5 "
-        "floors for IVF defaults and multi-table LSH so a refactor "
-        "cannot silently degrade them.",
+        "compounding).  The **auto defaults** (round 5) target a bucket/"
+        "cell SIZE instead of a fixed count — n_planes = "
+        "clamp(ceil(log2(n/512)), 4, 16) with 4 tables, IVF n_centroids "
+        "= clamp(round(sqrt(n)), 8, 65536) — so an untuned caller holds "
+        "recall as density grows instead of the old fixed default's "
+        "~0.2.  `tests/test_round3_fixes.py` pins recall@5 floors at "
+        "1x and `tests/test_round5_fixes.py` pins the auto defaults at "
+        "10x density (LSH >= 0.5, IVF >= 0.8) so neither a refactor "
+        "nor density can silently degrade them.",
         END,
     ]
     block = "\n".join(lines)
